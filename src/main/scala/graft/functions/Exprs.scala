@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+/** Static math helpers invoked from both interpreted eval and generated
+  * Java (top-level Scala objects emit static forwarders, so codegen can
+  * call `graft.functions.CellMath.cellId(...)` directly). */
+object CellMath {
+  /** splitmix64 finalizer (public-domain constant set). */
+  @inline def mix64(v: Long): Long = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** PDAL splitter cell coordinate: trunc toward zero then decrement for
+    * negative offsets — NOT floor (filters/SplitterFilter.cpp:180-218:
+    * `int xpos = int(dx/len); if (dx < 0) xpos--;`). */
+  @inline def cellCoord(v: Double, origin: Double, len: Double): Int = {
+    val d = v - origin
+    val t = (d / len).toInt
+    if (d < 0) t - 1 else t
+  }
+
+  @inline def pack(cx: Int, cy: Int): Long =
+    (cx.toLong << 32) | (cy.toLong & 0xFFFFFFFFL)
+
+  @inline def unpackX(cell: Long): Int = (cell >> 32).toInt
+  @inline def unpackY(cell: Long): Int = cell.toInt
+
+  /** Interleave the low 32 bits of a and b (a even positions) — Z-order /
+    * Morton curve (filters/MortonOrderFilter.cpp:98 analog). */
+  def interleave(a: Int, b: Int): Long = {
+    @inline def spread(v0: Long): Long = {
+      var v = v0 & 0xFFFFFFFFL
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    // bias by 2^31 so negative cell coords still sort spatially
+    (spread((a.toLong + 0x80000000L)) << 1) | spread(b.toLong + 0x80000000L)
+  }
+
+  def cellId(x: Double, y: Double, ox: Double, oy: Double, len: Double,
+      morton: Boolean): Long = {
+    val cx = cellCoord(x, ox, len)
+    val cy = cellCoord(y, oy, len)
+    if (morton) interleave(cx, cy) else pack(cx, cy)
+  }
+
+  /** Hierarchical cell id: Morton cell with the resolution level in the
+    * top 5 bits — an H3/S2-style space-filling hierarchical index where
+    * parent(cell at level L) = cell at L-1 by dropping 2 bits. `len0` is
+    * the level-0 cell edge; level L edge = len0 / 2^L. */
+  def hierCellId(x: Double, y: Double, ox: Double, oy: Double, len0: Double,
+      level: Int): Long = {
+    val len = len0 / (1L << level).toDouble
+    val cx = cellCoord(x, ox, len)
+    val cy = cellCoord(y, oy, len)
+    (level.toLong << 58) | (interleave(cx, cy) >>> 6)
+  }
+
+  /** Pointy-top hexagon axial id via cube rounding (filters.hexbin analog;
+    * hexer lib semantics are grid-shape-equivalent, ids are ours). */
+  def hexId(x: Double, y: Double, edge: Double): Long = {
+    val q = (math.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / edge
+    val r = (2.0 / 3.0 * y) / edge
+    // cube round
+    val s = -q - r
+    var rq = math.round(q).toDouble
+    var rr = math.round(r).toDouble
+    val rs = math.round(s).toDouble
+    val dq = math.abs(rq - q); val dr = math.abs(rr - r); val ds = math.abs(rs - s)
+    if (dq > dr && dq > ds) rq = -rr - rs
+    else if (dr > ds) rr = -rq - rs
+    pack(rq.toInt, rr.toInt)
+  }
+
+  def hexCenterX(cell: Long, edge: Double): Double = {
+    val q = unpackX(cell); val r = unpackY(cell)
+    edge * math.sqrt(3.0) * (q + r / 2.0)
+  }
+  def hexCenterY(cell: Long, edge: Double): Double =
+    edge * 1.5 * unpackY(cell)
+}
+
+/** splitmix64 finalizer over a long column — wraparound multiply needs JVM
+  * semantics, not ANSI SQL, so this is a codegen'd expression rather than
+  * column arithmetic. The deterministic PRNG base for Synth and salting. */
+case class Mix64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mix64"
+  override protected def nullSafeEval(v: Any): Any =
+    CellMath.mix64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CellMath.mix64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Codegen'd cell-id expression — the engine's H3/S2-style cell encoding
+  * (SURVEY §4 custom-surface item 1). Stays inside whole-stage codegen:
+  * doGenCode emits a static call, no virtual dispatch, no boxing. */
+case class CellIdExpr(left: Expression, right: Expression,
+    ox: Double, oy: Double, len: Double, morton: Boolean)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "grid_cell_id"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    CellMath.cellId(x.asInstanceOf[Double], y.asInstanceOf[Double], ox, oy, len, morton)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xs, ys) =>
+      s"graft.functions.CellMath.cellId($xs, $ys, ${ox}D, ${oy}D, ${len}D, $morton)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class HierCellIdExpr(left: Expression, right: Expression,
+    ox: Double, oy: Double, len0: Double, level: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hier_cell_id"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    CellMath.hierCellId(x.asInstanceOf[Double], y.asInstanceOf[Double], ox, oy, len0, level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xs, ys) =>
+      s"graft.functions.CellMath.hierCellId($xs, $ys, ${ox}D, ${oy}D, ${len0}D, $level)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class HexIdExpr(left: Expression, right: Expression, edge: Double)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hex_cell_id"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    CellMath.hexId(x.asInstanceOf[Double], y.asInstanceOf[Double], edge)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xs, ys) =>
+      s"graft.functions.CellMath.hexId($xs, $ys, ${edge}D)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Point-in-polygon over a broadcast-able PnpGrid (GridPnp analog,
+  * filters/private/pnp/GridPnp.hpp:59-78). The grid rides in the expression
+  * tree; codegen pins it as a reference object so the per-row test is a
+  * single call on a shared immutable structure — the Spark version of the
+  * reference's per-cell candidate pruning. */
+case class GridPnpContains(left: Expression, right: Expression, grid: PnpGrid)
+  extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_contains_grid"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    grid.contains(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gridRef = ctx.addReferenceObj("pnpGrid", grid, classOf[PnpGrid].getName)
+    defineCodeGen(ctx, ev, (xs, ys) => s"$gridRef.contains($xs, $ys)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level API over the custom expressions. */
+object F {
+  import GraftBridge.{column, expression}
+
+  def mix64(c: Column): Column = column(Mix64Expr(expression(c)))
+
+  def cellId(x: Column, y: Column, ox: Double, oy: Double, len: Double,
+      morton: Boolean = false): Column =
+    column(CellIdExpr(expression(x), expression(y), ox, oy, len, morton))
+
+  def hierCellId(x: Column, y: Column, ox: Double, oy: Double, len0: Double,
+      level: Int): Column =
+    column(HierCellIdExpr(expression(x), expression(y), ox, oy, len0, level))
+
+  def hexId(x: Column, y: Column, edge: Double): Column =
+    column(HexIdExpr(expression(x), expression(y), edge))
+
+  def pnpContains(grid: PnpGrid, x: Column, y: Column): Column =
+    column(GridPnpContains(expression(x), expression(y), grid))
+
+  /** Unpack as LongType via sign-extending shifts — an ANSI-safe
+    * equivalent of the (int) truncations in CellMath.unpackX/Y. */
+  def cellX(cell: Column): Column =
+    org.apache.spark.sql.functions.shiftright(cell, 32)
+  def cellY(cell: Column): Column =
+    org.apache.spark.sql.functions.shiftright(
+      org.apache.spark.sql.functions.shiftleft(cell, 32), 32)
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-dependent operators. PDAL leans on insertion order everywhere
+  * (PointView is an ordered selection vector, pdal/PointView.hpp:338);
+  * our analog is the explicit `order_key` column. Global ranks are
+  * computed scalably: range-repartition on the order column, rank within
+  * partitions, add per-partition offsets (collected counts are one row per
+  * partition — never point data). No single-partition windows at scale.
+  */
+object Order {
+  /** Dense 0-based global rank by `sortCols` as column `outCol`. */
+  def globalRankBy(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) 0 else counts.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
+    val offCol = element_at(
+      array(offsets.take(maxPid + 1).map(lit): _*), col("__pid") + 1)
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    ranged.withColumn(outCol, row_number().over(w).cast("long") - 1 + offCol)
+      .drop("__pid")
+  }
+
+  def globalRank(df: DataFrame, orderCol: String = "order_key",
+      outCol: String = "__rank", ascending: Boolean = true): DataFrame =
+    globalRankBy(df, Seq(if (ascending) col(orderCol).asc else col(orderCol).desc), outCol)
+}
+
+/** filters.sort analog (filters/SortFilter.cpp:42): stable sort by one
+  * dimension — stability reproduced with the order_key tiebreaker
+  * (pdal/PointView.hpp:308 stableSort). The sort manifests as the output
+  * order_key so downstream order-dependent stages see the sorted order. */
+object Sort {
+  def apply(df: DataFrame, dim: String, ascending: Boolean = true): DataFrame = {
+    val keys =
+      if (ascending) Seq(col(dim).asc, col("order_key").asc)
+      else Seq(col(dim).desc, col("order_key").asc) // stable: ties keep order
+    Order.globalRankBy(df, keys, "__newkey")
+      .drop("order_key").withColumnRenamed("__newkey", "order_key")
+  }
+}
+
+/** filters.head / filters.tail (filters/HeadFilter.cpp:41 / TailFilter.cpp):
+  * first/last `count` points in order; `invert` keeps the complement. */
+object HeadTail {
+  def head(df: DataFrame, count: Long, invert: Boolean = false): DataFrame = {
+    val ranked = Order.globalRank(df)
+    val p = col("__rank") < count
+    ranked.filter(if (invert) !p else p).drop("__rank")
+  }
+  def tail(df: DataFrame, count: Long, invert: Boolean = false): DataFrame = {
+    val n = df.count()
+    val ranked = Order.globalRank(df)
+    val p = col("__rank") >= (n - count)
+    ranked.filter(if (invert) !p else p).drop("__rank")
+  }
+}
+
+/** filters.locate (filters/LocateFilter.cpp:45): argmin/argmax of a dim.
+  * Single-row result via min_by/max_by — one aggregate, no sort. */
+object Locate {
+  def apply(df: DataFrame, dim: String, minimum: Boolean): DataFrame = {
+    val picker = if (minimum) min_by(col("order_key"), struct(col(dim), col("order_key")))
+                 else max_by(col("order_key"), struct(col(dim), -col("order_key")))
+    val key = df.agg(picker.as("k")).head().getLong(0)
+    df.filter(col("order_key") === key)
+  }
+}
+
+/** filters.decimation (filters/DecimationFilter.cpp:45): keep every
+  * step-th point of [offset, limit) in order. */
+object Decimation {
+  def apply(df: DataFrame, step: Long, offset: Long = 0,
+      limit: Long = Long.MaxValue): DataFrame = {
+    val ranked = Order.globalRank(df)
+    ranked.filter(col("__rank") >= offset && col("__rank") < limit &&
+      pmod(col("__rank") - offset, lit(step)) === 0).drop("__rank")
+  }
+}
+
+/** filters.randomize (filters/RandomizeFilter.cpp:41): deterministic
+  * seeded shuffle — new order = rank of a seeded hash of the old key. */
+object Randomize {
+  def apply(df: DataFrame, seed: Long): DataFrame = {
+    val hashed = df.withColumn("__h", xxhash64(lit(seed), col("order_key")))
+    Order.globalRankBy(hashed, Seq(col("__h").asc, col("order_key").asc), "__newkey")
+      .drop("__h").drop("order_key").withColumnRenamed("__newkey", "order_key")
+  }
+}
+
+/** filters.mortonorder (filters/MortonOrderFilter.cpp:46): reorder by
+  * Z-order curve over quantized (x, y); `reverse` inverts the curve. */
+object MortonOrder {
+  def apply(df: DataFrame, reverse: Boolean = false, cellSize: Double = 0.01): DataFrame = {
+    val mn = df.agg(min("x"), min("y")).head()
+    val (ox, oy) = (mn.getDouble(0), mn.getDouble(1))
+    val code = graft.functions.F.cellId(col("x"), col("y"), ox, oy, cellSize, morton = true)
+    val hashed = df.withColumn("__m", if (reverse) -code else code)
+    Order.globalRankBy(hashed, Seq(col("__m").asc, col("order_key").asc), "__newkey")
+      .drop("__m").drop("order_key").withColumnRenamed("__newkey", "order_key")
+  }
+}
