@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expr.DimRange
+
+/** One kNN hit: squared distance, candidate order_key, carried value.
+  * Ordering (d2, cid) makes top-k deterministic at any parallelism. */
+case class Hit(d2: Double, cid: Long, v: Double)
+
+/** Grid-partitioned kNN join — the engine's primitive behind PDAL's
+  * KD3Index-based neighborhood filters (pdal/KDIndex.hpp:52-115, built
+  * per-view; here per grid cell, distributed).
+  *
+  * Two-phase cell-neighborhood shuffle (SURVEY §2.7 north-star):
+  * phase 1 cogroups queries with candidates of the 3x3x3 cell
+  * neighborhood and computes per-cell partial top-k; phase 2 re-joins ONLY
+  * the points whose kth-distance ball escapes the examined cube
+  * (sqrt(d2_k) <= R*h proves the local result final — the halo-exchange
+  * correctness property of SURVEY §7.4.3) against the next Chebyshev
+  * shell, iterating until resolved. The shuffled payload is only
+  * (qid, x, y, z[, hits]) — spans and other wide columns never move.
+  *
+  * Skew: cell size targets ~`targetPerCell` candidates per cell from a
+  * global count/bbox estimate; residual hot cells are one task each and
+  * AQE splits the skewed shuffle partitions.
+  */
+object KnnJoin {
+  private val B = 1L << 20 // per-axis cell-coordinate bias
+
+  private def cellCoord(v: Column, h: Double): Column =
+    floor(v / h).cast("long")
+
+  private def pack3(cx: Column, cy: Column, cz: Column): Column =
+    shiftleft(cx + B, 42).bitwiseOR(shiftleft(cy + B, 21)).bitwiseOR(cz + B)
+
+  /** Chebyshev shell-R offsets (R=0 -> just (0,0,0)). */
+  private def shellOffsets(r: Int): Seq[(Int, Int, Int)] =
+    if (r == 0) Seq((0, 0, 0))
+    else for {
+      dx <- -r to r; dy <- -r to r; dz <- -r to r
+      if math.max(math.abs(dx), math.max(math.abs(dy), math.abs(dz))) == r
+    } yield (dx, dy, dz)
+
+  /** Estimate a cell edge targeting `target` candidates/cell. */
+  def estimateCellSize(cand: DataFrame, target: Double = 64.0): Double = {
+    val r = cand.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
+      min("z"), max("z")).head()
+    val n = math.max(r.getLong(0), 1L)
+    val ex = math.max(r.getDouble(2) - r.getDouble(1), 1e-9)
+    val ey = math.max(r.getDouble(4) - r.getDouble(3), 1e-9)
+    val ez = r.getDouble(6) - r.getDouble(5)
+    if (ez <= 1e-12) math.sqrt(ex * ey * target / n) // planar data -> 2D cells
+    else math.cbrt(ex * ey * ez * target / n)
+  }
+
+  /** k nearest candidates for every query row.
+    *
+    * @param queries  needs (order_key, x, y, z)
+    * @param cand     needs (order_key, x, y, z) + `valueCol`
+    * @param valueCol candidate column carried into the result (vote target)
+    * @return (order_key, knn: array<struct<d2,cid,v>>) sorted by (d2, cid),
+    *         length min(k, |cand reachable|); empty array if none
+    */
+  def knn(queries: DataFrame, cand: DataFrame, k: Int,
+      valueCol: String = "classification", cellSize: Double = 0.0): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val ext = cand.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
+      min("z"), max("z")).head()
+    val hitType = "array<struct<d2:double,cid:bigint,v:double>>"
+    if (ext.getLong(0) == 0L) // no candidates at all
+      return queries.select(col("order_key"),
+        typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType).as("knn"))
+    val maxExtent = math.max(1e-9, math.max(ext.getDouble(2) - ext.getDouble(1),
+      math.max(ext.getDouble(4) - ext.getDouble(3), ext.getDouble(6) - ext.getDouble(5))))
+
+    val h0raw = if (cellSize > 0) cellSize else estimateCellSize(cand, math.max(64.0, k * 4.0))
+    val h0 = if (h0raw.isNaN || h0raw <= 1e-12) maxExtent / 16 else h0raw
+
+    def candPrep(h: Double) = cand.select(
+      pack3(cellCoord(col("x"), h), cellCoord(col("y"), h), cellCoord(col("z"), h)).as("cell"),
+      col("x"), col("y"), col("z"), col("order_key").as("cid"),
+      col(valueCol).cast("double").as("v"))
+      .as[(Long, Double, Double, Double, Long, Double)]
+
+    def bin(q: DataFrame, h: Double): DataFrame = q.select(col("qid"),
+      col("qx"), col("qy"), col("qz"),
+      cellCoord(col("qx"), h).as("ccx"), cellCoord(col("qy"), h).as("ccy"),
+      cellCoord(col("qz"), h).as("ccz"))
+
+    def ringPartials(q: DataFrame, shell: Seq[(Int, Int, Int)],
+        cands: org.apache.spark.sql.Dataset[(Long, Double, Double, Double, Long, Double)]): DataFrame = {
+      val offs = array(shell.map { case (dx, dy, dz) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
+      }: _*)
+      val exploded = q.withColumn("__o", explode(offs))
+        .select(col("qid"), col("qx"), col("qy"), col("qz"),
+          pack3(col("ccx") + col("__o.dx"), col("ccy") + col("__o.dy"),
+            col("ccz") + col("__o.dz")).as("cell"))
+        .as[(Long, Double, Double, Double, Long)]
+      exploded.groupByKey(_._5).cogroup(cands.groupByKey(_._1)) {
+        (_, qs, cs) =>
+          val cArr = cs.toArray
+          if (cArr.isEmpty) Iterator.empty
+          else qs.map { case (qid, qx, qy, qz, _) =>
+            val best = new java.util.TreeSet[(Double, Long, Double)](
+              Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long,
+                Ordering.Double.TotalOrdering))
+            var i = 0
+            while (i < cArr.length) {
+              val c = cArr(i)
+              val dx = c._2 - qx; val dy = c._3 - qy; val dz = c._4 - qz
+              val d2 = dx * dx + dy * dy + dz * dz
+              if (best.size < k) best.add((d2, c._5, c._6))
+              else {
+                val last = best.last()
+                if (d2 < last._1 || (d2 == last._1 && c._5 < last._2)) {
+                  best.add((d2, c._5, c._6)); best.pollLast()
+                }
+              }
+              i += 1
+            }
+            import scala.jdk.CollectionConverters._
+            (qid, best.iterator().asScala.map(t => Hit(t._1, t._2, t._3)).toArray)
+          }
+      }.toDF("qid", "hits")
+    }
+
+    // across cell-size escalations the same candidate can be re-found, so
+    // merge dedups exact-equal hit structs before slicing top-k
+    def mergeTopK(partials: DataFrame): DataFrame =
+      partials.groupBy("qid").agg(
+        slice(array_distinct(array_sort(flatten(collect_list(col("hits"))))), 1, k)
+          .as("knn"))
+
+    val r1cube = shellOffsets(0) ++ shellOffsets(1)
+    val ringsPerBinning = 3
+    var resolvedParts = List.empty[DataFrame]
+    var pending = queries.select(col("order_key").as("qid"), col("x").as("qx"),
+      col("y").as("qy"), col("z").as("qz"))
+    var carried: Option[DataFrame] = None // (qid, knn) partials from finer binnings
+    var h = h0
+    var done = false
+
+    // each binning runs rings 1..3; unresolved points escalate to cells 8x
+    // coarser (geometric — total work is log(maxExtent/h0) bounded, the
+    // fix for badly-estimated cell sizes on degenerate inputs)
+    while (!done) {
+      val cands = candPrep(h)
+      val q = bin(pending, h)
+      var accumulated = mergeTopK(carried match {
+        case Some(c) => ringPartials(q, r1cube, cands)
+          .unionByName(c.select(col("qid"), col("knn").as("hits")))
+        case None => ringPartials(q, r1cube, cands)
+      })
+      var ring = 1
+      var escalate = false
+      while (!done && !escalate) {
+        val coverAll = ring * h >= maxExtent // examined cube covers every candidate
+        val joined = bin(pending, h).join(accumulated, Seq("qid"), "left")
+          .withColumn("knn", coalesce(col("knn"),
+            typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType)))
+        val kth = try_element_at(col("knn"), lit(k))
+        val isFinal = (size(col("knn")) === k &&
+          sqrt(kth.getField("d2")) <= lit(ring * h)) || lit(coverAll)
+        resolvedParts = joined.filter(isFinal).select(col("qid"), col("knn")) :: resolvedParts
+        val nextPending = joined.filter(!isFinal).localCheckpoint(eager = true)
+        pending = nextPending.select("qid", "qx", "qy", "qz")
+        if (pending.isEmpty) done = true
+        else if (ring < ringsPerBinning) {
+          ring += 1
+          val shellPart = ringPartials(bin(pending, h), shellOffsets(ring), cands)
+          accumulated = mergeTopK(
+            nextPending.select(col("qid"), col("knn").as("hits"))
+              .unionByName(shellPart))
+        } else {
+          carried = Some(nextPending.select("qid", "knn"))
+          h *= 8
+          escalate = true
+        }
+      }
+    }
+    resolvedParts.reduce(_.unionByName(_))
+      .withColumnRenamed("qid", "order_key")
+  }
+}
+
+/** filters.neighborclassifier analog
+  * (filters/NeighborClassifierFilter.cpp:49): kNN majority vote on a
+  * dimension; votes always use ORIGINAL values (deferred update map,
+  * :111,200-201 — naturally satisfied here because the vote is computed
+  * from the immutable input and applied with a join, never in place). */
+object NeighborClassifier {
+  def apply(df: DataFrame, k: Int, dim: String = "classification",
+      domain: Option[String] = None, candidates: Option[DataFrame] = None,
+      cellSize: Double = 0.0): DataFrame = {
+    val inDomain: Column = domain match {
+      case Some(d) => DimRange.predicate(DimRange.parseList(d))
+      case None => lit(true)
+    }
+    val queries = df.filter(inDomain).select("order_key", "x", "y", "z")
+    val cand = candidates.getOrElse(df)
+    val knn = KnnJoin.knn(queries, cand, k, valueCol = dim, cellSize = cellSize)
+    // vote (doOneNoDomain :115-141): winner = max count, tie -> smallest
+    // value (std::map asc + first-max max_element); change requires
+    // count > n_neighbors/2 strictly
+    val votes = knn.select(col("order_key"), size(col("knn")).as("nn"),
+        explode(col("knn")).as("h"))
+      .groupBy(col("order_key"), col("nn"), col("h.v").as("cls"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("order_key").orderBy(col("cnt").desc, col("cls").asc)
+    val winners = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("cnt") > col("nn").cast("double") / 2.0)
+      .select(col("order_key"), col("cls").as("__newcls"))
+    df.join(winners, Seq("order_key"), "left")
+      .withColumn(dim,
+        when(col("__newcls").isNotNull && inDomain,
+          col("__newcls").cast(df.schema(dim).dataType)).otherwise(col(dim)))
+      .drop("__newcls")
+  }
+}
+
+/** filters.nndistance analog (filters/NNDistanceFilter.cpp:47): per-point
+  * kNN distance statistic (kth | avg), neighbors excluding self. */
+object NNDistance {
+  def apply(df: DataFrame, k: Int, mode: String = "kth",
+      outCol: String = "nn_distance", cellSize: Double = 0.0): DataFrame = {
+    val knn = KnnJoin.knn(df.select("order_key", "x", "y", "z"), df, k + 1,
+      valueCol = "order_key", cellSize = cellSize)
+    val dists = knn.select(col("order_key"),
+      slice(col("knn"), lit(2), greatest(size(col("knn")) - 1, lit(0))).as("nbrs"))
+    val v = mode match {
+      case "kth" => sqrt(try_element_at(col("nbrs"), size(col("nbrs")))
+        .getField("d2"))
+      case "avg" => aggregate(col("nbrs"), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("d2"))) / greatest(size(col("nbrs")), lit(1))
+    }
+    df.join(dists.withColumn(outCol, v).select("order_key", outCol),
+      Seq("order_key"), "left")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Fixtures, Synth}
+import graft.operators.{KnnJoin, NeighborClassifier, NNDistance}
+
+class KnnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("grid kNN == brute force on 800 synthetic docs") {
+    val docs = Synth.docs(spark, 800, seed = 7).cache()
+    val pts = docs.select("order_key", "x", "y", "z", "classification").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    val k = 5
+    val got = KnnJoin.knn(docs.select("order_key", "x", "y", "z"), docs, k)
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(h => h.getLong(1)).toVector
+      }.toMap
+    // brute force (unique distances wanted: synthetic uniform doubles — ties measure-zero)
+    pts.foreach { case (qid, qx, qy, qz, _) =>
+      val exp = pts.map { case (cid, x, y, z, _) =>
+        val d2 = (x - qx) * (x - qx) + (y - qy) * (y - qy) + (z - qz) * (z - qz)
+        (d2, cid)
+      }.sorted.take(k).map(_._2).toVector
+      assert(got(qid) == exp, s"qid=$qid")
+    }
+  }
+
+  test("kNN halo: small cells force multi-ring resolution, still exact") {
+    val docs = Synth.docs(spark, 300, seed = 11).cache()
+    val pts = docs.select("order_key", "x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val k = 3
+    // cell size far smaller than typical NN distance -> rings > 1 needed
+    val got = KnnJoin.knn(docs.select("order_key", "x", "y", "z"), docs, k, cellSize = 20.0)
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toVector
+      }.toMap
+    pts.foreach { case (qid, qx, qy, qz) =>
+      val exp = pts.map { case (cid, x, y, z) =>
+        ((x - qx) * (x - qx) + (y - qy) * (y - qy) + (z - qz) * (z - qz), cid)
+      }.sorted.take(k).map(_._2).toVector
+      assert(got(qid) == exp, s"qid=$qid")
+    }
+  }
+
+  test("neighborclassifier k=1 is identity (NeighborClassifierFilterTest.cpp:101-103)") {
+    val docs = Fixtures.autzen1065(spark)
+    val out = NeighborClassifier(docs, k = 1)
+    val before = docs.select("order_key", "classification").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val after = out.select("order_key", "classification").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(before == after)
+  }
+
+  test("neighborclassifier domain-restricted points outside domain never change (:109-112)") {
+    val docs = Fixtures.autzen1065(spark)
+    val out = NeighborClassifier(docs, k = 7, domain = Some("intensity[100:]"))
+    val changed = out.as("a").join(docs.as("b"), Seq("order_key"))
+      .filter(col("a.classification") =!= col("b.classification"))
+      .select("a.intensity").collect()
+    changed.foreach(r => assert(r.getInt(0) >= 100))
+  }
+
+  test("neighborclassifier vote semantics: strict majority, ties -> smallest class") {
+    import spark.implicits._
+    // 4 points at near-identical spots; classes 1,1,2,2 among k=4 -> count
+    // 2 each, not > 2 -> no change. classes 1,1,1,2 -> 3 > 2 -> all become 1
+    def mk(cls: Seq[Int]) = cls.zipWithIndex.map { case (c, i) =>
+      (s"d$i", Seq.empty[graft.core.Span], i * 0.001, 0.0, 0.0, 0, c, 1, 1, 0.0, i.toLong)
+    }.toDF("doc_id", "spans", "x", "y", "z", "intensity", "classification",
+      "return_number", "number_of_returns", "gps_time", "order_key")
+    val tie = NeighborClassifier(mk(Seq(1, 1, 2, 2)), k = 4)
+      .select("classification").collect().map(_.getInt(0)).toSeq
+    assert(tie == Seq(1, 1, 2, 2)) // no strict majority -> unchanged
+    val maj = NeighborClassifier(mk(Seq(1, 1, 1, 2)), k = 4)
+      .select("classification").collect().map(_.getInt(0)).toSet
+    assert(maj == Set(1))
+  }
+
+  test("nndistance kth/avg produce positive distances") {
+    val docs = Synth.docs(spark, 200, seed = 3)
+    val kth = NNDistance(docs, k = 3, mode = "kth")
+    assert(kth.filter(col("nn_distance") <= 0).count() == 0)
+    val avg = NNDistance(docs, k = 3, mode = "avg")
+    assert(avg.filter(col("nn_distance") <= 0).count() == 0)
+  }
+}
