@@ -172,6 +172,23 @@ case class GridPnpContains(left: Expression, right: Expression, grid: PnpGrid)
     copy(left = l, right = r)
 }
 
+/** Distance to a broadcast polygon grid (filters.geomdistance analog);
+  * 0 inside, else min point-to-edge distance. */
+case class GeomDistExpr(left: Expression, right: Expression, grid: PnpGrid)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_distance_grid"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    grid.distance(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gridRef = ctx.addReferenceObj("pnpGridD", grid, classOf[PnpGrid].getName)
+    defineCodeGen(ctx, ev, (xs, ys) => s"$gridRef.distance($xs, $ys)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API over the custom expressions. */
 object F {
   import GraftBridge.{column, expression}

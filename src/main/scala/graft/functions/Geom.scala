@@ -208,6 +208,26 @@ final class PnpGrid(val polys: Array[PolyGeom], cellsHint: Int = 0) extends Seri
     parity
   }
 
+  /** Planar distance to the polygon boundary; 0 when inside (GEOS
+    * `distance` semantics for filters.geomdistance). */
+  def distance(x: Double, y: Double): Double = {
+    if (contains(x, y)) return 0.0
+    var best = Double.MaxValue
+    var i = 0
+    while (i < allEdges.length) {
+      val e = allEdges(i)
+      val vx = e.x2 - e.x1; val vy = e.y2 - e.y1
+      val len2 = vx * vx + vy * vy
+      val t = if (len2 <= 0) 0.0
+        else math.max(0.0, math.min(1.0, ((x - e.x1) * vx + (y - e.y1) * vy) / len2))
+      val dx = x - (e.x1 + t * vx); val dy = y - (e.y1 + t * vy)
+      val d2 = dx * dx + dy * dy
+      if (d2 < best) best = d2
+      i += 1
+    }
+    math.sqrt(best)
+  }
+
   /** Grid cells (cx, cy) whose box intersects the polygon bbox — for the
     * cell-partitioned join path (covering-cell IN-list, SURVEY §4). */
   def coveringCells(cellLen: Double, ox: Double, oy: Double): Seq[(Int, Int)] = {

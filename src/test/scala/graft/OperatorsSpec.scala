@@ -1,0 +1,267 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Fixtures, Synth}
+import graft.expr.Where
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+  lazy val docs = Fixtures.autzen1065(spark).cache()
+
+  test("voxel downsize first: one point per voxel, keeps earliest order_key") {
+    val out = Voxel.downsize(docs, cell = 100.0)
+    val o = Voxel.firstPointOrigin(docs, 100.0)
+    val n = out.count()
+    assert(n > 0 && n < 1065)
+    // voxel uniqueness
+    val vox = out.select(floor((col("x") - o._1) / 100).as("vx"),
+      floor((col("y") - o._2) / 100).as("vy"), floor((col("z") - o._3) / 100).as("vz"))
+    assert(vox.distinct().count() == n)
+    // "first" semantics: kept key is the min order_key of its voxel
+    val all = docs.select(col("order_key"),
+      floor((col("x") - o._1) / 100).as("vx"),
+      floor((col("y") - o._2) / 100).as("vy"),
+      floor((col("z") - o._3) / 100).as("vz"))
+    val mins = all.groupBy("vx", "vy", "vz").agg(min("order_key").as("mk"))
+      .select("mk").collect().map(_.getLong(0)).toSet
+    val kept = out.select("order_key").collect().map(_.getLong(0)).toSet
+    assert(kept == mins)
+  }
+
+  test("voxel downsize center mode snaps to voxel centers") {
+    val out = Voxel.downsize(docs, cell = 100.0, mode = "center")
+    val o = Voxel.firstPointOrigin(docs, 100.0)
+    out.select("x").collect().foreach { r =>
+      val rel = (r.getDouble(0) - o._1) / 100.0
+      assert(math.abs(rel - math.floor(rel) - 0.5) < 1e-9)
+    }
+  }
+
+  test("sample: poisson-disk greedy == sequential reference implementation") {
+    val small = docs.limit(300).cache()
+    val out = Sample(small, radius = 150.0)
+    val kept = out.select("order_key").collect().map(_.getLong(0)).toSet
+    // sequential greedy ground truth
+    val pts = small.select("order_key", "x", "y", "z").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val seqKept = scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Double)]()
+    pts.foreach { p =>
+      val ok = seqKept.forall { q =>
+        val d2 = (p._2 - q._2) * (p._2 - q._2) + (p._3 - q._3) * (p._3 - q._3) +
+          (p._4 - q._4) * (p._4 - q._4)
+        d2 >= 150.0 * 150.0
+      }
+      if (ok) seqKept += p
+    }
+    assert(kept == seqKept.map(_._1).toSet)
+  }
+
+  test("fps picks spread-out points deterministically") {
+    val out1 = Fps(docs.limit(200), 5).select("order_key").collect().map(_.getLong(0)).toSet
+    val out2 = Fps(docs.limit(200), 5).select("order_key").collect().map(_.getLong(0)).toSet
+    assert(out1 == out2 && out1.size == 5)
+  }
+
+  test("stats summary matches reference sample formulas (StatsFilter.hpp:60-131)") {
+    val s = Stats.summary(docs, "z")
+    val zs = docs.select("z").collect().map(_.getDouble(0))
+    val n = zs.length.toDouble
+    val mean = zs.sum / n
+    val m2 = zs.map(v => (v - mean) * (v - mean)).sum
+    val m3 = zs.map(v => math.pow(v - mean, 3)).sum
+    val m4 = zs.map(v => math.pow(v - mean, 4)).sum
+    val popSkew = math.sqrt(n) * m3 / math.pow(m2, 1.5)
+    val sampleSkew = popSkew * math.sqrt(n) * math.sqrt(n - 1) / (n - 2)
+    val popKurt = n * m4 / (m2 * m2)
+    val sampleKurt = popKurt * (n + 1) * (n - 1) / ((n - 2) * (n - 3))
+    val sampleExcess = sampleKurt - 3 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
+    assert(s.count == 1065)
+    assert(math.abs(s.avg - mean) < 1e-9)
+    assert(math.abs(s.variance - m2 / (n - 1)) < 1e-6)
+    assert(math.abs(s.skewness - sampleSkew) < 1e-6)
+    assert(math.abs(s.kurtosis - sampleExcess) < 1e-6)
+    val sorted = zs.sorted
+    assert(math.abs(s.median - sorted((n / 2).toInt)) < 1.0) // exact median semantics
+  }
+
+  test("sort is stable; head/tail/decimation honor order (SortFilterTest/HeadFilter)") {
+    val sorted = Sort(docs, "intensity")
+    val rows = sorted.orderBy("order_key").select("intensity").collect().map(_.getInt(0))
+    assert(rows.toSeq == rows.sorted.toSeq)
+    assert(HeadTail.head(docs, 100).count() == 100)
+    assert(HeadTail.tail(docs, 100).count() == 100)
+    assert(HeadTail.head(docs, 100, invert = true).count() == 965)
+    // head = lowest 100 order keys
+    assert(HeadTail.head(docs, 100).agg(max("order_key")).head().getLong(0) == 99)
+    assert(Decimation(docs, step = 10).count() == 107) // ceil(1065/10)
+    val dec = Decimation(docs, step = 10, offset = 5)
+    assert(dec.agg(min("order_key")).head().getLong(0) == 5)
+  }
+
+  test("randomize is a seeded deterministic permutation") {
+    val a = Randomize(docs, seed = 99).orderBy("order_key")
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    val b = Randomize(docs, seed = 99).orderBy("order_key")
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(a == b)
+    assert(a.toSet.size == 1065)
+    val c = Randomize(docs, seed = 100).orderBy("order_key")
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(a != c)
+  }
+
+  test("divider round_robin and partition modes (DividerFilter.cpp:130-155)") {
+    val rr = Divider(docs, roundRobin = true, count = Some(4))
+    val counts = rr.groupBy("part_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.size == 4)
+    assert(counts.values.sum == 1065)
+    assert(counts.values.max - counts.values.min <= 1)
+    val pt = Divider(docs, roundRobin = false, capacity = Some(300L))
+    val pc = pt.groupBy("part_id").count().collect().map(_.getLong(1)).sorted
+    assert(pc.sum == 1065 && pc.length == 4) // ceil(1065/300)=4 views
+  }
+
+  test("groupby/returns produce per-view keys (GroupByFilter/ReturnsFilter)") {
+    val g = GroupBy(docs, "classification")
+    assert(g.select("view_id").distinct().count() ==
+      docs.select("classification").distinct().count())
+    val r = Returns(docs, Seq(Returns.First, Returns.Last, Returns.Only))
+    val byView = r.groupBy("view_id").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val firsts = docs.filter(col("return_number") === 1 && col("number_of_returns") > 1).count()
+    val onlys = docs.filter(col("number_of_returns") === 1).count()
+    assert(byView.getOrElse("first", 0L) == firsts)
+    assert(byView.getOrElse("only", 0L) == onlys)
+  }
+
+  test("assign/ferry/where (AssignFilter/FerryFilter/Stage where)") {
+    val a = Assign(docs, "classification", lit(7), Some(col("intensity") > 200))
+    assert(a.filter(col("intensity") > 200 && col("classification") =!= 7).count() == 0)
+    assert(a.filter(col("intensity") <= 200).count() ==
+      docs.filter(col("intensity") <= 200).count())
+    val f = Ferry(docs, Seq("z" -> "z_copy"))
+    assert(f.filter(col("z") =!= col("z_copy")).count() == 0)
+    val w = Where(docs, "intensity > 100", d => Assign(d, "classification", lit(5)))
+    assert(w.count() == 1065)
+    assert(w.filter(col("intensity") > 100 && col("classification") =!= 5).count() == 0)
+  }
+
+  test("transformation 4x4 + scaling quantize (TransformationFilter)") {
+    val t = Transformation(docs, Seq(
+      2, 0, 0, 10,
+      0, 1, 0, 0,
+      0, 0, 1, -5,
+      0, 0, 0, 1))
+    val before = docs.orderBy("order_key").select("x", "z").head()
+    val after = t.orderBy("order_key").select("x", "z").head()
+    assert(math.abs(after.getDouble(0) - (before.getDouble(0) * 2 + 10)) < 1e-9)
+    assert(math.abs(after.getDouble(1) - (before.getDouble(1) - 5)) < 1e-9)
+    val q = Scaling.quantize(docs, "z", 0.5, 0.0)
+    q.select("z").collect().foreach(r => assert(math.abs(r.getDouble(0) / 0.5 -
+      math.round(r.getDouble(0) / 0.5)) < 1e-9))
+  }
+
+  test("reprojection: web mercator roundtrip + UTM sanity (ReprojectionFilter)") {
+    import spark.implicits._
+    val lonlat = Seq((-123.1, 44.05, 100.0, 0L), (0.0, 0.0, 0.0, 1L), (13.4, 52.5, 0.0, 2L))
+      .toDF("x", "y", "z", "order_key")
+    val merc = Reprojection.wgs84ToWebMercator(lonlat)
+    val back = Reprojection.webMercatorToWgs84(merc)
+    back.orderBy("order_key").collect().zip(lonlat.orderBy("order_key").collect())
+      .foreach { case (b, o) =>
+        assert(math.abs(b.getDouble(0) - o.getDouble(0)) < 1e-9)
+        assert(math.abs(b.getDouble(1) - o.getDouble(1)) < 1e-9)
+      }
+    // UTM zone 10N, lon=-123.1 lat=44.05; ground truth computed with an
+    // independent Snyder PP-1395 implementation: E=491989.325 N=4877431.116
+    val utm = Reprojection.wgs84ToUtm(lonlat.filter(col("order_key") === 0), zone = 10)
+    val r = utm.head()
+    assert(math.abs(r.getDouble(0) - 491989.325) < 0.01)
+    assert(math.abs(r.getDouble(1) - 4877431.116) < 0.01)
+  }
+
+  test("gpstime conversions incl. week unwrap (GpsTimeConvert.cpp:72-96)") {
+    import spark.implicits._
+    val wk = Seq((604000.0, 0L), (604700.0, 1L), (100.0, 2L), (500.0, 3L))
+      .toDF("gps_time", "order_key")
+    val out = GpsTimeConvert.gws2gt(wk, startDateWeekSeconds = 1000.0, wrapped = true)
+      .orderBy("order_key").select("gps_time").collect().map(_.getDouble(0))
+    assert(out(0) == 1000.0 + 604000.0)
+    assert(out(2) == 1000.0 + 100.0 + 604800.0) // wrapped -> next week
+    val gst = GpsTimeConvert.gt2gst(wk).orderBy("order_key").head().getDouble(0)
+    assert(gst == 604000.0 - 1e9)
+  }
+
+  test("geomdistance: zero inside, positive outside (GeomDistanceFilter)") {
+    val out = GeomDistance(docs, Fixtures.autzenSelectionWkt)
+    val inside = Crop.polygon(docs, Fixtures.autzenSelectionWkt)
+      .select("order_key").collect().map(_.getLong(0)).toSet
+    out.select("order_key", "distance").collect().foreach { r =>
+      if (inside(r.getLong(0))) assert(r.getDouble(1) == 0.0)
+      else assert(r.getDouble(1) > 0.0)
+    }
+  }
+
+  test("colorization joins raster bands onto points (ColorizationFilter)") {
+    import spark.implicits._
+    val grid = RasterGrid(635000, 848000, 500.0)
+    val cells = for (cx <- 0 to 10; cy <- 0 to 12) yield (cx.toLong, cy.toLong, (cx * 100 + cy).toDouble)
+    val raster = cells.toDF("cell_x", "cell_y", "band1")
+    val out = Colorization(docs, raster, grid, Seq(("band1", "red", 1.0)))
+    assert(out.count() == 1065)
+    val sample = out.orderBy("order_key").select("x", "y", "red").head()
+    val expCx = math.floor((sample.getDouble(0) - 635000) / 500).toLong
+    val expCy = math.floor((sample.getDouble(1) - 848000) / 500).toLong
+    assert(sample.getDouble(2) == (expCx * 100 + expCy).toDouble)
+    TestSpark.assertSpansPreserved(docs, out)
+  }
+
+  test("rasterize: per-cell stats incl. idw (writers.gdal / GDALGrid.hpp:51-56)") {
+    val out = Rasterize(docs, resolution = 500.0, valueCol = "z")
+    assert(out.count() > 0)
+    val r = out.agg(sum("count")).head().getLong(0)
+    assert(r >= 1065) // radius spill duplicates points into neighbor cells
+    out.select("min", "max", "mean", "idw").collect().foreach { row =>
+      assert(row.getDouble(0) <= row.getDouble(2) && row.getDouble(2) <= row.getDouble(1))
+      assert(row.getDouble(3) >= row.getDouble(0) - 1e-9 &&
+        row.getDouble(3) <= row.getDouble(1) + 1e-9)
+    }
+  }
+
+  test("overlay: first-match-wins polygon attribute assignment (OverlayFilter)") {
+    val wkt = Fixtures.autzenSelectionWkt
+    val out = Overlay(docs, Seq((wkt, 42)), "classification")
+    val inside = Crop.polygon(docs, wkt).count()
+    assert(out.filter(col("classification") === 42).count() == inside)
+  }
+
+  test("colorinterp maps value range onto ramp (ColorinterpFilter)") {
+    val out = ColorInterp(docs, "z")
+    assert(out.select("red").distinct().count() > 1)
+    assert(out.filter(col("red").isNull).count() == 0)
+  }
+
+  test("merge unions views (MergeFilter); hexbin density sums to count") {
+    val m = Merge(Seq(docs.limit(100), docs.limit(50)))
+    assert(m.count() == 150)
+    val hb = HexBin(docs)
+    assert(hb.agg(sum("density")).head().getLong(0) == 1065)
+  }
+
+  test("locate finds argmin/argmax (LocateFilter)") {
+    val mn = Locate(docs, "z", minimum = true).select("z").head().getDouble(0)
+    val mx = Locate(docs, "z", minimum = false).select("z").head().getDouble(0)
+    val agg = docs.agg(min("z"), max("z")).head()
+    assert(mn == agg.getDouble(0) && mx == agg.getDouble(1))
+  }
+
+  test("morton order reorders spatially; same point set") {
+    val out = MortonOrder(docs)
+    assert(out.select("doc_id").distinct().count() == 1065)
+    assert(out.agg(max("order_key")).head().getLong(0) == 1064)
+  }
+}
