@@ -1,0 +1,150 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines over a documents
+  * table (id column + text column). All candidate generation is
+  * bucket-partitioned (LSH band join / hash groupBy) — never an O(n^2)
+  * cross join — so every variant scales linearly in shuffle volume.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the normalized-text fingerprint; keeps
+    * the lowest id per group (one shuffle on a 8-byte key). */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val keep = fp.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** MinHash signature: numHashes permutations approximated by seeded
+    * xxhash64 min over word shingles — a pure-column expression. */
+  def minhashSignature(textCol: Column, numHashes: Int = 64, shingle: Int = 3): Column = {
+    val sh = TextAnalysis.wordShingles(textCol, shingle)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+  }
+
+  /** MinHash + LSH near-dup pairs: signatures banded into `bands`
+    * buckets; same-bucket docs become candidates; candidates verified by
+    * estimated Jaccard (matching minhash fraction) >= threshold.
+    * Returns (id_a, id_b, jaccard_est) with id_a < id_b. */
+  def minhashLsh(df: DataFrame, threshold: Double = 0.7, numHashes: Int = 64,
+      bands: Int = 16, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes).as("sig"))
+      .localCheckpoint(eager = true)
+    val banded = sig.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket", xxhash64(col("band"),
+        to_json(struct(slice(col("sig"), col("band") * rows + 1, lit(rows))))))
+      .select("id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val withSigs = cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    withSigs.withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("double") / numHashes)
+      .filter(col("jaccard_est") >= threshold)
+      .select("id_a", "id_b", "jaccard_est")
+  }
+
+  /** Near-dup removal built on minhashLsh: drop the higher id of every
+    * matched pair (transitive chains collapse to the smallest id via the
+    * standard keep-if-never-the-larger rule). */
+  def minhashDedup(df: DataFrame, threshold: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dupIds = minhashLsh(df, threshold, idCol = idCol, textCol = textCol)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash fingerprint of the token stream — per-bit vote sums
+    * folded into a long. Column-valued shift amounts need the SQL surface
+    * (the Scala `shiftright` helper only takes Int), so this is one SQL
+    * higher-order expression over a named input column. */
+  def simhashSql(textColName: String): Column = expr(
+    s"""aggregate(
+         zip_with(
+           aggregate(
+             split(trim(lower($textColName)), '\\\\s+'),
+             array_repeat(0L, 64),
+             (acc, w) -> zip_with(acc, sequence(0, 63),
+               (a, i) -> a + IF((shiftrightunsigned(xxhash64(w), CAST(i AS INT)) & 1) = 1, 1L, -1L))),
+           sequence(0, 63),
+           (v, i) -> IF(v > 0, shiftleft(1L, CAST(i AS INT)), 0L)),
+         0L, (acc, b) -> acc | b)""")
+
+  /** SimHash near-dup pairs: fingerprints bucketed by 4 16-bit chunks
+    * (any pair within hamming distance <= 3 shares at least one chunk —
+    * pigeonhole); verified with bit_count(xor) <= maxHamming. */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhashSql(textCol).as("fp"))
+      .localCheckpoint(eager = true)
+    val chunked = fp.withColumn("chunk", explode(sequence(lit(0), lit(3))))
+      .withColumn("key", struct(col("chunk"),
+        expr("shiftrightunsigned(fp, CAST(chunk * 16 AS INT)) & 65535")))
+    val cand = chunked.as("a").join(chunked.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b")).distinct()
+    cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs from LSH (verification
+    * path): true set Jaccard over word shingles. */
+  def ngramJaccard(df: DataFrame, pairs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding cosine near-dup pairs: seeded random-hyperplane LSH over a
+    * vector column, bucket join, exact cosine verification. */
+  def embeddingNearDup(df: DataFrame, threshold: Double = 0.95,
+      planes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    val unit = transform(v, x => x.cast("double") / greatest(norm, lit(1e-12)))
+    // deterministic pseudo-random hyperplanes: component j of plane p =
+    // mix of xxhash64(p, j) -> [-1, 1)
+    def planeBit(u: Column, p: Int): Column = {
+      val dot = aggregate(zip_with(u, sequence(lit(0), size(u) - 1),
+        (x, j) => x * (xxhash64(lit(p), j).cast("double") / lit(9.223372036854776e18))),
+        lit(0.0), (a, x) => a + x)
+      when(dot >= 0, 1L).otherwise(0L)
+    }
+    val prep = df.select(col(idCol).as("id"), unit.as("u"))
+      .localCheckpoint(eager = true)
+    val sig = prep.withColumn("bucket",
+      (0 until planes).map(p => shiftleft(planeBit(col("u"), p), p))
+        .reduce((a, b) => a.bitwiseOR(b)))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.u").as("u_a"), col("b.u").as("u_b"))
+    cand.withColumn("cosine",
+        aggregate(zip_with(col("u_a"), col("u_b"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Synth
+import graft.operators._
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.text.TextAnalysis
+import graft.media.Multimodal
+
+class ExtrasSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  lazy val embeddings = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("outlier statistical flags far points; radius mode counts neighborhood") {
+    val docs = Synth.docs(spark, 400, seed = 5)
+    val out = Outlier.statistical(docs, meanK = 6, multiplier = 1.0)
+    assert(out.count() == 400)
+    assert(out.filter(col("classification") === 7).count() > 0)
+    val rad = Outlier.radius(docs, radius = 50.0, minK = 2)
+    assert(rad.count() == 400)
+  }
+
+  test("iqr/mad filter by quantile bands (IQRFilter/MADFilter)") {
+    val docs = Synth.docs(spark, 500, seed = 6)
+    val iqr = Iqr(docs, "z", 1.5)
+    assert(iqr.count() <= 500 && iqr.count() > 400)
+    val mad = Mad(docs, "z", 2.0)
+    assert(mad.count() <= 500 && mad.count() > 100)
+  }
+
+  test("lof/reciprocity/radialdensity produce per-point scores") {
+    val docs = Synth.docs(spark, 300, seed = 8)
+    val lof = Lof(docs, minPts = 5)
+    assert(lof.filter(col("lof").isNull).count() == 0)
+    assert(lof.agg(avg("lof")).head().getDouble(0) > 0.5)
+    val rec = Reciprocity(docs, k = 5)
+    val bounds = rec.agg(min("reciprocity"), max("reciprocity")).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 100.0)
+    val rd = RadialDensity(docs, radius = 100.0)
+    assert(rd.filter(col("radial_density") <= 0).count() == 0)
+  }
+
+  test("cluster: two well-separated blobs -> 2 clusters (ClusterFilter)") {
+    import spark.implicits._
+    val blob1 = (0 until 50).map(i => (i.toLong, i * 1.0, i * 1.0, 0.0))
+    val blob2 = (0 until 50).map(i => ((i + 50).toLong, 10000.0 + i, 10000.0 + i, 0.0))
+    val df = (blob1 ++ blob2).toDF("order_key", "x", "y", "z")
+    val out = Cluster(df, tolerance = 5.0)
+    val ids = out.select("cluster_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.size == 2)
+    // all blob1 points share a label distinct from blob2
+    val byBlob = out.withColumn("blob", col("order_key") < 50)
+      .groupBy("blob").agg(countDistinct("cluster_id")).collect()
+    byBlob.foreach(r => assert(r.getLong(1) == 1))
+  }
+
+  test("dbscan: cores cluster, sparse noise gets -1 (DBSCANFilter)") {
+    import spark.implicits._
+    val dense = (0 until 60).map(i => (i.toLong, (i % 10) * 1.0, (i / 10) * 1.0, 0.0))
+    val noise = Seq((100L, 5000.0, 5000.0, 0.0))
+    val df = (dense ++ noise).toDF("order_key", "x", "y", "z")
+    val out = Dbscan(df, eps = 2.0, minPoints = 4)
+    assert(out.filter(col("order_key") === 100).head().getAs[Long]("cluster_id") == -1L)
+    assert(out.filter(col("cluster_id") > 0).count() == 60)
+  }
+
+  test("kmeans assigns k clusters deterministically (LloydKMeansFilter)") {
+    val docs = Synth.docs(spark, 300, seed = 2)
+    val a = KMeans(docs, 4).groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = KMeans(docs, 4).groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.keySet.size <= 4 && a.values.sum == 300)
+  }
+
+  test("exact dedup removes duplicated texts, keeps lowest id") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello  world"), (2L, "Hello world"), (3L, "unique text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs)
+    // normalization: case + whitespace -> 1 and 2 collapse, keep id 1
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds near-duplicate pairs, skips distinct docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again building a longer document for shingles"
+    val nearDup = base.replace("lazy", "sleepy")
+    val distinct = "completely different content about spark distributed execution engines and columnar storage formats"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinct))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.4, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    val deduped = Dedup.minhashDedup(docs, threshold = 0.4)
+    assert(deduped.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("simhash hamming pairs on near-identical docs") {
+    import spark.implicits._
+    val base = "spark catalyst optimizer pushes filters below joins for columnar scans " * 3
+    val docs = Seq((1L, base), (2L, base + " extra"), (3L, "orthogonal topic entirely about biology"))
+      .toDF("doc_id", "text")
+    val fp = docs.select(Dedup.simhashSql("text").as("fp")).collect().map(_.getLong(0))
+    assert(fp(0) != 0L && fp.distinct.length >= 2)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard verification on candidate pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x"), (3L, "z y x w v u t s"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, pairs, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) > 0.5)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("embedding near-dup via hyperplane LSH finds planted duplicate") {
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    val v1 = Array.fill(16)(r.nextFloat())
+    val v2 = v1.map(x => x + 0.001f) // near-dup
+    val others = (0 until 20).map(i => (i + 10L, Array.fill(16)(r.nextFloat()).toSeq))
+    val df = (Seq((1L, v1.toSeq), (2L, v2.toSeq)) ++ others).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, threshold = 0.999, planes = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ANN brute-force topk is exact; IVF recall is reasonable") {
+    val q = embeddings.limit(5)
+    val bf = Ann.bruteForceTopK(embeddings, q, k = 10)
+    assert(bf.count() == 50)
+    // verify one query row against manual computation
+    val qRow = q.orderBy("vec_id").head()
+    val qid = qRow.getLong(0)
+    val qv = qRow.getSeq[Float](1).map(_.toDouble).toArray
+    val all = embeddings.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val dot = v.zip(qv).map { case (a, b) => a * b }.sum
+      val cos = dot / math.max(math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(qv.map(x => x * x).sum), 1e-12)
+      (r.getLong(0), cos)
+    }.filter(_._1 != qid).sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSeq
+    val got = bf.filter(col("query_id") === qid).orderBy("rank")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == all)
+    val ivf = Ann.ivfTopK(embeddings, q, k = 10, nlist = 8, nprobe = 3)
+    val bfSet = bf.filter(col("query_id") === qid).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ivfSet = ivf.filter(col("query_id") === qid).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ivfSet.intersect(bfSet).size >= 4, s"IVF recall too low: ${ivfSet.intersect(bfSet).size}/10")
+  }
+
+  test("text analysis: langid, quality, token counts, fingerprints") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox is on the hill and it was a day of sun"),
+      (2L, "der hund ist ein tier und die katze ist auch ein tier im haus"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val out = texts.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.bpeTokenCount(col("text")).as("btc"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "en")
+    assert(out(2L).getString(1) == "de")
+    assert(out(3L).getString(1) == "und")
+    assert(out(1L).getDouble(2) > out(3L).getDouble(2))
+    assert(out(1L).getInt(3) == 15)
+    assert(out(1L).getLong(4) >= 15)
+    // fingerprint is whitespace/case-insensitive
+    val fp2 = texts.filter(col("doc_id") === 1)
+      .select(TextAnalysis.fingerprint(lit("THE quick   brown fox is on the hill and it was a day of sun")))
+      .head().getLong(0)
+    assert(out(1L).getLong(5) == fp2)
+    // real documents table: all rows get a language + quality
+    val scored = documents.select(TextAnalysis.langId(col("text")).as("l"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    assert(scored.filter(col("q") < 0 || col("q") > 1).count() == 0)
+  }
+
+  test("multimodal: synth media, stub decode, features, frame sampling") {
+    val docs = Synth.docs(spark, 50, seed = 9)
+    val refs = docs.select(explode(col("spans")).as("s"))
+      .filter(col("s.kind") =!= "text")
+      .select(col("s.media_ref").as("media_ref"), col("s.kind").as("kind"))
+    val media = Multimodal.synthMedia(spark, refs).cache()
+    assert(media.count() > 0)
+    assert(media.filter(col("content").isNull).count() == 0)
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    assert(feats.count() == media.count())
+    val f = feats.head()
+    assert(f.getSeq[Float](3).length == 8)
+    assert(f.getInt(1) >= 64 && f.getInt(1) < 256) // width from stub header
+    val frames = Multimodal.sampleFrames(media, everyNth = 4)
+    val vids = media.filter(col("kind") === "video").count()
+    if (vids > 0) assert(frames.count() >= vids)
+    val resized = Multimodal.resizeStub(media, 224, 224)
+    assert(resized.filter(col("meta.width") =!= 224).count() == 0)
+  }
+}
