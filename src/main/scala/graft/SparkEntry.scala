@@ -1,13 +1,401 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Synth
+import graft.expr.RangeFilter
+import graft.operators._
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.text.TextAnalysis
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), each with a DuckDB-runnable oracle where the semantics
+  * are ANSI-SQL-expressible. Coordinates for the spatial operators are
+  * derived deterministically from `events` integer columns so Spark and
+  * DuckDB compute bit-identical doubles. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events -> point table: integer-derived coords (exact in any engine),
+    * order_key = event_id. */
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id").as("order_key"),
+      ((col("event_id") * 7919) % 10000).cast("double").as("x"),
+      ((col("event_id") * 104729) % 10000).cast("double").as("y"),
+      lit(0.0).as("z"),
+      col("event_type"), col("value"))
+
+  private val ptsSql =
+    """SELECT event_id AS order_key,
+       CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+       CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
+       CAST(0.0 AS DOUBLE) AS z, event_type, value FROM events"""
+
+  /** Flagship: crop -> splitter -> kNN-classify over a synthesized doc
+    * table (the BASELINE.json pipeline at smoke scale). */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Synth.docs(spark, 20000, seed = 42)
+    val cropped = Crop.box2d(docs, 635500, 848500, 638500, 853500)
+    val tiled = Splitter(cropped, length = 1000.0, origin = Some((635000.0, 848000.0)))
+    val classified = NeighborClassifier(tiled, k = 5, cellSize = 200.0)
+    classified.groupBy("tile_id").agg(count(lit(1)).as("n"),
+      sum("classification").as("cls_sum"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core --------------------------------------------
+    "q01_agg_pricing" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q02_join_revenue_by_nation" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q03_topk_parts" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("l_partkey").asc).limit(10)
+    }),
+    "q04_window_nth_shipment" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q05_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive"))
+    }),
+    "q06_events_daily" -> ((s, d) => {
+      t(s, d, "events").groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000000).cast("long")).as("value_micros"))
+    }),
+    "q07_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id").agg(sum("new_sess").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+    // ---- spatial core (filters.crop / splitter / voxel / range) ------
+    "q08_crop_box" -> ((s, d) =>
+      Crop.box2d(pts(s, d), 2000, 1000, 5000, 8000).select("order_key")),
+    "q09_splitter_tiles" -> ((s, d) =>
+      Splitter(pts(s, d), length = 500.0, origin = Some((0.0, 0.0)))
+        .groupBy(col("tile_id")).agg(count(lit(1)).as("n"))
+        .select(graft.functions.F.cellX(col("tile_id")).as("tx"),
+          graft.functions.F.cellY(col("tile_id")).as("ty"), col("n"))),
+    "q10_voxel_first" -> ((s, d) =>
+      Voxel.downsize(pts(s, d), cell = 250.0, origin = Some((0.0, 0.0, 0.0)))
+        .select(floor(col("x") / 250).cast("long").as("vx"),
+          floor(col("y") / 250).cast("long").as("vy"),
+          col("order_key").as("kept_id"))),
+    "q11_range_filter" -> ((s, d) =>
+      RangeFilter(pts(s, d), "x[2000:8000), y!(3000:7000)").select("order_key")),
+    "q12_knn" -> ((s, d) => {
+      val p = pts(s, d)
+      val cand = p.filter(col("order_key") % 3 === 0)
+      val q = p.filter(col("order_key") % 97 === 0)
+      KnnJoin.knn(q.select("order_key", "x", "y", "z"), cand, 3,
+          valueCol = "order_key", cellSize = 500.0)
+        .select(col("order_key").as("qid"), posexplode(col("knn")).as(Seq("pos", "h")))
+        .select(col("qid"), col("h.cid").as("cid"), (col("pos") + 1).cast("long").as("rnk"))
+    }),
+    "q13_crop_polygon" -> ((s, d) => {
+      val wkt = "POLYGON ((5000.3 500.7, 9500.1 5000.2, 5000.4 9499.8, 500.2 5000.1, 5000.3 500.7))"
+      Crop.polygon(pts(s, d), wkt).select("order_key")
+    }),
+    "q14_chipper" -> ((s, d) => {
+      // rank-recursive equal-count tiling: chip population histogram
+      Chipper(pts(s, d), capacity = 500).groupBy("chip_id")
+        .agg(count(lit(1)).as("n"), min("order_key").as("first_id"))
+    }),
+    "q15_geomdistance" -> ((s, d) => {
+      val wkt = "POLYGON ((2000 2000, 7000 2000, 7000 6000, 2000 6000, 2000 2000))"
+      GeomDistance(pts(s, d), wkt)
+        .select(col("order_key"), round(col("distance"), 4).as("dist"))
+    }),
+    // ---- order-dependent ops ---------------------------------------
+    "q16_head" -> ((s, d) =>
+      HeadTail.head(pts(s, d), 100).select("order_key")),
+    "q17_decimation" -> ((s, d) =>
+      Decimation(pts(s, d), step = 7).select("order_key")),
+    "q18_sort_stable" -> ((s, d) =>
+      Sort(pts(s, d), "event_type")
+        .select(col("order_key").as("new_order"), col("event_type"),
+          col("x").as("px"))),
+    // ---- stats ------------------------------------------------------
+    "q19_stats_summary" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          round(stddev_samp(col("l_quantity")), 3).as("sd_qty"))),
+    "q20_value_counts" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))),
+    // ---- documents: text analysis + dedup ---------------------------
+    "q21_token_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tokenCount = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+    }),
+    "q22_exact_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("norm", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+      docs.groupBy("norm").agg(min("doc_id").as("kept_id"))
+        .select(col("kept_id"))
+    }),
+    "q23_quality_bands" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nWords = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("double")
+      val alpha = length(regexp_replace(lower(col("text")), "[^a-z ]", ""))
+        .cast("double") / greatest(length(col("text")).cast("double"), lit(1.0))
+      docs.withColumn("band",
+          when(nWords >= 50 && alpha > 0.9, "high")
+            .when(nWords >= 20, "mid").otherwise("low"))
+        .groupBy("band", "lang").agg(count(lit(1)).as("n"))
+    }),
+    "q24_minhash_dedup" -> ((s, d) => {
+      // hash functions are engine-specific -> rows-only oracle
+      val docs = t(s, d, "documents").withColumn("doc_id", col("doc_id").cast("string"))
+      Dedup.minhashLsh(docs, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 4).as("j"))
+    }),
+    "q25_embedding_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      Ann.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rnk"))
+    }),
+    "q26_simhash" -> ((s, d) => {
+      // engine-specific hash -> rows-only oracle
+      val docs = t(s, d, "documents").withColumn("doc_id", col("doc_id").cast("string"))
+      Dedup.simhashPairs(docs, maxHamming = 16)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
+    "q27_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    // ---- raster + hexbin + cluster (engine-specific -> selected SQL) -
+    "q28_rasterize" -> ((s, d) =>
+      Rasterize(pts(s, d), resolution = 1000.0, valueCol = "value",
+          radius = 0.1, origin = Some((0.0, 0.0)))
+        .select(col("cell_x"), col("cell_y"), col("count"),
+          round(col("min"), 6).as("vmin"), round(col("max"), 6).as("vmax"))),
+    "q29_hexbin" -> ((s, d) =>
+      HexBin(pts(s, d), edge = 400.0)
+        .select(col("hex_id"), col("density"))),
+    "q30_cluster" -> ((s, d) =>
+      Cluster(pts(s, d).filter(col("order_key") < 2000), tolerance = 120.0)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n"))),
+    "q31_returns_groups" -> ((s, d) => {
+      val p = pts(s, d)
+        .withColumn("return_number", (col("order_key") % 3 + 1).cast("int"))
+        .withColumn("number_of_returns", lit(3).cast("int"))
+      Returns(p, Seq(Returns.First, Returns.Intermediate, Returns.Last))
+        .groupBy("view_id").agg(count(lit(1)).as("n"))
+    }),
+    "q32_assign_where" -> ((s, d) => {
+      val p = pts(s, d).withColumn("classification", lit(0))
+      Assign(p, "classification", lit(5), Some(col("x") > 5000))
+        .groupBy("classification").agg(count(lit(1)).as("n"))
+    }),
+    "q33_divider" -> ((s, d) =>
+      Divider(pts(s, d), roundRobin = true, count = Some(5))
+        .groupBy("part_id").agg(count(lit(1)).as("n"))),
+    "q34_transformation" -> ((s, d) =>
+      Transformation(pts(s, d), Seq(
+        2, 0, 0, 100,
+        0, 0.5, 0, -50,
+        0, 0, 1, 0,
+        0, 0, 0, 1))
+        .select(col("order_key"), col("x").as("tx"), col("y").as("ty"))),
+    "q35_mad_filter" -> ((s, d) =>
+      Mad(pts(s, d), "x", k = 2.0).select("order_key"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_join_revenue_by_nation" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q03_topk_parts" ->
+      """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem GROUP BY l_partkey
+         ORDER BY total_qty DESC, l_partkey ASC LIMIT 10""",
+    "q04_window_nth_shipment" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn = 3""",
+    "q05_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_inactive FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         GROUP BY c_mktsegment""",
+    "q06_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros
+         FROM events GROUP BY 1, 2""",
+    "q07_sessionize" ->
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events FROM (
+           SELECT user_id,
+             CASE WHEN prev IS NULL OR EPOCH(ts) - EPOCH(prev) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                 FROM events))
+         GROUP BY user_id""",
+    "q08_crop_box" ->
+      s"""SELECT order_key FROM ($ptsSql)
+          WHERE x >= 2000 AND x <= 5000 AND y >= 1000 AND y <= 8000""",
+    "q09_splitter_tiles" ->
+      s"""SELECT CAST(FLOOR(x / 500) AS BIGINT) AS tx,
+          CAST(FLOOR(y / 500) AS BIGINT) AS ty, COUNT(*) AS n
+          FROM ($ptsSql) GROUP BY 1, 2""",
+    "q10_voxel_first" ->
+      s"""SELECT CAST(FLOOR(x / 250) AS BIGINT) AS vx,
+          CAST(FLOOR(y / 250) AS BIGINT) AS vy,
+          MIN(order_key) AS kept_id
+          FROM ($ptsSql) GROUP BY 1, 2""",
+    "q11_range_filter" ->
+      s"""SELECT order_key FROM ($ptsSql)
+          WHERE (x >= 2000 AND x < 8000) AND NOT (y > 3000 AND y < 7000)""",
+    "q12_knn" ->
+      s"""WITH p AS ($ptsSql),
+          cand AS (SELECT * FROM p WHERE order_key % 3 = 0),
+          q AS (SELECT * FROM p WHERE order_key % 97 = 0),
+          pairs AS (SELECT q.order_key AS qid, c.order_key AS cid,
+            (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y) AS d2
+            FROM q CROSS JOIN cand c),
+          ranked AS (SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk
+            FROM pairs)
+          SELECT qid, cid, rnk FROM ranked WHERE rnk <= 3""",
+    "q13_crop_polygon" ->
+      s"""WITH p AS ($ptsSql),
+          v(x1, y1, x2, y2) AS (VALUES
+            (5000.3, 500.7, 9500.1, 5000.2),
+            (9500.1, 5000.2, 5000.4, 9499.8),
+            (5000.4, 9499.8, 500.2, 5000.1),
+            (500.2, 5000.1, 5000.3, 500.7))
+          SELECT order_key FROM p WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE (x2 - x1) * (p.y - y1) - (y2 - y1) * (p.x - x1) < 0)""",
+    "q15_geomdistance" ->
+      s"""SELECT order_key, ROUND(SQRT(
+            GREATEST(2000 - x, 0, x - 7000) * GREATEST(2000 - x, 0, x - 7000) +
+            GREATEST(2000 - y, 0, y - 6000) * GREATEST(2000 - y, 0, y - 6000)), 4) AS dist
+          FROM ($ptsSql)""",
+    "q16_head" ->
+      s"SELECT order_key FROM ($ptsSql) ORDER BY order_key LIMIT 100",
+    "q17_decimation" ->
+      s"""SELECT order_key FROM (
+            SELECT order_key, ROW_NUMBER() OVER (ORDER BY order_key) - 1 AS rn
+            FROM ($ptsSql)) WHERE rn % 7 = 0""",
+    "q18_sort_stable" ->
+      s"""SELECT ROW_NUMBER() OVER (ORDER BY event_type, order_key) - 1 AS new_order,
+          event_type, x AS px FROM ($ptsSql)""",
+    "q19_stats_summary" ->
+      """SELECT l_returnflag, COUNT(*) AS n, MIN(l_quantity) AS min_qty,
+         MAX(l_quantity) AS max_qty,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         ROUND(STDDEV_SAMP(l_quantity), 3) AS sd_qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "q20_value_counts" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         FROM lineitem GROUP BY 1, 2""",
+    "q21_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)) AS BIGINT)
+           AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang""",
+    "q22_exact_dedup" ->
+      """SELECT MIN(doc_id) AS kept_id FROM (
+           SELECT doc_id, REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g') AS norm
+           FROM documents) GROUP BY norm""",
+    "q23_quality_bands" ->
+      """SELECT band, lang, COUNT(*) AS n FROM (
+           SELECT lang,
+             CASE WHEN CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) >= 50
+                   AND CAST(LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+                     / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) > 0.9
+                  THEN 'high'
+                  WHEN CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE) >= 20
+                  THEN 'mid' ELSE 'low' END AS band
+           FROM documents) GROUP BY 1, 2""",
+    "q25_embedding_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id % 100 = 0),
+          pairs AS (SELECT q.query_id, e.vec_id,
+            list_cosine_similarity(q.qv, e.embedding) AS cos
+            FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+          ranked AS (SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+            FROM pairs)
+          SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= 5""",
+    "q31_returns_groups" ->
+      s"""WITH p AS (SELECT order_key, (order_key % 3 + 1) AS rn, 3 AS nr FROM ($ptsSql))
+          SELECT view_id, COUNT(*) AS n FROM (
+            SELECT CASE WHEN rn = 1 THEN 'first' END AS view_id FROM p WHERE rn = 1
+            UNION ALL
+            SELECT 'intermediate' FROM p WHERE rn > 1 AND rn < nr
+            UNION ALL
+            SELECT 'last' FROM p WHERE rn = nr) GROUP BY view_id""",
+    "q32_assign_where" ->
+      s"""SELECT CASE WHEN x > 5000 THEN 5 ELSE 0 END AS classification,
+          COUNT(*) AS n FROM ($ptsSql) GROUP BY 1""",
+    "q33_divider" ->
+      s"""SELECT part_id, COUNT(*) AS n FROM (
+            SELECT CAST((ROW_NUMBER() OVER (ORDER BY order_key) - 1) % 5 AS INT)
+              AS part_id FROM ($ptsSql)) GROUP BY part_id""",
+    "q34_transformation" ->
+      s"""SELECT order_key, x * 2 + 100 AS tx, y * 0.5 - 50 AS ty FROM ($ptsSql)""",
+    "q35_mad_filter" ->
+      s"""WITH p AS ($ptsSql),
+          m AS (SELECT MEDIAN(x) AS med FROM p),
+          d AS (SELECT MEDIAN(ABS(x - med)) * 1.4862 AS mad FROM p, m)
+          SELECT order_key FROM p, m, d WHERE ABS(x - med) < 2.0 * mad"""
+  )
 }

@@ -84,7 +84,25 @@ object KnnJoin {
       pack3(cellCoord(col("x"), h), cellCoord(col("y"), h), cellCoord(col("z"), h)).as("cell"),
       col("x"), col("y"), col("z"), col("order_key").as("cid"),
       col(valueCol).cast("double").as("v"))
-      .as[(Long, Double, Double, Double, Long, Double)]
+
+    /** Candidates duplicated into their 27-cube neighbor cells (the halo
+      * exchange on the CANDIDATE side): every ring-1 query then joins a
+      * single cell and gets its final cube-1 top-k in ONE cogroup — no
+      * per-query partial-merge shuffle at all. */
+    def candHalo(h: Double) = {
+      val offs = array((shellOffsets(0) ++ shellOffsets(1)).map { case (dx, dy, dz) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
+      }: _*)
+      cand.select(
+          cellCoord(col("x"), h).as("cx"), cellCoord(col("y"), h).as("cy"),
+          cellCoord(col("z"), h).as("cz"),
+          col("x"), col("y"), col("z"), col("order_key").as("cid"),
+          col(valueCol).cast("double").as("v"))
+        .withColumn("__o", explode(offs))
+        .select(pack3(col("cx") + col("__o.dx"), col("cy") + col("__o.dy"),
+            col("cz") + col("__o.dz")).as("cell"),
+          col("x"), col("y"), col("z"), col("cid"), col("v"))
+    }
 
     def bin(q: DataFrame, h: Double): DataFrame = q.select(col("qid"),
       col("qx"), col("qy"), col("qz"),
@@ -92,7 +110,7 @@ object KnnJoin {
       cellCoord(col("qz"), h).as("ccz"))
 
     def ringPartials(q: DataFrame, shell: Seq[(Int, Int, Int)],
-        cands: org.apache.spark.sql.Dataset[(Long, Double, Double, Double, Long, Double)]): DataFrame = {
+        candsDf: DataFrame, filterCells: Boolean): DataFrame = {
       val offs = array(shell.map { case (dx, dy, dz) =>
         struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
       }: _*)
@@ -101,30 +119,58 @@ object KnnJoin {
           pack3(col("ccx") + col("__o.dx"), col("ccy") + col("__o.dy"),
             col("ccz") + col("__o.dz")).as("cell"))
         .as[(Long, Double, Double, Double, Long)]
+      // late rings probe few cells: shrink the candidate shuffle to the
+      // cells actually probed instead of re-shuffling the full corpus
+      val cands0 = if (filterCells)
+        candsDf.join(exploded.toDF().select("cell").distinct(), Seq("cell"), "left_semi")
+      else candsDf
+      val cands = cands0.as[(Long, Double, Double, Double, Long, Double)]
       exploded.groupByKey(_._5).cogroup(cands.groupByKey(_._1)) {
         (_, qs, cs) =>
-          val cArr = cs.toArray
-          if (cArr.isEmpty) Iterator.empty
-          else qs.map { case (qid, qx, qy, qz, _) =>
-            val best = new java.util.TreeSet[(Double, Long, Double)](
-              Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long,
-                Ordering.Double.TotalOrdering))
-            var i = 0
-            while (i < cArr.length) {
-              val c = cArr(i)
-              val dx = c._2 - qx; val dy = c._3 - qy; val dz = c._4 - qz
-              val d2 = dx * dx + dy * dy + dz * dz
-              if (best.size < k) best.add((d2, c._5, c._6))
-              else {
-                val last = best.last()
-                if (d2 < last._1 || (d2 == last._1 && c._5 < last._2)) {
-                  best.add((d2, c._5, c._6)); best.pollLast()
-                }
-              }
-              i += 1
+          // unpack candidates into primitive arrays once per cell — the
+          // inner loop below is allocation-free (hot path of the join)
+          val cBuf = cs.toArray
+          if (cBuf.isEmpty) Iterator.empty
+          else {
+            val n = cBuf.length
+            val cxA = new Array[Double](n); val cyA = new Array[Double](n)
+            val czA = new Array[Double](n); val cidA = new Array[Long](n)
+            val cvA = new Array[Double](n)
+            var j = 0
+            while (j < n) {
+              val c = cBuf(j)
+              cxA(j) = c._2; cyA(j) = c._3; czA(j) = c._4
+              cidA(j) = c._5; cvA(j) = c._6
+              j += 1
             }
-            import scala.jdk.CollectionConverters._
-            (qid, best.iterator().asScala.map(t => Hit(t._1, t._2, t._3)).toArray)
+            qs.map { case (qid, qx, qy, qz, _) =>
+              // fixed-size insertion-sorted top-k on primitive arrays
+              val bd = new Array[Double](k); val bc = new Array[Long](k)
+              val bv = new Array[Double](k)
+              var cnt = 0
+              var i = 0
+              while (i < n) {
+                val dx = cxA(i) - qx; val dy = cyA(i) - qy; val dz = czA(i) - qz
+                val d2 = dx * dx + dy * dy + dz * dz
+                val cid = cidA(i)
+                if (cnt < k || d2 < bd(cnt - 1) ||
+                    (d2 == bd(cnt - 1) && cid < bc(cnt - 1))) {
+                  var p = if (cnt < k) cnt else k - 1
+                  while (p > 0 && (bd(p - 1) > d2 ||
+                      (bd(p - 1) == d2 && bc(p - 1) > cid))) {
+                    bd(p) = bd(p - 1); bc(p) = bc(p - 1); bv(p) = bv(p - 1)
+                    p -= 1
+                  }
+                  bd(p) = d2; bc(p) = cid; bv(p) = cvA(i)
+                  if (cnt < k) cnt += 1
+                }
+                i += 1
+              }
+              val out = new Array[Hit](cnt)
+              var q2 = 0
+              while (q2 < cnt) { out(q2) = Hit(bd(q2), bc(q2), bv(q2)); q2 += 1 }
+              (qid, out)
+            }
           }
       }.toDF("qid", "hits")
     }
@@ -144,6 +190,7 @@ object KnnJoin {
     var carried: Option[DataFrame] = None // (qid, knn) partials from finer binnings
     var h = h0
     var done = false
+    var firstBinning = true
 
     // each binning runs rings 1..3; unresolved points escalate to cells 8x
     // coarser (geometric — total work is log(maxExtent/h0) bounded, the
@@ -151,11 +198,20 @@ object KnnJoin {
     while (!done) {
       val cands = candPrep(h)
       val q = bin(pending, h)
-      var accumulated = mergeTopK(carried match {
-        case Some(c) => ringPartials(q, r1cube, cands)
-          .unionByName(c.select(col("qid"), col("knn").as("hits")))
-        case None => ringPartials(q, r1cube, cands)
-      })
+      // first binning: halo-explode the CANDIDATES, query one cell each —
+      // per-query cube-1 top-k lands in a single cogroup, no merge
+      // shuffle. Later binnings: explode the (small) pending query set
+      // and shrink candidates to probed cells.
+      var accumulated =
+        if (firstBinning)
+          ringPartials(q, shellOffsets(0), candHalo(h), filterCells = false)
+            .withColumnRenamed("hits", "knn")
+        else mergeTopK(carried match {
+          case Some(c) => ringPartials(q, r1cube, cands, filterCells = true)
+            .unionByName(c.select(col("qid"), col("knn").as("hits")))
+          case None => ringPartials(q, r1cube, cands, filterCells = true)
+        })
+      firstBinning = false
       var ring = 1
       var escalate = false
       while (!done && !escalate) {
@@ -172,7 +228,8 @@ object KnnJoin {
         if (pending.isEmpty) done = true
         else if (ring < ringsPerBinning) {
           ring += 1
-          val shellPart = ringPartials(bin(pending, h), shellOffsets(ring), cands)
+          val shellPart = ringPartials(bin(pending, h), shellOffsets(ring), cands,
+            filterCells = true)
           accumulated = mergeTopK(
             nextPending.select(col("qid"), col("knn").as("hits"))
               .unionByName(shellPart))
@@ -206,15 +263,18 @@ object NeighborClassifier {
     val knn = KnnJoin.knn(queries, cand, k, valueCol = dim, cellSize = cellSize)
     // vote (doOneNoDomain :115-141): winner = max count, tie -> smallest
     // value (std::map asc + first-max max_element); change requires
-    // count > n_neighbors/2 strictly
-    val votes = knn.select(col("order_key"), size(col("knn")).as("nn"),
-        explode(col("knn")).as("h"))
-      .groupBy(col("order_key"), col("nn"), col("h.v").as("cls"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("order_key").orderBy(col("cnt").desc, col("cls").asc)
-    val winners = votes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("cnt") > col("nn").cast("double") / 2.0)
-      .select(col("order_key"), col("cls").as("__newcls"))
+    // count > n_neighbors/2 strictly. Computed as pure array expressions
+    // over the <=k-element knn column — no extra shuffle.
+    val vs = transform(col("knn"), h => h.getField("v"))
+    val counted = transform(array_distinct(vs), v => struct(
+      size(filter(vs, x => x === v)).as("cnt"), (-v).as("negv")))
+    val best = array_max(counted)
+    val winners = knn
+      .withColumn("__cnt", best.getField("cnt"))
+      .withColumn("__newcls", -best.getField("negv"))
+      .filter(size(col("knn")) > 0 &&
+        col("__cnt").cast("double") > size(col("knn")).cast("double") / 2.0)
+      .select(col("order_key"), col("__newcls"))
     df.join(winners, Seq("order_key"), "left")
       .withColumn(dim,
         when(col("__newcls").isNotNull && inDomain,

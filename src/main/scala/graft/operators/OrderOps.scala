@@ -15,8 +15,12 @@ object Order {
   /** Dense 0-based global rank by `sortCols` as column `outCol`. */
   def globalRankBy(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    // eager checkpoint pins the physical partitions: the counts job and the
+    // rank job must see the SAME __pid mapping (AQE partition coalescing
+    // can otherwise re-map partition ids between the two jobs)
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = ranged.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (counts.isEmpty) 0 else counts.keys.max

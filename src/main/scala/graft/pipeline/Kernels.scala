@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** CLI verbs (kernels.* analogs, apps/pdal.cpp:357-380): each a
+  * spark-submit-able main assembling the same stage graph. */
+object PipelineKernel {
+  /** `pdal pipeline spec.json` (kernels/PipelineKernel.cpp:51). */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local()
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(args(0)))
+    val out = PipelineBuilder.run(spark, json)
+    println(s"[pipeline] rows=${out.count()}")
+    spark.stop()
+  }
+}
+
+object TileKernel {
+  /** `pdal tile` (kernels/TileKernel.cpp:47): read -> cell id ->
+    * partitionBy(tile) write — the FlexWriter '#' analog
+    * (pdal/FlexWriter.hpp:45-58). */
+  def main(args: Array[String]): Unit = {
+    val Array(inPath, outPath) = args.take(2)
+    val length = args.lift(2).map(_.toDouble).getOrElse(1000.0)
+    val spark = graft.core.GraftSession.local()
+    val docs = spark.read.parquet(inPath)
+    Splitter(docs, length)
+      .write.mode("overwrite").partitionBy("tile_id").parquet(outPath)
+    spark.stop()
+  }
+}
+
+object InfoKernel {
+  /** `pdal info` (kernels/InfoKernel.cpp:53): metadata-only fast path via
+    * parquet footer statistics when no point data is needed (QuickInfo,
+    * pdal/Stage.cpp:149-157), else the stats aggregate. */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local()
+    val df = spark.read.parquet(args(0))
+    if (args.contains("--stats"))
+      Stats(df, Seq("x", "y", "z", "intensity", "classification")).show(false)
+    else Info(df).show(false)
+    spark.stop()
+  }
+}
+
+/** kernels.delta / hausdorff / chamfer (DeltaKernel.cpp:45,
+  * HausdorffKernel.cpp:48, ChamferKernel.cpp:46): nearest-neighbor
+  * difference metrics between two clouds — one kNN join each way. */
+object CloudMetrics {
+  private def nnDist(a: DataFrame, b: DataFrame): DataFrame =
+    KnnJoin.knn(a.select("order_key", "x", "y", "z"), b, 1, valueCol = "order_key")
+      .select(col("order_key"),
+        sqrt(try_element_at(col("knn"), lit(1)).getField("d2")).as("nn_dist"))
+
+  /** Per-point deltas of src vs candidate (kernels.delta). */
+  def delta(src: DataFrame, cand: DataFrame): DataFrame = nnDist(src, cand)
+
+  /** Hausdorff = max over both directed nearest-neighbor distances. */
+  def hausdorff(a: DataFrame, b: DataFrame): Double = {
+    val d1 = nnDist(a, b).agg(max("nn_dist")).head().getDouble(0)
+    val d2 = nnDist(b, a).agg(max("nn_dist")).head().getDouble(0)
+    math.max(d1, d2)
+  }
+
+  /** Chamfer = sum of mean squared NN distances both ways. */
+  def chamfer(a: DataFrame, b: DataFrame): Double = {
+    val d1 = nnDist(a, b).agg(avg(col("nn_dist") * col("nn_dist"))).head().getDouble(0)
+    val d2 = nnDist(b, a).agg(avg(col("nn_dist") * col("nn_dist"))).head().getDouble(0)
+    d1 + d2
+  }
+}
+
+/** kernels.eval (EvalKernel.cpp:48): classification accuracy metrics vs a
+  * truth cloud joined on order_key. */
+object EvalKernel {
+  def metrics(pred: DataFrame, truth: DataFrame,
+      dim: String = "classification"): DataFrame = {
+    val p = pred.select(col("order_key"), col(dim).as("pred"))
+    val t = truth.select(col("order_key"), col(dim).as("truth"))
+    val j = p.join(t, "order_key").cache()
+    j.groupBy("truth").agg(
+      count(lit(1)).as("support"),
+      sum(when(col("pred") === col("truth"), 1).otherwise(0)).as("correct"),
+      (sum(when(col("pred") === col("truth"), 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("recall"))
+  }
+}

@@ -1,0 +1,229 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** PDAL pipeline-JSON dialect parser (pdal/PipelineReaderJSON.cpp:58-181):
+  * a JSON array (or {"pipeline": [...]}) of stage nodes; bare strings are
+  * filenames; `type` is inferred reader-if-first / writer-if-last
+  * (:89-130); `inputs` tags express a DAG, default is linear chaining.
+  * Stage types use the PDAL names (readers.*, filters.*, writers.*).
+  */
+case class StageSpec(tag: String, stageType: String,
+    options: Map[String, JValue], inputs: Seq[String])
+
+object PipelineSpec {
+  def parse(json: String): Seq[StageSpec] = {
+    implicit val fmts: Formats = DefaultFormats
+    val root = JsonMethods.parse(json) match {
+      case JObject(fields) => fields.toMap.getOrElse("pipeline",
+        throw new IllegalArgumentException("missing 'pipeline' key"))
+      case arr: JArray => arr
+      case other => throw new IllegalArgumentException(s"bad pipeline json: $other")
+    }
+    val nodes = root.asInstanceOf[JArray].arr
+    nodes.zipWithIndex.map {
+      case (JString(filename), i) =>
+        // bare string: reader unless last (then writer) — :89-104
+        val isLast = i == nodes.length - 1 && nodes.length > 1
+        StageSpec(s"stage$i",
+          if (isLast) "writers.auto" else "readers.auto",
+          Map("filename" -> JString(filename)), Seq.empty)
+      case (JObject(fields), i) =>
+        val m = fields.toMap
+        val typ = m.get("type").collect { case JString(t) => t }.getOrElse {
+          val fname = m.get("filename").collect { case JString(f) => f }
+          if (fname.isEmpty) throw new IllegalArgumentException(s"stage $i: no type")
+          if (i == nodes.length - 1 && nodes.length > 1) "writers.auto" else "readers.auto"
+        }
+        val tag = m.get("tag").collect { case JString(t) => t }.getOrElse(s"stage$i")
+        val inputs = m.get("inputs") match {
+          case Some(JArray(is)) => is.collect { case JString(s) => s }
+          case Some(JString(s)) => Seq(s)
+          case _ => Seq.empty
+        }
+        StageSpec(tag, typ, m - "type" - "tag" - "inputs", inputs)
+      case (other, i) =>
+        throw new IllegalArgumentException(s"stage $i: unsupported node $other")
+    }.toSeq
+  }
+
+  def optStr(o: Map[String, JValue], k: String): Option[String] =
+    o.get(k).collect { case JString(s) => s
+                       case JInt(i) => i.toString
+                       case JDouble(d) => d.toString }
+  def optDouble(o: Map[String, JValue], k: String): Option[Double] =
+    o.get(k).collect { case JDouble(d) => d; case JInt(i) => i.toDouble
+                       case JString(s) => s.toDouble }
+  def optLong(o: Map[String, JValue], k: String): Option[Long] =
+    o.get(k).collect { case JInt(i) => i.toLong; case JDouble(d) => d.toLong
+                       case JString(s) => s.toLong }
+  def optBool(o: Map[String, JValue], k: String): Option[Boolean] =
+    o.get(k).collect { case JBool(b) => b; case JString(s) => s.toBoolean }
+}
+
+/** Builds and executes the stage graph over DataFrames. Readers produce
+  * the doc table; filters transform; writers act. Linear chaining by
+  * default; `inputs` DAG supported with `filters.merge` unioning. */
+object PipelineBuilder {
+  import PipelineSpec._
+  import graft.operators._
+
+  def run(spark: SparkSession, json: String): DataFrame = {
+    val specs = PipelineSpec.parse(json)
+    val built = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+
+    def inputsOf(spec: StageSpec, idx: Int): Seq[DataFrame] =
+      if (spec.inputs.nonEmpty) spec.inputs.map(built(_))
+      else if (idx == 0) Seq.empty
+      else Seq(built.last._2)
+
+    specs.zipWithIndex.foreach { case (spec, idx) =>
+      val ins = inputsOf(spec, idx)
+      val out = applyStage(spark, spec, ins)
+      built(spec.tag) = out
+    }
+    built.last._2
+  }
+
+  def applyStage(spark: SparkSession, spec: StageSpec, ins: Seq[DataFrame]): DataFrame = {
+    val o = spec.options
+    def in: DataFrame = ins.headOption.getOrElse(
+      throw new IllegalArgumentException(s"${spec.stageType} needs an input"))
+    spec.stageType match {
+      // ---- readers ----
+      case "readers.auto" | "readers.parquet" | "readers.las" =>
+        spark.read.parquet(optStr(o, "filename").get)
+      case "readers.faux" =>
+        val count = optLong(o, "count").getOrElse(1000L)
+        val mode = optStr(o, "mode").getOrElse("ramp")
+        val b = optStr(o, "bounds").map(parseBounds).getOrElse(
+          ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
+        mode match {
+          case "ramp" => graft.core.Synth.ramp(spark, count, b._1, b._2)
+          case _ => graft.core.Synth.docs(spark, count,
+            seed = optLong(o, "seed").getOrElse(42L))
+        }
+      case "readers.text" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(optStr(o, "filename").get)
+      // ---- filters ----
+      case "filters.crop" =>
+        val outside = optBool(o, "outside").getOrElse(false)
+        (optStr(o, "polygon"), optStr(o, "bounds")) match {
+          case (Some(wkt), _) => Crop.polygon(in, wkt, outside)
+          case (_, Some(b)) =>
+            val ((mnx, mny, mnz), (mxx, mxy, mxz)) = parseBounds(b)
+            if (mnz == 0 && mxz == 0) Crop.box2d(in, mnx, mny, mxx, mxy, outside)
+            else Crop.box3d(in, mnx, mny, mnz, mxx, mxy, mxz, outside)
+          case _ => throw new IllegalArgumentException("crop needs bounds|polygon")
+        }
+      case "filters.range" => graft.expr.RangeFilter(in, optStr(o, "limits").get)
+      case "filters.expression" =>
+        graft.expr.ExpressionFilter(in, optStr(o, "expression").get)
+      case "filters.assign" =>
+        // "Dim = value [WHERE expr]" statement form
+        val stmt = optStr(o, "value").getOrElse(optStr(o, "assignment").get)
+        val (lhs, rest) = stmt.span(_ != '=')
+        val whereIdx = rest.toUpperCase.indexOf("WHERE")
+        val (valueS, cond) =
+          if (whereIdx >= 0) (rest.substring(1, whereIdx).trim,
+            Some(graft.expr.ExprLang.compile(rest.substring(whereIdx + 5))))
+          else (rest.drop(1).trim, None)
+        Assign(in, lhs.trim, lit(valueS.toDouble), cond)
+      case "filters.ferry" =>
+        val copies = optStr(o, "dimensions").get.split(',').map { spec =>
+          val Array(a, b) = spec.split("=>").map(_.trim); (a, b)
+        }
+        Ferry(in, copies.toSeq)
+      case "filters.splitter" =>
+        Splitter(in, optDouble(o, "length").getOrElse(1000.0),
+          for (x <- optDouble(o, "origin_x"); y <- optDouble(o, "origin_y")) yield (x, y),
+          optDouble(o, "buffer").getOrElse(0.0))
+      case "filters.chipper" =>
+        Chipper(in, optLong(o, "capacity").getOrElse(5000L))
+      case "filters.divider" =>
+        Divider(in, optStr(o, "mode").getOrElse("partition") == "round_robin",
+          optLong(o, "count").map(_.toInt), optLong(o, "capacity"))
+      case "filters.groupby" => GroupBy(in, optStr(o, "dimension").get)
+      case "filters.merge" => Merge(ins)
+      case "filters.returns" =>
+        Returns(in, optStr(o, "groups").getOrElse("first,last").split(',').map(_.trim).toSeq)
+      case "filters.sort" =>
+        Sort(in, optStr(o, "dimension").get,
+          optStr(o, "order").getOrElse("ASC").equalsIgnoreCase("ASC"))
+      case "filters.head" => HeadTail.head(in, optLong(o, "count").getOrElse(10L))
+      case "filters.tail" => HeadTail.tail(in, optLong(o, "count").getOrElse(10L))
+      case "filters.decimation" =>
+        Decimation(in, optLong(o, "step").getOrElse(1L),
+          optLong(o, "offset").getOrElse(0L),
+          optLong(o, "limit").getOrElse(Long.MaxValue))
+      case "filters.randomize" => Randomize(in, optLong(o, "seed").getOrElse(0L))
+      case "filters.voxeldownsize" =>
+        Voxel.downsize(in, optDouble(o, "cell").getOrElse(0.001),
+          optStr(o, "mode").getOrElse("first"))
+      case "filters.voxelcenternearestneighbor" =>
+        Voxel.centerNearestNeighbor(in, optDouble(o, "cell").getOrElse(0.001))
+      case "filters.sample" => Sample(in, optDouble(o, "radius").getOrElse(1.0))
+      case "filters.fps" => Fps(in, optLong(o, "count").getOrElse(10L).toInt)
+      case "filters.neighborclassifier" =>
+        NeighborClassifier(in, optLong(o, "k").getOrElse(1L).toInt,
+          optStr(o, "dimension").getOrElse("classification"),
+          optStr(o, "domain"))
+      case "filters.outlier" =>
+        if (optStr(o, "method").getOrElse("statistical") == "radius")
+          Outlier.radius(in, optDouble(o, "radius").getOrElse(1.0),
+            optLong(o, "min_k").getOrElse(2L).toInt)
+        else Outlier.statistical(in, optLong(o, "mean_k").getOrElse(8L).toInt,
+          optDouble(o, "multiplier").getOrElse(2.0))
+      case "filters.iqr" => Iqr(in, optStr(o, "dimension").get,
+        optDouble(o, "k").getOrElse(1.5))
+      case "filters.mad" => Mad(in, optStr(o, "dimension").get,
+        optDouble(o, "k").getOrElse(2.0))
+      case "filters.cluster" => Cluster(in, optDouble(o, "tolerance").getOrElse(1.0))
+      case "filters.dbscan" => Dbscan(in, optDouble(o, "eps").getOrElse(1.0),
+        optLong(o, "min_points").getOrElse(6L))
+      case "filters.lloydkmeans" => KMeans(in, optLong(o, "k").getOrElse(10L).toInt,
+        optLong(o, "maxiters").getOrElse(10L).toInt)
+      case "filters.transformation" =>
+        Transformation(in, optStr(o, "matrix").get.trim.split("\\s+").map(_.toDouble).toSeq)
+      case "filters.mortonorder" => MortonOrder(in,
+        optStr(o, "reverse").exists(_.toBoolean))
+      case "filters.hexbin" => HexBin(in, optDouble(o, "edge_size").getOrElse(0.0))
+      case "filters.stats" => Stats(in,
+        optStr(o, "dimensions").map(_.split(',').map(_.trim).toSeq)
+          .getOrElse(Seq("x", "y", "z")))
+      case "filters.info" => Info(in)
+      case "filters.colorinterp" => ColorInterp(in,
+        optStr(o, "dimension").getOrElse("z"))
+      case "filters.geomdistance" => GeomDistance(in, optStr(o, "geometry").get)
+      case "filters.overlay" =>
+        Overlay(in, Seq((optStr(o, "polygon").get,
+          optDouble(o, "value").getOrElse(1.0))), optStr(o, "dimension").get)
+      // ---- writers ----
+      case "writers.auto" | "writers.parquet" | "writers.las" =>
+        val path = optStr(o, "filename").get
+        val w = in.write.mode("overwrite")
+        val parted = optStr(o, "partition_by")
+        parted.fold(w)(p => w.partitionBy(p)).parquet(path)
+        in
+      case "writers.null" => in.count(); in
+      case "writers.text" =>
+        in.write.mode("overwrite").option("header", "true")
+          .csv(optStr(o, "filename").get); in
+      case other => throw new IllegalArgumentException(s"unknown stage type: $other")
+    }
+  }
+
+  /** PDAL bounds grammar "([minx,maxx],[miny,maxy],[minz,maxz])". */
+  def parseBounds(s: String): ((Double, Double, Double), (Double, Double, Double)) = {
+    val nums = "-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?".r.findAllIn(s).map(_.toDouble).toArray
+    nums.length match {
+      case 4 => ((nums(0), nums(2), 0.0), (nums(1), nums(3), 0.0))
+      case 6 => ((nums(0), nums(2), nums(4)), (nums(1), nums(3), nums(5)))
+      case n => throw new IllegalArgumentException(s"bad bounds '$s' ($n numbers)")
+    }
+  }
+}
