@@ -45,10 +45,11 @@ object ScalingBench {
     * level from polluting the other. */
   def main(args: Array[String]): Unit = args.toList match {
     case "run" :: d :: c :: Nil => runOnce(d.toLong, c.toInt)
-    case "report" :: d :: Nil => report(d.toLong)
+    case "report" :: d :: lo :: hi :: Nil => report(d.toLong, lo.toInt, hi.toInt)
+    case "report" :: d :: Nil => report(d.toLong, 8, 32)
     case _ =>
       val n = args.headOption.map(_.toLong).getOrElse(2000000L)
-      runOnce(n, 8); runOnce(n, 32); report(n)
+      runOnce(n, 8); runOnce(n, 32); report(n, 8, 32)
   }
 
   def runOnce(nDocs: Long, cores: Int): Unit = {
@@ -78,14 +79,15 @@ object ScalingBench {
     } finally spark.stop()
   }
 
-  def report(nDocs: Long): Unit = {
+  def report(nDocs: Long, cLo: Int, cHi: Int): Unit = {
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get("BENCH/raw.tsv")).toArray.map(_.toString)
       .map(_.split('\t')).filter(_(0).toLong == nDocs)
     def best(c: Int) = lines.filter(_(1).toInt == c).map(_(2).toDouble).min
-    val t8 = best(8); val t32 = best(32)
-    val eff = (t8 / t32) / 4.0
-    println(f"[scaling] t8=$t8%.1f t32=$t32%.1f speedup=${t8 / t32}%.2f efficiency=$eff%.3f")
+    val t8 = best(cLo); val t32 = best(cHi)
+    val ratio = cHi.toDouble / cLo
+    val eff = (t8 / t32) / ratio
+    println(f"[scaling] N=$cLo%d 4N=$cHi%d tN=$t8%.1f t4N=$t32%.1f speedup=${t8 / t32}%.2f efficiency=$eff%.3f")
     val f = java.nio.file.Paths.get("BENCH/BASELINE.md")
     val header =
       """# BENCH scaling evidence (local[8] vs local[32], same input)
@@ -96,10 +98,10 @@ object ScalingBench {
         |Efficiency = (T8/T32)/4, target >= 0.8 (BASELINE.json north rule,
         |sandbox protocol standing in for N vs 4N executors).
         |
-        || docs | docs/sec @8 | docs/sec @32 | speedup | efficiency |
-        ||---|---|---|---|---|
+        || docs | N -> 4N cores | docs/sec @N | docs/sec @4N | speedup | efficiency |
+        ||---|---|---|---|---|---|
         |""".stripMargin
-    val line = f"| $nDocs | ${nDocs / t8}%.0f | ${nDocs / t32}%.0f | ${t8 / t32}%.2fx | $eff%.3f |"
+    val line = f"| $nDocs | $cLo -> $cHi | ${nDocs / t8}%.0f | ${nDocs / t32}%.0f | ${t8 / t32}%.2fx | $eff%.3f |"
     if (!java.nio.file.Files.exists(f)) java.nio.file.Files.writeString(f, header)
     java.nio.file.Files.writeString(f, java.nio.file.Files.readString(f) + line + "\n")
   }

@@ -28,11 +28,14 @@ object ProfileBench {
     val coords = tiled.select("order_key", "x", "y", "z", "classification")
       .localCheckpoint(true)
     time("coords_checkpoint")(coords.count())
-    val knn = graft.operators.KnnJoin.knn(
-      coords.select("order_key", "x", "y", "z"), coords, 5, cellSize = 50.0)
-    time("knn_only")(knn.count())
-    val classified = graft.operators.NeighborClassifier(tiled, k = 5, cellSize = 50.0)
-    time("full_classify")(classified.select(count(lit(1))).head())
+    time("knn_only") { // construction is eager now — time it all
+      graft.operators.KnnJoin.knn(
+        coords.select("order_key", "x", "y", "z"), coords, 5, cellSize = 50.0).count()
+    }
+    time("full_classify") {
+      graft.operators.NeighborClassifier(tiled, k = 5, cellSize = 50.0)
+        .select(count(lit(1))).head()
+    }
     spark.stop()
   }
 }

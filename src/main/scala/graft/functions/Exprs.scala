@@ -55,16 +55,34 @@ object CellMath {
     if (morton) interleave(cx, cy) else pack(cx, cy)
   }
 
+  /** Unbiased bit-spread for the hierarchical id (bias would break the
+    * parent-shift relation across levels). */
+  private def interleaveRaw(a: Int, b: Int): Long = {
+    @inline def spread(v0: Long): Long = {
+      var v = v0 & 0xFFFFFFFFL
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    (spread(a.toLong) << 1) | spread(b.toLong)
+  }
+
   /** Hierarchical cell id: Morton cell with the resolution level in the
-    * top 5 bits — an H3/S2-style space-filling hierarchical index where
-    * parent(cell at level L) = cell at L-1 by dropping 2 bits. `len0` is
-    * the level-0 cell edge; level L edge = len0 / 2^L. */
+    * top bits — an H3/S2-style space-filling hierarchical index where
+    * parent(cell at level L) = (id at L+1 masked) >> 2 per step: the id
+    * at level L equals the level-(L+1) id with its last (finer) x/y bit
+    * pair dropped. `len0` is the level-0 cell edge; level L edge =
+    * len0 / 2^L. Coordinates are floor-binned so the parent relation is
+    * exact (floor(c/2) chains). */
   def hierCellId(x: Double, y: Double, ox: Double, oy: Double, len0: Double,
       level: Int): Long = {
     val len = len0 / (1L << level).toDouble
-    val cx = cellCoord(x, ox, len)
-    val cy = cellCoord(y, oy, len)
-    (level.toLong << 58) | (interleave(cx, cy) >>> 6)
+    val cx = math.floor((x - ox) / len).toInt // true floor: exact parent chain
+    val cy = math.floor((y - oy) / len).toInt
+    (level.toLong << 58) | (interleaveRaw(cx, cy) >>> 6)
   }
 
   /** Pointy-top hexagon axial id via cube rounding (filters.hexbin analog;

@@ -64,11 +64,22 @@ object KnnJoin {
     *         length min(k, |cand reachable|); empty array if none
     */
   def knn(queries: DataFrame, cand: DataFrame, k: Int,
-      valueCol: String = "classification", cellSize: Double = 0.0): DataFrame = {
+      valueCol: String = "classification", cellSize: Double = 0.0,
+      selfJoin: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    val ext = cand.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
+    // materialize both inputs ONCE: everything downstream (extent agg,
+    // per-ring candidate scans, escalated binnings) would otherwise
+    // re-execute the caller's full upstream plan per job. For self-kNN
+    // the query side IS the candidate side — one materialization.
+    val candM = cand.select(col("x"), col("y"), col("z"),
+      col("order_key"), col(valueCol)).localCheckpoint(true)
+    val queriesM =
+      if (selfJoin) candM.select("order_key", "x", "y", "z")
+      else queries.select("order_key", "x", "y", "z").localCheckpoint(true)
+
+    val ext = candM.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
       min("z"), max("z")).head()
     val hitType = "array<struct<d2:double,cid:bigint,v:double>>"
     if (ext.getLong(0) == 0L) // no candidates at all
@@ -77,10 +88,10 @@ object KnnJoin {
     val maxExtent = math.max(1e-9, math.max(ext.getDouble(2) - ext.getDouble(1),
       math.max(ext.getDouble(4) - ext.getDouble(3), ext.getDouble(6) - ext.getDouble(5))))
 
-    val h0raw = if (cellSize > 0) cellSize else estimateCellSize(cand, math.max(64.0, k * 4.0))
+    val h0raw = if (cellSize > 0) cellSize else estimateCellSize(candM, math.max(64.0, k * 4.0))
     val h0 = if (h0raw.isNaN || h0raw <= 1e-12) maxExtent / 16 else h0raw
 
-    def candPrep(h: Double) = cand.select(
+    def candPrep(h: Double) = candM.select(
       pack3(cellCoord(col("x"), h), cellCoord(col("y"), h), cellCoord(col("z"), h)).as("cell"),
       col("x"), col("y"), col("z"), col("order_key").as("cid"),
       col(valueCol).cast("double").as("v"))
@@ -93,7 +104,7 @@ object KnnJoin {
       val offs = array((shellOffsets(0) ++ shellOffsets(1)).map { case (dx, dy, dz) =>
         struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
       }: _*)
-      cand.select(
+      candM.select(
           cellCoord(col("x"), h).as("cx"), cellCoord(col("y"), h).as("cy"),
           cellCoord(col("z"), h).as("cz"),
           col("x"), col("y"), col("z"), col("order_key").as("cid"),
@@ -185,7 +196,7 @@ object KnnJoin {
     val r1cube = shellOffsets(0) ++ shellOffsets(1)
     val ringsPerBinning = 3
     var resolvedParts = List.empty[DataFrame]
-    var pending = queries.select(col("order_key").as("qid"), col("x").as("qx"),
+    var pending = queriesM.select(col("order_key").as("qid"), col("x").as("qx"),
       col("y").as("qy"), col("z").as("qz"))
     var carried: Option[DataFrame] = None // (qid, knn) partials from finer binnings
     var h = h0
@@ -216,19 +227,27 @@ object KnnJoin {
       var escalate = false
       while (!done && !escalate) {
         val coverAll = ring * h >= maxExtent // examined cube covers every candidate
-        val joined = bin(pending, h).join(accumulated, Seq("qid"), "left")
-          .withColumn("knn", coalesce(col("knn"),
-            typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType)))
         val kth = try_element_at(col("knn"), lit(k))
         val isFinal = (size(col("knn")) === k &&
           sqrt(kth.getField("d2")) <= lit(ring * h)) || lit(coverAll)
-        resolvedParts = joined.filter(isFinal).select(col("qid"), col("knn")) :: resolvedParts
-        val nextPending = joined.filter(!isFinal).localCheckpoint(eager = true)
+        // one materialization per ring: resolved AND pending filters read
+        // the checkpointed rows; the cogroup behind `accumulated` runs once
+        val joined = bin(pending, h).join(accumulated, Seq("qid"), "left")
+          .withColumn("knn", coalesce(col("knn"),
+            typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType)))
+          .withColumn("__final", isFinal)
+          .localCheckpoint(true)
+        resolvedParts = joined.filter(col("__final")).select(col("qid"), col("knn")) :: resolvedParts
+        val nextPending = joined.filter(!col("__final"))
         pending = nextPending.select("qid", "qx", "qy", "qz")
         if (pending.isEmpty) done = true
         else if (ring < ringsPerBinning) {
-          ring += 1
-          val shellPart = ringPartials(bin(pending, h), shellOffsets(ring), cands,
+          // jump both remaining shells in one round: pending is already the
+          // small boundary-escaping minority, one cogroup covers rings 2+3
+          val jump = ringsPerBinning
+          val shells = ((ring + 1) to jump).flatMap(shellOffsets)
+          ring = jump
+          val shellPart = ringPartials(bin(pending, h), shells, cands,
             filterCells = true)
           accumulated = mergeTopK(
             nextPending.select(col("qid"), col("knn").as("hits"))
@@ -260,7 +279,9 @@ object NeighborClassifier {
     }
     val queries = df.filter(inDomain).select("order_key", "x", "y", "z")
     val cand = candidates.getOrElse(df)
-    val knn = KnnJoin.knn(queries, cand, k, valueCol = dim, cellSize = cellSize)
+    val self = candidates.isEmpty && domain.isEmpty
+    val knn = KnnJoin.knn(queries, cand, k, valueCol = dim, cellSize = cellSize,
+      selfJoin = self)
     // vote (doOneNoDomain :115-141): winner = max count, tie -> smallest
     // value (std::map asc + first-max max_element); change requires
     // count > n_neighbors/2 strictly. Computed as pure array expressions

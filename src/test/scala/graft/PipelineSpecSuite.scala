@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Fixtures
+import graft.pipeline.{CheckpointRunner, CloudMetrics, EvalKernel, PipelineBuilder, PipelineSpec}
+
+class PipelineSpecSuite extends AnyFunSuite {
+  import TestSpark._
+
+  test("PDAL pipeline JSON parses: bare strings, inferred types, inputs DAG (PipelineReaderJSON.cpp:58-150)") {
+    val specs = PipelineSpec.parse(
+      """{"pipeline":[
+         {"type":"readers.faux","mode":"ramp","count":1000,
+          "bounds":"([0,10],[0,100],[0,1000])"},
+         {"type":"filters.crop","bounds":"([2,4],[20,40],[200,400])"},
+         {"type":"filters.stats","tag":"st"}
+        ]}""")
+    assert(specs.length == 3)
+    assert(specs(0).stageType == "readers.faux")
+    assert(specs(2).tag == "st")
+    val bare = PipelineSpec.parse("""["in.parquet", "out.parquet"]""")
+    assert(bare(0).stageType == "readers.auto" && bare(1).stageType == "writers.auto")
+  }
+
+  test("pipeline end-to-end: faux ramp -> crop -> count matches the 200 golden") {
+    val out = PipelineBuilder.run(spark,
+      """{"pipeline":[
+         {"type":"readers.faux","mode":"ramp","count":1000,
+          "bounds":"([0,10],[0,100],[0,1000])"},
+         {"type":"filters.crop","bounds":"([2,4],[20,40],[200,400])"}
+        ]}""")
+    assert(out.count() == 200)
+  }
+
+  test("pipeline with range + head") {
+    val out = PipelineBuilder.run(spark,
+      """{"pipeline":[
+         {"type":"readers.faux","mode":"ramp","count":1000,
+          "bounds":"([0,1000],[0,1000],[0,1000])"},
+         {"type":"filters.range","limits":"x[100:899]"},
+         {"type":"filters.head","count":50}
+        ]}""")
+    assert(out.count() == 50)
+    assert(out.agg(min("x")).head().getDouble(0) >= 100.0)
+  }
+
+  test("checkpoint runner: metrics recorded, exact resume skips completed stages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val docs = Fixtures.autzen1065(spark)
+    var stage2Runs = 0
+    val stages = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "crop" -> (d => graft.operators.Crop.box2d(d, 635619.0, 848899.0, 637500.0, 851000.0)),
+      "assign" -> (d => { stage2Runs += 1
+        graft.operators.Assign(d, "classification", lit(9)) }))
+    val runner = new CheckpointRunner(spark, dir)
+    val out1 = runner.run(docs, stages)
+    val n1 = out1.count()
+    assert(n1 > 0 && out1.filter(col("classification") =!= 9).count() == 0)
+    // metrics sidecar: per-partition rows + lineage interval
+    val m = runner.metrics()
+    assert(m.filter(col("stage") === 0).agg(sum("rows")).head().getLong(0) == n1)
+    assert(m.columns.contains("min_order_key") && m.columns.contains("approx_bytes"))
+    // resume: stage outputs exist -> second run reloads, recomputes nothing
+    val out2 = runner.run(docs.limit(0) /* ignored on resume */, stages)
+    assert(out2.count() == n1)
+  }
+
+  test("cloud metrics: delta/hausdorff/chamfer between shifted clouds (DeltaKernel/HausdorffKernel)") {
+    val a = Fixtures.autzen1065(spark).limit(200).cache()
+    val b = a.withColumn("x", col("x") + 3.0)
+    val d = CloudMetrics.delta(a, b)
+    assert(d.agg(min("nn_dist")).head().getDouble(0) <= 3.0 + 1e-9)
+    val h = CloudMetrics.hausdorff(a, a)
+    assert(h == 0.0)
+    val ch = CloudMetrics.chamfer(a, a)
+    assert(ch == 0.0)
+    assert(CloudMetrics.hausdorff(a, b) >= 3.0 - 1e-9)
+  }
+
+  test("eval kernel: per-class recall (EvalKernel.cpp)") {
+    val truth = Fixtures.autzen1065(spark)
+    val pred = graft.operators.Assign(truth, "classification", lit(1))
+    val m = EvalKernel.metrics(pred, truth).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(m(1) == 1.0) // class 1 predicted everywhere -> recall 1 for class 1
+    m.filterNot(_._1 == 1).values.foreach(r => assert(r == 0.0))
+  }
+
+  test("SQL extension functions usable after registration") {
+    graft.functions.GraftExtensions.registerTemp(spark)
+    Fixtures.autzen1065(spark).createOrReplaceTempView("autzen")
+    val r = spark.sql(
+      """SELECT COUNT(DISTINCT grid_cell_id(x, y, 635000.0D, 848000.0D, 1000.0D)) AS tiles,
+                COUNT(DISTINCT hex_cell_id(x, y, 300.0D)) AS hexes,
+                SUM(CAST(st_contains_wkt(
+                  'POLYGON ((636000 849000, 638000 849000, 638000 851000, 636000 851000, 636000 849000))',
+                  x, y) AS INT)) AS inside
+         FROM autzen""").head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0)
+    // hierarchical id parent relation: level-3 cell of a point is a prefix
+    // (coarser) cell of its level-5 cell
+    val ids = spark.sql(
+      """SELECT hier_cell_id(x, y, 635000.0D, 848000.0D, 8192.0D, 3.0D) AS c3,
+                hier_cell_id(x, y, 635000.0D, 848000.0D, 8192.0D, 5.0D) AS c5
+         FROM autzen LIMIT 5""").collect()
+    ids.foreach { row =>
+      val c3 = row.getLong(0) & ((1L << 58) - 1)
+      val c5 = row.getLong(1) & ((1L << 58) - 1)
+      assert(c3 == (c5 >> 4), "level-3 id must be the level-5 id without its last 2x2 bits")
+    }
+  }
+}
