@@ -36,6 +36,39 @@ object Fixtures {
       col("order_key"))
   }
 
+  /** Gzipped (x, y, z, classification) fixture extracted from a reference
+    * LAS file; order_key = record index. */
+  private def lasCsvGz(spark: SparkSession, resource: String, seed: Long): DataFrame = {
+    val in = new java.util.zip.GZIPInputStream(
+      getClass.getResourceAsStream(resource))
+    val lines = Source.fromInputStream(in, "UTF-8").getLines().drop(1).toArray
+    in.close()
+    val rows = lines.zipWithIndex.map { case (l, i) =>
+      val f = l.split(',')
+      (f(0).toDouble, f(1).toDouble, f(2).toDouble, f(3).toInt, i.toLong)
+    }
+    import spark.implicits._
+    spark.createDataset(rows.toSeq)
+      .toDF("x", "y", "z", "classification", "order_key")
+      .select(
+        format_string("doc%012d", col("order_key")).as("doc_id"),
+        Synth.spansCol(col("order_key"), seed).as("spans"),
+        col("x"), col("y"), col("z"), lit(0).as("intensity"),
+        col("classification"), lit(1).as("return_number"),
+        lit(1).as("number_of_returns"), lit(0.0).as("gps_time"),
+        col("order_key"))
+  }
+
+  /** `test/data/las/sample_nc.las` (14408 unclassified pts) — source of
+    * the neighborclassifier candidate golden. */
+  def sampleNc(spark: SparkSession): DataFrame =
+    lasCsvGz(spark, "/graft/sample_nc.csv.gz", seed = 101)
+
+  /** `test/data/las/sample_c_thin.las` (2732 classified pts) — the
+    * candidate set (NeighborClassifierFilterTest.cpp:183). */
+  def sampleCThin(spark: SparkSession): DataFrame =
+    lasCsvGz(spark, "/graft/sample_c_thin.csv.gz", seed = 102)
+
   /** WKT of `test/data/autzen/autzen-selection.wkt` (47-point crop golden,
     * test/unit/filters/CropFilterTest.cpp:210-212). */
   lazy val autzenSelectionWkt: String = {

@@ -80,6 +80,16 @@ class KnnSpec extends AnyFunSuite {
     assert(maj == Set(1))
   }
 
+  test("neighborclassifier candidate file k=1: class-6 count 12441 of 12525 " +
+      "(NeighborClassifierFilterTest.cpp:219 golden)") {
+    val src = Fixtures.sampleNc(spark)
+    val cand = Fixtures.sampleCThin(spark)
+    val out = NeighborClassifier(src, k = 1, candidates = Some(cand))
+    val c6 = out.filter(col("classification") === 6).count()
+    assert(out.count() == 14408)
+    assert(c6 == 12441, s"class-6 count $c6 != 12441")
+  }
+
   test("nndistance kth/avg produce positive distances") {
     val docs = Synth.docs(spark, 200, seed = 3)
     val kth = NNDistance(docs, k = 3, mode = "kth")
