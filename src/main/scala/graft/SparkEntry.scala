@@ -186,7 +186,9 @@ object SparkEntry {
     "q24_minhash_dedup" -> ((s, d) => {
       // hash functions are engine-specific -> rows-only oracle
       val docs = t(s, d, "documents").withColumn("doc_id", col("doc_id").cast("string"))
-      Dedup.minhashLsh(docs, threshold = 0.5)
+      // 8-row bands: (1/8)^(1/8) ~ 0.77 collision threshold — tight bands
+      // keep candidate volume linear on shared-vocabulary corpora
+      Dedup.minhashLsh(docs, threshold = 0.7, numHashes = 64, bands = 8)
         .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 4).as("j"))
     }),
     "q25_embedding_topk" -> ((s, d) => {

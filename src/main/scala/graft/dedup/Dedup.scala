@@ -35,8 +35,16 @@ object Dedup {
   def minhashLsh(df: DataFrame, threshold: Double = 0.7, numHashes: Int = 64,
       bands: Int = 16, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes).as("sig"))
+    // materialize shingles BEFORE fanning out to numHashes streams —
+    // without the barrier Catalyst collapses the projections and inlines
+    // the shingle construction into every per-seed min-hash (64x the
+    // string work, and a generated method too large to JIT)
+    val shingled = df.select(col(idCol).as("id"),
+        TextAnalysis.wordShingles(col(textCol), 3).as("sh"))
+      .localCheckpoint(eager = true)
+    val sig = shingled.select(col("id"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => array_min(transform(col("sh"), s => xxhash64(seed, s)))).as("sig"))
       .localCheckpoint(eager = true)
     val banded = sig.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket", xxhash64(col("band"),
