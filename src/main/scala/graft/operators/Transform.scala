@@ -71,6 +71,38 @@ object Reprojection {
     df.withColumn("__e", east).withColumn("y", north)
       .withColumn("x", col("__e")).drop("__e")
   }
+
+  /** UTM inverse (easting/northing -> lon/lat degrees), fixed zone —
+    * standard footpoint-latitude series. */
+  def utmToWgs84(df: DataFrame, zone: Int, southern: Boolean = false): DataFrame = {
+    val lon0 = (zone - 1) * 6 - 180 + 3
+    val ep2 = E2 / (1 - E2)
+    val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+    val x = col("x") - 500000.0
+    val y = if (southern) col("y") - 10000000.0 else col("y")
+    val m = y / K0
+    val mu = m / (R * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
+    val phi1 = mu +
+      lit(3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * sin(mu * 2) +
+      lit(21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * sin(mu * 4) +
+      lit(151 * math.pow(e1, 3) / 96) * sin(mu * 6) +
+      lit(1097 * math.pow(e1, 4) / 512) * sin(mu * 8)
+    val c1 = lit(ep2) * pow(cos(phi1), 2)
+    val t1 = pow(tan(phi1), 2)
+    val n1 = lit(R) / sqrt(lit(1.0) - lit(E2) * pow(sin(phi1), 2))
+    val r1 = lit(R) * (1 - E2) / pow(lit(1.0) - lit(E2) * pow(sin(phi1), 2), 1.5)
+    val d0 = x / (n1 * K0)
+    val lat = phi1 - (n1 * tan(phi1) / r1) * (pow(d0, 2) / 2
+      - (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1 - lit(9.0 * ep2)) * pow(d0, 4) / 24
+      + (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1
+        - lit(252.0 * ep2) - lit(3.0) * c1 * c1) * pow(d0, 6) / 720)
+    val lon = (d0 - (lit(1.0) + lit(2.0) * t1 + c1) * pow(d0, 3) / 6
+      + (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1
+        + lit(8.0 * ep2) + lit(24.0) * t1 * t1) * pow(d0, 5) / 120) / cos(phi1)
+    df.withColumn("__lon", lit(lon0.toDouble) + degrees(lon))
+      .withColumn("y", degrees(lat))
+      .withColumn("x", col("__lon")).drop("__lon")
+  }
 }
 
 /** filters.gpstimeconvert analog (filters/GpsTimeConvert.cpp:42):

@@ -162,6 +162,24 @@ object Sample {
   }
 }
 
+/** filters.relaxationdartthrowing analog
+  * (filters/RelaxationDartThrowing.cpp:51): shrink the poisson-disk
+  * radius by `decay` until at least `count` points survive. */
+object RelaxationDartThrowing {
+  def apply(df: DataFrame, targetCount: Long, startRadius: Double,
+      decay: Double = 0.9, maxIters: Int = 20): DataFrame = {
+    var r = startRadius
+    var out = Sample(df, r)
+    var iters = 1
+    while (out.count() < targetCount && iters < maxIters) {
+      r *= decay
+      out = Sample(df, r)
+      iters += 1
+    }
+    out
+  }
+}
+
 /** filters.fps analog (filters/FarthestPointSamplingFilter.cpp:51):
   * iterative farthest-point sampling; first pick = first point in order
   * (reference picks point 0), then argmax of min-distance to the chosen

@@ -123,6 +123,8 @@ object PipelineBuilder {
       case "filters.range" => graft.expr.RangeFilter(in, optStr(o, "limits").get)
       case "filters.expression" =>
         graft.expr.ExpressionFilter(in, optStr(o, "expression").get)
+      case "filters.mongo" =>
+        graft.expr.MongoFilter(in, optStr(o, "expression").get)
       case "filters.assign" =>
         // "Dim = value [WHERE expr]" statement form
         val stmt = optStr(o, "value").getOrElse(optStr(o, "assignment").get)
