@@ -64,12 +64,31 @@ object GraftSession {
     * the ones that matter at cluster scale too: AQE on (skew-join
     * splitting per SURVEY §7.4), shuffle partitions sized to cores not 200.
     */
+  /** Shuffle scratch on tmpfs, one subdir per JVM; stale subdirs of dead
+    * JVMs are swept at startup (a killed run must not leave GBs pinned in
+    * RAM for later sessions). */
+  private def localDir(): String = {
+    val base = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+    try {
+      java.nio.file.Files.createDirectories(base)
+      val live = java.nio.file.Paths.get("/proc")
+      java.nio.file.Files.list(base).forEach { p =>
+        val name = p.getFileName.toString
+        if (name.forall(_.isDigit) &&
+            !java.nio.file.Files.exists(live.resolve(name))) {
+          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        }
+      }
+    } catch { case _: Exception => }
+    base.resolve(ProcessHandle.current().pid().toString).toString
+  }
+
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.local.dir", localDir())
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
