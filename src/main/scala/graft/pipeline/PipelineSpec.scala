@@ -82,7 +82,17 @@ object PipelineBuilder {
 
     specs.zipWithIndex.foreach { case (spec, idx) =>
       val ins = inputsOf(spec, idx)
-      val out = applyStage(spark, spec, ins)
+      // per-stage where/where_merge (pdal/Stage.cpp:61-76): the stage sees
+      // only rows passing `where`; skipped rows merge back unless
+      // where_merge=false. Applies to filters only (readers have no input).
+      val out = (optStr(spec.options, "where"), ins.headOption) match {
+        case (Some(w), Some(_)) if spec.stageType.startsWith("filters.") =>
+          val merge = optBool(spec.options, "where_merge").getOrElse(true)
+          graft.expr.Where(ins.head, w,
+            d => applyStage(spark, spec.copy(options = spec.options - "where" - "where_merge"),
+              d +: ins.tail), merge)
+        case _ => applyStage(spark, spec, ins)
+      }
       built(spec.tag) = out
     }
     built.last._2

@@ -45,6 +45,28 @@ class PipelineSpecSuite extends AnyFunSuite {
     assert(out.agg(min("x")).head().getDouble(0) >= 100.0)
   }
 
+  test("per-stage where/where_merge in pipeline JSON (Stage.cpp:61-76)") {
+    val out = PipelineBuilder.run(spark,
+      """{"pipeline":[
+         {"type":"readers.faux","mode":"ramp","count":1000,
+          "bounds":"([0,1000],[0,1000],[0,1000])"},
+         {"type":"filters.assign","value":"classification = 7 WHERE z > 900",
+          "where":"x < 500"}
+        ]}""")
+    // where x<500 gates the stage; inside it, z>900 assigns 7. merged back
+    assert(out.count() == 1000)
+    assert(out.filter(col("classification") === 7).count() == 0) // x<500 && z>900 empty on ramp
+    val out2 = PipelineBuilder.run(spark,
+      """{"pipeline":[
+         {"type":"readers.faux","mode":"ramp","count":1000,
+          "bounds":"([0,1000],[0,1000],[0,1000])"},
+         {"type":"filters.assign","value":"classification = 7",
+          "where":"x >= 500", "where_merge": false}
+        ]}""")
+    assert(out2.count() == 500) // x = 1000*i/999 >= 500 <=> i >= 500
+    assert(out2.filter(col("classification") =!= 7).count() == 0)
+  }
+
   test("checkpoint runner: metrics recorded, exact resume skips completed stages") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val docs = Fixtures.autzen1065(spark)
