@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Closed-form 3x3 symmetric eigen-decomposition (Smith's analytic
+  * method) — static so codegen can call it. Input: the six distinct
+  * covariance entries; output: eigenvalues desc + the eigenvector of the
+  * SMALLEST eigenvalue (the surface normal). */
+object Eigen3 {
+  /** @return Array(l1, l2, l3, nx, ny, nz) with l1 >= l2 >= l3. */
+  def decompose(xx: Double, xy: Double, xz: Double,
+      yy: Double, yz: Double, zz: Double): Array[Double] = {
+    val p1 = xy * xy + xz * xz + yz * yz
+    var l1 = 0.0; var l2 = 0.0; var l3 = 0.0
+    if (p1 < 1e-30) { // already diagonal
+      val s = Array(xx, yy, zz).sorted
+      l1 = s(2); l2 = s(1); l3 = s(0)
+    } else {
+      val q = (xx + yy + zz) / 3.0
+      val p2 = (xx - q) * (xx - q) + (yy - q) * (yy - q) + (zz - q) * (zz - q) + 2 * p1
+      val p = math.sqrt(p2 / 6.0)
+      // B = (A - qI) / p; r = det(B) / 2 clamped to [-1, 1]
+      val b11 = (xx - q) / p; val b22 = (yy - q) / p; val b33 = (zz - q) / p
+      val b12 = xy / p; val b13 = xz / p; val b23 = yz / p
+      val detB = b11 * (b22 * b33 - b23 * b23) - b12 * (b12 * b33 - b23 * b13) +
+        b13 * (b12 * b23 - b22 * b13)
+      val r = math.max(-1.0, math.min(1.0, detB / 2.0))
+      val phi = math.acos(r) / 3.0
+      l1 = q + 2 * p * math.cos(phi)
+      l3 = q + 2 * p * math.cos(phi + 2.0 * math.Pi / 3.0)
+      l2 = 3 * q - l1 - l3
+    }
+    // normal = eigenvector of l3: cross product of two rows of (A - l3 I)
+    val r1 = Array(xx - l3, xy, xz)
+    val r2 = Array(xy, yy - l3, yz)
+    val r3 = Array(xz, yz, zz - l3)
+    def cross(a: Array[Double], b: Array[Double]) = Array(
+      a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
+    val cands = Array(cross(r1, r2), cross(r1, r3), cross(r2, r3))
+    def n2(v: Array[Double]) = v(0) * v(0) + v(1) * v(1) + v(2) * v(2)
+    var best = cands(0)
+    if (n2(cands(1)) > n2(best)) best = cands(1)
+    if (n2(cands(2)) > n2(best)) best = cands(2)
+    val nn = math.sqrt(math.max(n2(best), 1e-300))
+    var nx = best(0) / nn; var ny = best(1) / nn; var nz = best(2) / nn
+    if (nz < 0) { nx = -nx; ny = -ny; nz = -nz } // PDAL orients normals up
+    Array(l1, l2, l3, nx, ny, nz)
+  }
+}
+
+/** Expression wrapper: 6 covariance entries -> struct(l1,l2,l3,nx,ny,nz).
+  * CodegenFallback is fine here: it runs once per POINT on the already-
+  * aggregated moment row, not in the per-neighbor hot loop. */
+case class Eigen3Expr(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq("l1", "l2", "l3", "nx", "ny", "nz")
+    .map(StructField(_, DoubleType)))
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val a = vs.map(_.asInstanceOf[Double]).toArray
+      val r = Eigen3.decompose(a(0), a(1), a(2), a(3), a(4), a(5))
+      org.apache.spark.sql.catalyst.InternalRow(r(0), r(1), r(2), r(3), r(4), r(5))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** Per-point neighborhood covariance/eigen features — the
+  * filters.normal / filters.eigenvalues / filters.covariancefeatures /
+  * filters.approximatecoplanar / filters.estimaterank family
+  * (filters/NormalFilter.cpp:62, CovarianceFeaturesFilter.cpp:58,
+  * EigenvaluesFilter.cpp:53, ApproximateCoplanarFilter.cpp:53).
+  *
+  * One kNN join for neighbor ids, one re-join for neighbor coords, one
+  * groupBy for the moment sums, then the closed-form eigensolver as a
+  * codegen'd expression — no per-row JVM matrix library.
+  */
+object EigenFeatures {
+  def apply(df: DataFrame, k: Int = 8, cellSize: Double = 0.0): DataFrame = {
+    val pts = df.select("order_key", "x", "y", "z")
+    val knn = KnnJoin.knn(pts, df, k + 1, valueCol = "order_key",
+      cellSize = cellSize, selfJoin = true)
+    val edges = knn.select(col("order_key"), explode(col("knn")).as("h"))
+      .select(col("order_key"), col("h.cid").as("cid")) // includes self
+    val nbr = edges.join(
+      pts.select(col("order_key").as("cid"), col("x").as("nx0"),
+        col("y").as("ny0"), col("z").as("nz0")), Seq("cid"))
+    val mom = nbr.groupBy("order_key").agg(
+      count(lit(1)).as("n"),
+      avg("nx0").as("mx"), avg("ny0").as("my"), avg("nz0").as("mz"),
+      avg(col("nx0") * col("nx0")).as("sxx"), avg(col("nx0") * col("ny0")).as("sxy"),
+      avg(col("nx0") * col("nz0")).as("sxz"), avg(col("ny0") * col("ny0")).as("syy"),
+      avg(col("ny0") * col("nz0")).as("syz"), avg(col("nz0") * col("nz0")).as("szz"))
+    val eig = GraftBridge.column(Eigen3Expr(Seq(
+      col("sxx") - col("mx") * col("mx"), col("sxy") - col("mx") * col("my"),
+      col("sxz") - col("mx") * col("mz"), col("syy") - col("my") * col("my"),
+      col("syz") - col("my") * col("mz"), col("szz") - col("mz") * col("mz"))
+      .map(GraftBridge.expression)))
+    val withEig = mom.withColumn("__e", eig)
+    val l1 = col("__e.l1"); val l2 = col("__e.l2"); val l3 = col("__e.l3")
+    val sum3 = greatest(l1 + l2 + l3, lit(1e-300))
+    val features = withEig.select(col("order_key"),
+      l1.as("eigenvalue0"), l2.as("eigenvalue1"), l3.as("eigenvalue2"),
+      col("__e.nx").as("normal_x"), col("__e.ny").as("normal_y"),
+      col("__e.nz").as("normal_z"),
+      ((l1 - l2) / greatest(l1, lit(1e-300))).as("linearity"),
+      ((l2 - l3) / greatest(l1, lit(1e-300))).as("planarity"),
+      (l3 / greatest(l1, lit(1e-300))).as("sphericity"),
+      ((l1 - l3) / greatest(l1, lit(1e-300))).as("anisotropy"),
+      pow(greatest(l1 * l2 * l3, lit(0.0)), 1.0 / 3.0).as("omnivariance"),
+      (l3 / sum3).as("surface_variation"), // curvature
+      // approximatecoplanar flag (thresholds per ApproximateCoplanarFilter)
+      (l2 > lit(25.0) * l3 && lit(6.0) * l2 > l1).cast("int").as("coplanar"),
+      // estimaterank: eigenvalues above a tolerance of the largest
+      (when(l1 > 1e-9, 1).otherwise(0) +
+        when(l2 > l1 * 1e-3, 1).otherwise(0) +
+        when(l3 > l1 * 1e-3, 1).otherwise(0)).as("rank"))
+    df.join(features, Seq("order_key"), "left")
+  }
+}
