@@ -241,7 +241,16 @@ object SparkEntry {
         0, 0, 0, 1))
         .select(col("order_key"), col("x").as("tx"), col("y").as("ty"))),
     "q35_mad_filter" -> ((s, d) =>
-      Mad(pts(s, d), "x", k = 2.0).select("order_key"))
+      Mad(pts(s, d), "x", k = 2.0).select("order_key")),
+    "q36_eigen_features" -> ((s, d) => {
+      // neighborhood covariance features (filters.normal family) on a
+      // deterministic subset; engine-specific eigensolver -> rows-only
+      val p = pts(s, d).filter(col("order_key") < 2000)
+        .withColumn("classification", lit(0))
+      EigenFeatures(p, k = 8)
+        .select(col("order_key"), round(col("planarity"), 3).as("pl"),
+          round(col("sphericity"), 3).as("sp"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
