@@ -6,34 +6,48 @@ import org.apache.spark.sql.functions._
 /** filters.cluster analog (filters/ClusterFilter.cpp:48): Euclidean
   * connected components within `tolerance` -> ClusterID.
   *
-  * Distributed label propagation over the radius-neighbor graph (the
-  * standard large-graph CC pattern): labels start as order_key, every
-  * round each point takes the min label of its neighborhood, iterate to
-  * fixpoint (O(graph diameter) rounds, each one join+agg). Final ids are
-  * densified by first-appearance order so they match PDAL's 1-based
-  * discovery ids up to relabeling.
+  * Distributed min-label propagation WITH pointer jumping (path halving)
+  * over the radius-neighbor graph: each round every point takes the min
+  * label of its neighborhood, then labels chase their own parents one
+  * hop (lbl <- lbl(lbl)). The jump doubles the resolved distance per
+  * round, so convergence is O(log diameter) rounds rather than
+  * O(diameter) — the property that keeps long thin components (scan
+  * lines, roads) from serializing the loop at scale. Materialization via
+  * Mat (reliable checkpoint on clusters, localCheckpoint single-JVM).
+  *
+  * Dense-cell caveat: the edge list is O(sum of per-cell pair counts);
+  * a blob of m points inside one tolerance-cell emits m^2 edges. That is
+  * inherent to the reference semantics (every within-tolerance pair IS
+  * an edge); cap the blowup upstream with voxel downsampling at
+  * cell ~= tolerance when the data has dense blobs.
   */
 object Cluster {
   def apply(df: DataFrame, tolerance: Double, minPoints: Long = 1,
       outCol: String = "cluster_id"): DataFrame = {
-    val edges = RadiusCount.pairs(df, tolerance).select("pk", "qk")
-      .localCheckpoint(eager = true)
-    var labels = df.select(col("order_key").as("k"), col("order_key").as("lbl"))
-      .localCheckpoint(eager = true)
+    val edges = graft.core.Mat(RadiusCount.pairs(df, tolerance).select("pk", "qk"))
+    var labels = graft.core.Mat(
+      df.select(col("order_key").as("k"), col("order_key").as("lbl")))
     var changed = 1L
     while (changed > 0) {
+      // min over neighbor labels
       val nbrMin = edges.join(labels, edges("qk") === labels("k"))
-        .groupBy(col("pk")).agg(min("lbl").as("nlbl"))
-      val updated = labels.join(nbrMin, labels("k") === nbrMin("pk"), "left")
-        .select(col("k"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (col("nlbl") < col("lbl")).as("__chg"))
-      changed = updated.filter(col("__chg")).count()
-      labels = updated.select("k", "lbl").localCheckpoint(eager = true)
+        .groupBy(col("pk").as("k")).agg(min("lbl").as("nlbl"))
+      val prop = labels.join(nbrMin, Seq("k"), "left")
+        .select(col("k"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: follow the label's own label (labels are node keys)
+      val parents = prop.select(col("k").as("lbl"), col("lbl").as("__plbl"))
+      val jumped = graft.core.Mat(prop.join(parents, Seq("lbl"), "left")
+        .select(col("k"), coalesce(col("__plbl"), col("lbl")).as("lbl")))
+      changed = jumped.join(labels.select(col("k"), col("lbl").as("__old")), Seq("k"))
+        .filter(col("lbl") =!= col("__old")).count()
+      labels = jumped
     }
-    // densify: cluster id = 1-based rank of the root label (discovery order)
+    // densify: cluster id = 1-based rank of the root label, computed with
+    // the range-partitioned global rank (roots only — small, but never a
+    // single-partition window even when they aren't)
     val roots = labels.select("lbl").distinct()
-    val w = org.apache.spark.sql.expressions.Window.orderBy("lbl")
-    val dense = roots.withColumn("cid", row_number().over(w).cast("long"))
+    val dense = Order.globalRankBy(roots, Seq(col("lbl").asc), "__r")
+      .select(col("lbl"), (col("__r") + 1).as("cid"))
     val sized = labels.groupBy("lbl").agg(count(lit(1)).as("__sz"))
     val withId = labels.join(dense, Seq("lbl")).join(sized, Seq("lbl"))
       .select(col("k").as("order_key"),

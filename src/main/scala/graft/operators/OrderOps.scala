@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,62 @@ object Order {
   def globalRank(df: DataFrame, orderCol: String = "order_key",
       outCol: String = "__rank", ascending: Boolean = true): DataFrame =
     globalRankBy(df, Seq(if (ascending) col(orderCol).asc else col(orderCol).desc), outCol)
+
+  /** Dense 0-based rank by `sortCols` WITHIN each group of `groupCol`,
+    * scalable to any group size: range-repartition on (group, sort...),
+    * rank inside physical partitions (group runs are contiguous in range
+    * order), then add per-(partition, group) offsets. The collected
+    * offset table is one row per (partition, group-present-in-partition)
+    * — bounded by partitions + groups, never point data. */
+  def globalRankWithin(df: DataFrame, groupCol: String, sortCols: Seq[Column],
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ranged = df.repartitionByRange(parts, (col(groupCol) +: sortCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("__pid", groupCol).count().collect()
+      .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2))
+    // offset of (pid, g) = total count of g in lower pids
+    val offsets = counts.groupBy(_._1._2).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1._1).toSeq.map { case ((pid, _), n) =>
+        val o = acc; acc += n; (pid, g, o)
+      }
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.map(o => Row(o._1, o._2, o._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(groupCol, df.schema(groupCol).dataType),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))))
+    val w = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(sortCols: _*)
+    ranged.join(broadcast(offDf), Seq("__pid", groupCol))
+      .withColumn(outCol, row_number().over(w).cast("long") - 1 + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Inclusive running sum of `valueCol` in global `order_key` order:
+    * range-repartition, per-partition running sum, plus per-partition
+    * total offsets (one collected row per partition). */
+  def globalPrefixSum(df: DataFrame, valueCol: Column, outCol: String): DataFrame = {
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val ranged = df.withColumn("__v", valueCol)
+      .repartitionByRange(parts, col("order_key"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = ranged.groupBy("__pid").agg(sum("__v").as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (sums.isEmpty) 0 else sums.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) => acc + sums.getOrElse(pid, 0L))
+    val offCol = element_at(array(offsets.take(maxPid + 1).map(lit): _*), col("__pid") + 1)
+    val w = Window.partitionBy("__pid").orderBy("order_key")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged.withColumn(outCol, sum("__v").over(w) + offCol)
+      .drop("__pid", "__v")
+  }
 }
 
 /** filters.sort analog (filters/SortFilter.cpp:42): stable sort by one
@@ -55,6 +111,9 @@ object Sort {
   * first/last `count` points in order; `invert` keeps the complement. */
 object HeadTail {
   def head(df: DataFrame, count: Long, invert: Boolean = false): DataFrame = {
+    if (!invert && count <= Int.MaxValue)
+      // TakeOrderedAndProject — no global rank shuffle for a plain LIMIT
+      return df.orderBy("order_key").limit(count.toInt)
     val ranked = Order.globalRank(df)
     val p = col("__rank") < count
     ranked.filter(if (invert) !p else p).drop("__rank")

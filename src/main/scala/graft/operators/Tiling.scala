@@ -196,15 +196,21 @@ object Chipper {
       }.toSeq
       val metaDf = spark.createDataFrame(splits.map(s => (s._1, s._2, s._3, s._4)))
         .toDF("__block", "__wideIsX", "__cut", "__rchild")
-      val w = Window.partitionBy("__block").orderBy(col("__pos"), col("order_key"))
-      work = work
-        .join(broadcast(metaDf), Seq("__block"), "left")
+      // rank ONLY the splitting blocks, each via range-repartitioned
+      // per-block rank (globalRankWithin) — the first levels are one or
+      // few whole-dataset blocks and must never funnel through a single
+      // window partition
+      val toSplit = work.join(broadcast(metaDf), Seq("__block"))
         .withColumn("__pos", when(col("__wideIsX"), col("x")).otherwise(col("y")))
-        .withColumn("__rn", when(col("__cut").isNotNull,
-          row_number().over(w)).otherwise(lit(null)))
-        .withColumn("__block", when(col("__rn").isNotNull && col("__rn") > col("__cut"),
+      val ranked = Order.globalRankWithin(toSplit, "__block",
+        Seq(col("__pos"), col("order_key")), "__rn")
+      val reassigned = ranked
+        .withColumn("__block", when(col("__rn") >= col("__cut"),
           col("__rchild").cast("int")).otherwise(col("__block")))
-        .drop("__wideIsX", "__cut", "__rchild", "__pos", "__rn")
+        .select("x", "y", "order_key", "__block")
+      val untouched = work.join(broadcast(metaDf.select("__block")),
+        Seq("__block"), "left_anti")
+      work = reassigned.unionByName(untouched)
       blocks = blocks.flatMap { case (id, b) =>
         splits.find(_._1 == id) match {
           case Some((_, wideIsX, _, pcenter, _)) => Seq(
@@ -250,12 +256,17 @@ object Divider {
     val n = df.count()
     if (n == 0) return df.withColumn(partCol, lit(0))
     val size: Long = count.map(_.toLong).getOrElse((n - 1) / capacity.get + 1)
-    val rn = row_number().over(Window.orderBy("order_key")) - 1
-    if (roundRobin) df.withColumn(partCol, (rn % size).cast("int"))
-    else {
-      val limit = (n - 1) / size + 1 // DividerFilter.cpp:134
-      df.withColumn(partCol, (rn / limit).cast("int"))
-    }
+    // global rank via range-repartition + per-partition offsets — never a
+    // single-partition window
+    val ranked = Order.globalRank(df)
+    val rn = col("__rank")
+    val out =
+      if (roundRobin) ranked.withColumn(partCol, (rn % size).cast("int"))
+      else {
+        val limit = (n - 1) / size + 1 // DividerFilter.cpp:134
+        ranked.withColumn(partCol, (rn / limit).cast("int"))
+      }
+    out.drop("__rank")
   }
 }
 
@@ -299,9 +310,9 @@ object Returns {
   * running sum over the order key. */
 object SeparateScanLine {
   def apply(df: DataFrame, edgeCol: String = "edge_of_flight_line",
-      groupsOf: Int = 1, viewCol: String = "view_id"): DataFrame = {
-    val w = Window.orderBy("order_key").rowsBetween(Window.unboundedPreceding, 0)
-    val scan = sum(when(col(edgeCol) === 1, 1).otherwise(0)).over(w)
-    df.withColumn(viewCol, (scan / groupsOf).cast("long"))
-  }
+      groupsOf: Int = 1, viewCol: String = "view_id"): DataFrame =
+    // distributed prefix sum (range partitions + per-partition offsets)
+    Order.globalPrefixSum(df, when(col(edgeCol) === 1, 1L).otherwise(0L), "__scan")
+      .withColumn(viewCol, (col("__scan") / groupsOf).cast("long"))
+      .drop("__scan")
 }
