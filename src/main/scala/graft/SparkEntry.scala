@@ -167,9 +167,12 @@ object SparkEntry {
         sum(col("n_chars")).as("total_chars"))
     }),
     "q22_exact_dedup" -> ((s, d) => {
+      // group on the 8-byte hash of the normalized text (what Dedup.exact
+      // shuffles at scale), not the full text; the oracle groups by the
+      // text itself — same partition of doc ids absent hash collisions
       val docs = t(s, d, "documents")
-        .withColumn("norm", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
-      docs.groupBy("norm").agg(min("doc_id").as("kept_id"))
+        .withColumn("fp", xxhash64(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      docs.groupBy("fp").agg(min("doc_id").as("kept_id"))
         .select(col("kept_id"))
     }),
     "q23_quality_bands" -> ((s, d) => {
@@ -198,9 +201,10 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rnk"))
     }),
     "q26_simhash" -> ((s, d) => {
-      // engine-specific hash -> rows-only oracle
+      // engine-specific hash -> rows-only oracle; maxHamming=3 is inside
+      // the chunk-bucket recall guarantee (4 chunks, pigeonhole)
       val docs = t(s, d, "documents").withColumn("doc_id", col("doc_id").cast("string"))
-      Dedup.simhashPairs(docs, maxHamming = 16)
+      Dedup.simhashPairs(docs, maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
     }),
     "q27_langid" -> ((s, d) =>

@@ -91,16 +91,42 @@ object Dedup {
            (v, i) -> IF(v > 0, shiftleft(1L, CAST(i AS INT)), 0L)),
          0L, (acc, b) -> acc | b)""")
 
-  /** SimHash near-dup pairs: fingerprints bucketed by 4 16-bit chunks
-    * (any pair within hamming distance <= 3 shares at least one chunk —
-    * pigeonhole); verified with bit_count(xor) <= maxHamming. */
+  /** SimHash near-dup pairs: fingerprints bucketed by maxHamming+1
+    * disjoint bit chunks — pigeonhole guarantees any pair within hamming
+    * distance <= maxHamming shares at least one untouched chunk, so
+    * candidate recall is 1.0 AT the requested radius. Verified with
+    * bit_count(xor) <= maxHamming.
+    *
+    * maxHamming is capped at 7 (8 chunks of >= 8 bits): beyond that the
+    * chunks get so narrow that bucket collision volume goes quadratic —
+    * larger radii need multi-probe or multi-table indexes, not narrower
+    * chunks. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhashSql(textCol).as("fp"))
       .localCheckpoint(eager = true)
-    val chunked = fp.withColumn("chunk", explode(sequence(lit(0), lit(3))))
-      .withColumn("key", struct(col("chunk"),
-        expr("shiftrightunsigned(fp, CAST(chunk * 16 AS INT)) & 65535")))
+    simhashPairsFromFp(fp, maxHamming)
+  }
+
+  /** Pair generation over precomputed (id, fp) fingerprints — split out
+    * so bucket recall is testable on crafted fingerprints. */
+  def simhashPairsFromFp(fp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"chunk-bucket recall guarantee needs maxHamming+1 <= 8 chunks of >= 8 bits " +
+        s"(got $maxHamming); use multi-probe for larger radii")
+    val c = maxHamming + 1
+    val base = 64 / c
+    val rem = 64 % c
+    val widths = Array.tabulate(c)(i => if (i < rem) base + 1 else base)
+    val shifts = widths.scanLeft(0)(_ + _).take(c)
+    val chunkDefs = array(shifts.indices.map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      struct(lit(i).as("i"), lit(shifts(i)).as("sh"), lit(mask).as("mask"))
+    }: _*)
+    val chunked = fp.withColumn("__c", explode(chunkDefs))
+      .withColumn("key", struct(col("__c.i"),
+        expr("shiftrightunsigned(fp, CAST(__c.sh AS INT))").bitwiseAND(col("__c.mask"))))
+      .select("id", "fp", "key")
     val cand = chunked.as("a").join(chunked.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

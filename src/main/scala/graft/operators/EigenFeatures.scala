@@ -88,11 +88,21 @@ object EigenFeatures {
     val pts = df.select("order_key", "x", "y", "z")
     val knn = KnnJoin.knn(pts, df, k + 1, valueCol = "order_key",
       cellSize = cellSize, selfJoin = true)
-    val edges = knn.select(col("order_key"), explode(col("knn")).as("h"))
-      .select(col("order_key"), col("h.cid").as("cid")) // includes self
+    val edges = knn.join(pts.select(col("order_key"), col("x").as("qx"),
+        col("y").as("qy"), col("z").as("qz")), Seq("order_key"))
+      .select(col("order_key"), col("qx"), col("qy"), col("qz"),
+        explode(col("knn")).as("h"))
+      .select(col("order_key"), col("qx"), col("qy"), col("qz"),
+        col("h.cid").as("cid")) // includes self
+    // center neighbor coords on the QUERY point before the moment sums:
+    // covariance is shift-invariant, and with UTM-scale raw coordinates
+    // (~6e5) the uncentered E[xy]-E[x]E[y] cancels ~11 significant digits
+    // — centered sums stay O(neighborhood extent)
     val nbr = edges.join(
-      pts.select(col("order_key").as("cid"), col("x").as("nx0"),
-        col("y").as("ny0"), col("z").as("nz0")), Seq("cid"))
+        pts.select(col("order_key").as("cid"), col("x").as("ax"),
+          col("y").as("ay"), col("z").as("az")), Seq("cid"))
+      .select(col("order_key"), (col("ax") - col("qx")).as("nx0"),
+        (col("ay") - col("qy")).as("ny0"), (col("az") - col("qz")).as("nz0"))
     val mom = nbr.groupBy("order_key").agg(
       count(lit(1)).as("n"),
       avg("nx0").as("mx"), avg("ny0").as("my"), avg("nz0").as("mz"),

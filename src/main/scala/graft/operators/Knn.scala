@@ -73,11 +73,13 @@ object KnnJoin {
     // per-ring candidate scans, escalated binnings) would otherwise
     // re-execute the caller's full upstream plan per job. For self-kNN
     // the query side IS the candidate side — one materialization.
-    val candM = cand.select(col("x"), col("y"), col("z"),
-      col("order_key"), col(valueCol)).localCheckpoint(true)
+    val candCols =
+      if (valueCol == "order_key") Seq(col("x"), col("y"), col("z"), col("order_key"))
+      else Seq(col("x"), col("y"), col("z"), col("order_key"), col(valueCol))
+    val candM = graft.core.Mat(cand.select(candCols: _*))
     val queriesM =
       if (selfJoin) candM.select("order_key", "x", "y", "z")
-      else queries.select("order_key", "x", "y", "z").localCheckpoint(true)
+      else graft.core.Mat(queries.select("order_key", "x", "y", "z"))
 
     val ext = candM.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
       min("z"), max("z")).head()
@@ -85,8 +87,24 @@ object KnnJoin {
     if (ext.getLong(0) == 0L) // no candidates at all
       return queries.select(col("order_key"),
         typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType).as("knn"))
-    val maxExtent = math.max(1e-9, math.max(ext.getDouble(2) - ext.getDouble(1),
-      math.max(ext.getDouble(4) - ext.getDouble(3), ext.getDouble(6) - ext.getDouble(5))))
+    // coverAll must be query-aware: the examined cube is centered at the
+    // QUERY cell, so finality needs ring*h to cover the distance from any
+    // query to the farthest candidate — bounded by the UNION bbox extent
+    // (a query offset from the candidate cloud otherwise gets truncated
+    // results once ring*h passes the candidate-only extent)
+    val uext =
+      if (selfJoin) ext
+      else {
+        val qe = queriesM.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
+          min("z"), max("z")).head()
+        if (qe.getLong(0) == 0L) ext
+        else org.apache.spark.sql.Row(ext.getLong(0),
+          math.min(ext.getDouble(1), qe.getDouble(1)), math.max(ext.getDouble(2), qe.getDouble(2)),
+          math.min(ext.getDouble(3), qe.getDouble(3)), math.max(ext.getDouble(4), qe.getDouble(4)),
+          math.min(ext.getDouble(5), qe.getDouble(5)), math.max(ext.getDouble(6), qe.getDouble(6)))
+      }
+    val maxExtent = math.max(1e-9, math.max(uext.getDouble(2) - uext.getDouble(1),
+      math.max(uext.getDouble(4) - uext.getDouble(3), uext.getDouble(6) - uext.getDouble(5))))
 
     val h0raw = if (cellSize > 0) cellSize else estimateCellSize(candM, math.max(64.0, k * 4.0))
     val h0 = if (h0raw.isNaN || h0raw <= 1e-12) maxExtent / 16 else h0raw

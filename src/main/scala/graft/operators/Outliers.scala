@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Noise/outlier classification family. The neighborhood members ride on
@@ -19,7 +20,8 @@ object Outlier {
     val meanDist = knn.select(col("order_key"),
       (aggregate(nbrs, lit(0.0), (acc, h) => acc + sqrt(h.getField("d2"))) /
         greatest(size(nbrs), lit(1))).as("__md"))
-    val t = meanDist.agg(avg("__md"), stddev_samp(col("__md"))).head()
+    val t = meanDist.agg(coalesce(avg("__md"), lit(0.0)),
+      coalesce(stddev_samp(col("__md")), lit(0.0))).head() // null stddev at n=1
     val threshold = t.getDouble(0) + multiplier * t.getDouble(1)
     val flagged = df.join(meanDist, Seq("order_key"), "left")
     if (remove) flagged.filter(col("__md") < threshold).drop("__md")
@@ -179,24 +181,27 @@ object Reciprocity {
 }
 
 /** filters.elm analog (filters/ELMFilter.cpp:50): extended local minimum —
-  * flag low points whose nearest ground neighbors are far above them. */
+  * walk each cell's z-ascending list from the bottom, flagging SUCCESSIVE
+  * low points while the gap to the next point is >= threshold; the first
+  * sub-threshold gap stops the walk (so stacked low outliers are all
+  * flagged, and the topmost point never is). */
 object Elm {
   def apply(df: DataFrame, cell: Double = 10.0, threshold: Double = 1.0,
       noiseClass: Int = 7): DataFrame = {
-    // per (x, y) cell: points more than `threshold` BELOW the cell's
-    // second-lowest z are noise (local-minimum test per grid cell)
     val cx = floor(col("x") / cell).cast("long")
     val cy = floor(col("y") / cell).cast("long")
     val keyed = df.withColumn("__cx", cx).withColumn("__cy", cy)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__cx", "__cy")
-      .orderBy(col("z").asc)
-    val ranked = keyed.withColumn("__rn", row_number().over(w))
-      .withColumn("__z2", max(when(col("__rn") === 2, col("z"))).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__cx", "__cy")))
+      .orderBy(col("z").asc, col("order_key").asc)
+    // gap(i) = z(i+1) - z(i); point i is noise iff every gap up to and
+    // including its own is >= threshold -> running AND via running min
+    val gapOk = when(lead(col("z"), 1).over(w).isNotNull &&
+      lead(col("z"), 1).over(w) - col("z") >= threshold, 1).otherwise(0)
+    val ranked = keyed.withColumn("__ok", gapOk)
+      .withColumn("__allOk",
+        min(col("__ok")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
     ranked.withColumn("classification",
-      when(col("__rn") === 1 && col("__z2").isNotNull &&
-        col("__z2") - col("z") > threshold, lit(noiseClass))
-        .otherwise(col("classification")))
-      .drop("__cx", "__cy", "__rn", "__z2")
+      when(col("__allOk") === 1, lit(noiseClass)).otherwise(col("classification")))
+      .drop("__cx", "__cy", "__ok", "__allOk")
   }
 }

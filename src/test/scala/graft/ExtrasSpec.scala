@@ -109,7 +109,7 @@ class ExtrasSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val fp = docs.select(Dedup.simhashSql("text").as("fp")).collect().map(_.getLong(0))
     assert(fp(0) != 0L && fp.distinct.length >= 2)
-    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
@@ -210,5 +210,54 @@ class ExtrasSpec extends AnyFunSuite {
     if (vids > 0) assert(frames.count() >= vids)
     val resized = Multimodal.resizeStub(media, 224, 224)
     assert(resized.filter(col("meta.width") =!= 224).count() == 0)
+  }
+
+  test("simhash bucket recall is exact AT maxHamming (pigeonhole boundary)") {
+    import spark.implicits._
+    // adversarial: flips spread across DIFFERENT chunks so no single
+    // narrow bucket catches them by luck — exactly maxHamming flips
+    val base = 0x0123456789ABCDEFL
+    val h3 = base ^ (1L << 0) ^ (1L << 20) ^ (1L << 40) // 3 flips, 3 chunks
+    val h4 = base ^ (1L << 0) ^ (1L << 20) ^ (1L << 40) ^ (1L << 60)
+    val fp = Seq(("a", base), ("b", h3), ("c", h4)).toDF("id", "fp")
+    val p3 = Dedup.simhashPairsFromFp(fp, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(p3.contains(("a", "b"))) // hamming 3 MUST be found at radius 3
+    assert(!p3.contains(("a", "c"))) // hamming 4 correctly filtered
+    val p4 = Dedup.simhashPairsFromFp(fp, maxHamming = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(p4.contains(("a", "c"))) // found once the radius covers it
+    intercept[IllegalArgumentException](Dedup.simhashPairsFromFp(fp, maxHamming = 16))
+  }
+
+  test("elm flags stacked low outliers, breaks at first sub-threshold gap") {
+    import spark.implicits._
+    // ADVICE scenario: z = 0, 2, 4, 100 with threshold 1 -> flag three
+    val df = Seq((0L, 1.0, 1.0, 0.0), (1L, 2.0, 2.0, 2.0),
+        (2L, 3.0, 3.0, 4.0), (3L, 4.0, 4.0, 100.0))
+      .toDF("order_key", "x", "y", "z").withColumn("classification", lit(0))
+    val out = Elm(df, cell = 10.0, threshold = 1.0)
+    val flagged = out.filter(col("classification") === 7)
+      .select("order_key").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(0L, 1L, 2L))
+    // exact-threshold gap continues the walk (reference: fabs(gap) < t breaks)
+    val df2 = Seq((0L, 1.0, 1.0, 0.0), (1L, 2.0, 2.0, 1.0), (2L, 3.0, 3.0, 50.0))
+      .toDF("order_key", "x", "y", "z").withColumn("classification", lit(0))
+    val f2 = Elm(df2, cell = 10.0, threshold = 1.0)
+      .filter(col("classification") === 7)
+      .select("order_key").collect().map(_.getLong(0)).toSet
+    assert(f2 == Set(0L, 1L))
+    // sub-threshold first gap -> nothing flagged
+    val df3 = Seq((0L, 1.0, 1.0, 0.0), (1L, 2.0, 2.0, 0.5), (2L, 3.0, 3.0, 50.0))
+      .toDF("order_key", "x", "y", "z").withColumn("classification", lit(0))
+    assert(Elm(df3, cell = 10.0, threshold = 1.0)
+      .filter(col("classification") === 7).count() == 0)
+  }
+
+  test("outlier statistical degrades gracefully on a single point") {
+    import spark.implicits._
+    val one = Seq((0L, 1.0, 1.0, 1.0)).toDF("order_key", "x", "y", "z")
+      .withColumn("classification", lit(0))
+    assert(Outlier.statistical(one, meanK = 4).count() == 1)
   }
 }

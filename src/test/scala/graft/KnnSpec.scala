@@ -97,4 +97,31 @@ class KnnSpec extends AnyFunSuite {
     val avg = NNDistance(docs, k = 3, mode = "avg")
     assert(avg.filter(col("nn_distance") <= 0).count() == 0)
   }
+
+  test("queries OFFSET from the candidate cloud still get full exact kNN " +
+      "(coverAll must be query-aware — hausdorff between disjoint clouds)") {
+    import spark.implicits._
+    // candidates in [0,10]^2, queries shifted far outside the candidate
+    // bbox: with candidate-extent-only coverAll these got empty/truncated
+    // results once ring*h passed the candidate extent
+    val cand = (0 until 100).map(i =>
+      (i.toLong, (i % 10).toDouble, (i / 10).toDouble, 0.0, i))
+      .toDF("order_key", "x", "y", "z", "classification")
+    val q = (0 until 5).map(i =>
+      (1000L + i, 500.0 + i, 500.0, 0.0)).toDF("order_key", "x", "y", "z")
+    val out = KnnJoin.knn(q, cand, k = 3, valueCol = "classification")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toVector).toMap
+    assert(out.size == 5)
+    out.foreach { case (qid, hits) => assert(hits.length == 3, s"qid=$qid got $hits") }
+    // nearest candidate to (500+i, 500) is the corner (9, 9) = order_key 99
+    assert(out.values.forall(_.head == 99L))
+    // end-to-end: hausdorff between offset clouds is finite and exact
+    val a = (0 until 50).map(i => (i.toLong, i.toDouble, 0.0, 0.0))
+      .toDF("order_key", "x", "y", "z")
+    val b = (0 until 50).map(i => (i.toLong, i.toDouble + 1000.0, 0.0, 0.0))
+      .toDF("order_key", "x", "y", "z")
+    val h = graft.pipeline.CloudMetrics.hausdorff(a, b)
+    assert(math.abs(h - 1000.0) < 1e-9, s"hausdorff $h")
+  }
 }
