@@ -43,6 +43,30 @@ object KnnJoin {
       if math.max(math.abs(dx), math.max(math.abs(dy), math.abs(dz))) == r
     } yield (dx, dy, dz)
 
+  /** Hot halo-cells at cell size h: cells whose 27-cell neighborhood
+    * holds more than `cap` candidates, with their salt factor (capped at
+    * 64 groups). Two stages so uniform data pays only one slim
+    * map-side-combined aggregate: a destination cell can exceed cap only
+    * if some base neighbor cell exceeds cap/27, so the exact (27x
+    * exploded) count runs only when the cheap base count flags anything. */
+  private[graft] def detectHotCells(cand: DataFrame, h: Double, cap: Int): Map[Long, Int] = {
+    def cells = cand.select(cellCoord(col("x"), h).as("cx"),
+      cellCoord(col("y"), h).as("cy"), cellCoord(col("z"), h).as("cz"))
+    val basePre = cells.select(pack3(col("cx"), col("cy"), col("cz")).as("cell"))
+      .groupBy("cell").count().filter(col("count") > cap / 27)
+      .limit(1).count()
+    if (basePre == 0L) return Map.empty
+    val offs = array((shellOffsets(0) ++ shellOffsets(1)).map { case (dx, dy, dz) =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
+    }: _*)
+    cells.withColumn("__o", explode(offs))
+      .select(pack3(col("cx") + col("__o.dx"), col("cy") + col("__o.dy"),
+        col("cz") + col("__o.dz")).as("cell"))
+      .groupBy("cell").count().filter(col("count") > cap).collect()
+      .map(r => r.getLong(0) ->
+        math.min(math.ceil(r.getLong(1).toDouble / cap), 64.0).toInt).toMap
+  }
+
   /** Estimate a cell edge targeting `target` candidates/cell. */
   def estimateCellSize(cand: DataFrame, target: Double = 64.0): Double = {
     val r = cand.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
@@ -60,12 +84,18 @@ object KnnJoin {
     * @param queries  needs (order_key, x, y, z)
     * @param cand     needs (order_key, x, y, z) + `valueCol`
     * @param valueCol candidate column carried into the result (vote target)
+    * @param maxCellCandidates skew bound: halo-cells holding more
+    *        candidates than this are salted — candidates split into
+    *        ceil(n/cap) hash groups, queries replicated across them,
+    *        partial top-k merged — so no single cogroup task ever
+    *        receives an unbounded dense cell (AQE skew splitting does
+    *        not apply to Dataset.cogroup)
     * @return (order_key, knn: array<struct<d2,cid,v>>) sorted by (d2, cid),
     *         length min(k, |cand reachable|); empty array if none
     */
   def knn(queries: DataFrame, cand: DataFrame, k: Int,
       valueCol: String = "classification", cellSize: Double = 0.0,
-      selfJoin: Boolean = false): DataFrame = {
+      selfJoin: Boolean = false, maxCellCandidates: Int = 100000): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
 
@@ -113,12 +143,13 @@ object KnnJoin {
       pack3(cellCoord(col("x"), h), cellCoord(col("y"), h), cellCoord(col("z"), h)).as("cell"),
       col("x"), col("y"), col("z"), col("order_key").as("cid"),
       col(valueCol).cast("double").as("v"))
+      .withColumn("__salt", lit(0))
 
     /** Candidates duplicated into their 27-cube neighbor cells (the halo
       * exchange on the CANDIDATE side): every ring-1 query then joins a
       * single cell and gets its final cube-1 top-k in ONE cogroup — no
       * per-query partial-merge shuffle at all. */
-    def candHalo(h: Double) = {
+    def candHaloBase(h: Double) = {
       val offs = array((shellOffsets(0) ++ shellOffsets(1)).map { case (dx, dy, dz) =>
         struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
       }: _*)
@@ -133,28 +164,53 @@ object KnnJoin {
           col("x"), col("y"), col("z"), col("cid"), col("v"))
     }
 
+    /** Halo candidates with skew salt: rows of hot destination cells get
+      * a deterministic hash salt in [0, S) so each cogroup group holds at
+      * most ~cap candidates. */
+    def candHalo(h: Double, hotDf: Option[DataFrame]) = hotDf match {
+      case Some(hd) => candHaloBase(h).join(hd, Seq("cell"), "left")
+        .withColumn("__salt", when(col("__s").isNotNull,
+          pmod(xxhash64(col("cid")), col("__s").cast("long")).cast("int"))
+          .otherwise(lit(0)))
+        .drop("__s")
+      case None => candHaloBase(h).withColumn("__salt", lit(0))
+    }
+
+    def detectHot(h: Double, cap: Int): Map[Long, Int] = detectHotCells(candM, h, cap)
+
     def bin(q: DataFrame, h: Double): DataFrame = q.select(col("qid"),
       col("qx"), col("qy"), col("qz"),
       cellCoord(col("qx"), h).as("ccx"), cellCoord(col("qy"), h).as("ccy"),
       cellCoord(col("qz"), h).as("ccz"))
 
     def ringPartials(q: DataFrame, shell: Seq[(Int, Int, Int)],
-        candsDf: DataFrame, filterCells: Boolean): DataFrame = {
+        candsDf: DataFrame, filterCells: Boolean,
+        hotDf: Option[DataFrame] = None): DataFrame = {
       val offs = array(shell.map { case (dx, dy, dz) =>
         struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
       }: _*)
-      val exploded = q.withColumn("__o", explode(offs))
+      val exploded0 = q.withColumn("__o", explode(offs))
         .select(col("qid"), col("qx"), col("qy"), col("qz"),
           pack3(col("ccx") + col("__o.dx"), col("ccy") + col("__o.dy"),
             col("ccz") + col("__o.dz")).as("cell"))
-        .as[(Long, Double, Double, Double, Long)]
+      // queries probing a hot cell fan out to every salt group of that
+      // cell (candidates were split); cold cells keep the single salt 0
+      val exploded = (hotDf match {
+        case Some(hd) => exploded0.join(hd, Seq("cell"), "left")
+          .withColumn("__salt",
+            explode(sequence(lit(0), coalesce(col("__s"), lit(1)) - 1)))
+          .drop("__s")
+        case None => exploded0.withColumn("__salt", lit(0))
+      }).select("qid", "qx", "qy", "qz", "cell", "__salt")
+        .as[(Long, Double, Double, Double, Long, Int)]
       // late rings probe few cells: shrink the candidate shuffle to the
       // cells actually probed instead of re-shuffling the full corpus
       val cands0 = if (filterCells)
         candsDf.join(exploded.toDF().select("cell").distinct(), Seq("cell"), "left_semi")
       else candsDf
-      val cands = cands0.as[(Long, Double, Double, Double, Long, Double)]
-      exploded.groupByKey(_._5).cogroup(cands.groupByKey(_._1)) {
+      val cands = cands0.select("cell", "x", "y", "z", "cid", "v", "__salt")
+        .as[(Long, Double, Double, Double, Long, Double, Int)]
+      exploded.groupByKey(t => (t._5, t._6)).cogroup(cands.groupByKey(t => (t._1, t._7))) {
         (_, qs, cs) =>
           // unpack candidates into primitive arrays once per cell — the
           // inner loop below is allocation-free (hot path of the join)
@@ -172,7 +228,7 @@ object KnnJoin {
               cidA(j) = c._5; cvA(j) = c._6
               j += 1
             }
-            qs.map { case (qid, qx, qy, qz, _) =>
+            qs.map { case (qid, qx, qy, qz, _, _) =>
               // fixed-size insertion-sorted top-k on primitive arrays
               val bd = new Array[Double](k); val bc = new Array[Long](k)
               val bv = new Array[Double](k)
@@ -232,10 +288,22 @@ object KnnJoin {
       // shuffle. Later binnings: explode the (small) pending query set
       // and shrink candidates to probed cells.
       var accumulated =
-        if (firstBinning)
-          ringPartials(q, shellOffsets(0), candHalo(h), filterCells = false)
-            .withColumnRenamed("hits", "knn")
-        else mergeTopK(carried match {
+        if (firstBinning) {
+          // n <= cap means no cell can exceed the cap — detection free
+          val hot =
+            if (ext.getLong(0) <= maxCellCandidates) Map.empty[Long, Int]
+            else detectHot(h, maxCellCandidates)
+          val hotDf =
+            if (hot.isEmpty) None
+            else Some(broadcast(
+              spark.createDataFrame(hot.toSeq).toDF("cell", "__s")))
+          val partials = ringPartials(q, shellOffsets(0), candHalo(h, hotDf),
+            filterCells = false, hotDf = hotDf)
+          // salted queries hold partials per salt group -> merge; the
+          // skew-free fast path keeps the single-cogroup result as-is
+          if (hotDf.isDefined) mergeTopK(partials)
+          else partials.withColumnRenamed("hits", "knn")
+        } else mergeTopK(carried match {
           case Some(c) => ringPartials(q, r1cube, cands, filterCells = true)
             .unionByName(c.select(col("qid"), col("knn").as("hits")))
           case None => ringPartials(q, r1cube, cands, filterCells = true)

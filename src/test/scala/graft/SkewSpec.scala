@@ -52,6 +52,35 @@ class SkewSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("kNN hot-cell salting: detection fires, per-task candidate groups " +
+      "are bounded by the cap, results stay exact") {
+    val pts = skewed.select("order_key", "x", "y", "z").cache()
+    val h = 500.0 // dense blob spans 100m -> one 500m cell holds ~9000
+    val cap = 1000
+    val hot = graft.operators.KnnJoin.detectHotCells(pts, h, cap)
+    assert(hot.nonEmpty, "dense cell must be detected as hot")
+    // salt factors bound each (cell, salt) cogroup group to ~cap: the
+    // task-input bound AQE cannot provide for Dataset.cogroup
+    hot.values.foreach(s => assert(s >= 9 && s <= 64, s"salt factor $s"))
+    val maxGroup = hot.map { case (_, s) => math.ceil(9000.0 / s) }.max
+    assert(maxGroup <= 2 * cap, s"salted group bound $maxGroup vs cap $cap")
+    // exactness THROUGH the salted path (cap forces salting at this h)
+    val knnSalted = graft.operators.KnnJoin.knn(pts, skewed, 3,
+      cellSize = h, maxCellCandidates = cap)
+    val all = pts.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val gotS = knnSalted.filter(col("order_key") < 30).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toVector).toMap
+    gotS.foreach { case (qid, ids) =>
+      val (_, qx, qy, qz) = all.find(_._1 == qid).get
+      val exp = all.map { case (cid, x, y, z) =>
+        ((x - qx) * (x - qx) + (y - qy) * (y - qy) + (z - qz) * (z - qz), cid)
+      }.sorted.take(3).map(_._2).toVector
+      assert(ids == exp, s"salted qid=$qid")
+    }
+  }
+
   test("kNN on the skewed cloud stays correct (dense cell = bounded task)") {
     val pts = skewed.select("order_key", "x", "y", "z", "classification")
     val knn = graft.operators.KnnJoin.knn(
