@@ -130,9 +130,12 @@ object SparkEntry {
       Crop.polygon(pts(s, d), wkt).select("order_key")
     }),
     "q14_chipper" -> ((s, d) => {
-      // rank-recursive equal-count tiling: chip population histogram
+      // rank-recursive equal-count tiling. Chip ids are partition-array
+      // indices and chip sizes are fully determined by the
+      // cumulate-and-round partition array (ChipperFilter.cpp:161-181)
+      // regardless of geometry — so (chip_id, n) IS oracle-checkable.
       Chipper(pts(s, d), capacity = 500).groupBy("chip_id")
-        .agg(count(lit(1)).as("n"), min("order_key").as("first_id"))
+        .agg(count(lit(1)).as("n"))
     }),
     "q15_geomdistance" -> ((s, d) => {
       val wkt = "POLYGON ((2000 2000, 7000 2000, 7000 6000, 2000 6000, 2000 2000))"
@@ -212,13 +215,18 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     // ---- raster + hexbin + cluster (engine-specific -> selected SQL) -
     "q28_rasterize" -> ((s, d) =>
+      // raw min/max: both engines read the same parquet doubles, so the
+      // comparison is exact without rounding
       Rasterize(pts(s, d), resolution = 1000.0, valueCol = "value",
           radius = 0.1, origin = Some((0.0, 0.0)))
         .select(col("cell_x"), col("cell_y"), col("count"),
-          round(col("min"), 6).as("vmin"), round(col("max"), 6).as("vmax"))),
+          col("min").as("vmin"), col("max").as("vmax"))),
     "q29_hexbin" -> ((s, d) =>
+      // axial hex coords unpacked so the oracle can replicate the
+      // cube-rounding assignment in plain SQL
       HexBin(pts(s, d), edge = 400.0)
-        .select(col("hex_id"), col("density"))),
+        .select(graft.functions.F.cellX(col("hex_id")).as("hq"),
+          graft.functions.F.cellY(col("hex_id")).as("hr"), col("density"))),
     "q30_cluster" -> ((s, d) =>
       Cluster(pts(s, d).filter(col("order_key") < 2000), tolerance = 120.0)
         .groupBy("cluster_id").agg(count(lit(1)).as("n"))),
@@ -248,12 +256,14 @@ object SparkEntry {
       Mad(pts(s, d), "x", k = 2.0).select("order_key")),
     "q36_eigen_features" -> ((s, d) => {
       // neighborhood covariance features (filters.normal family) on a
-      // deterministic subset; engine-specific eigensolver -> rows-only
+      // deterministic subset; the oracle replicates the closed-form
+      // Smith eigensolver operation-for-operation in SQL. `+ 0.0`
+      // normalizes IEEE -0.0 on both sides.
       val p = pts(s, d).filter(col("order_key") < 2000)
         .withColumn("classification", lit(0))
       EigenFeatures(p, k = 8)
-        .select(col("order_key"), round(col("planarity"), 3).as("pl"),
-          round(col("sphericity"), 3).as("sp"))
+        .select(col("order_key"), (round(col("planarity"), 3) + lit(0.0)).as("pl"),
+          (round(col("sphericity"), 3) + lit(0.0)).as("sp"))
     })
   )
 
@@ -411,6 +421,122 @@ object SparkEntry {
       s"""WITH p AS ($ptsSql),
           m AS (SELECT MEDIAN(x) AS med FROM p),
           d AS (SELECT MEDIAN(ABS(x - med)) * 1.4862 AS mad FROM p, m)
-          SELECT order_key FROM p, m, d WHERE ABS(x - med) < 2.0 * mad"""
+          SELECT order_key FROM p, m, d WHERE ABS(x - med) < 2.0 * mad""",
+    // chip sizes are a pure function of the cumulate-and-round partition
+    // array (ChipperCore.partitions); chip ids are its indices. psize is
+    // exactly representable at this (n, capacity) so the accumulated
+    // boundary equals the multiplied one.
+    "q14_chipper" ->
+      s"""WITH t AS (SELECT COUNT(*) AS cnt FROM ($ptsSql)),
+          m AS (SELECT cnt,
+            CAST(cnt / 500 + CASE WHEN cnt % 500 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS np
+            FROM t),
+          i AS (SELECT np, cnt, UNNEST(RANGE(np)) AS chip FROM m)
+          SELECT chip AS chip_id,
+            CAST(FLOOR((chip + 1) * (cnt * 1.0 / np) + 0.5)
+               - FLOOR(chip * (cnt * 1.0 / np) + 0.5) AS BIGINT) AS n
+          FROM i""",
+    "q27_langid" ->
+      """WITH t AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','that','it','on','for','with','as','was','at','by'))) AS en,
+           len(list_filter(toks, w -> w IN ('der','die','das','und','ist','von','mit','zu','im','den','ein','eine','nicht','auf'))) AS de,
+           len(list_filter(toks, w -> w IN ('le','la','les','et','est','de','des','un','une','dans','que','pour','pas','sur'))) AS fr,
+           len(list_filter(toks, w -> w IN ('el','la','los','las','y','es','de','un','una','en','que','por','para','no'))) AS es
+         FROM t)
+         SELECT doc_id,
+           CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+                WHEN fr = GREATEST(en, de, fr, es) THEN 'fr'
+                WHEN es = GREATEST(en, de, fr, es) THEN 'es'
+                WHEN en = GREATEST(en, de, fr, es) THEN 'en'
+                ELSE 'de' END AS lang_pred
+         FROM s""",
+    // every point sits on integer coords, so a cell center is within
+    // radius 0.1 only for points exactly at the center — the same float
+    // predicate the engine evaluates
+    "q28_rasterize" ->
+      s"""SELECT CAST(FLOOR(x / 1000) AS BIGINT) AS cell_x,
+            CAST(FLOOR(y / 1000) AS BIGINT) AS cell_y,
+            COUNT(*) AS "count", MIN(value) AS vmin, MAX(value) AS vmax
+          FROM ($ptsSql)
+          WHERE SQRT(POWER(x - (FLOOR(x / 1000) + 0.5) * 1000, 2)
+                   + POWER(y - (FLOOR(y / 1000) + 0.5) * 1000, 2)) <= 0.1
+          GROUP BY 1, 2""",
+    // axial hex assignment with cube rounding, replicated operation-for-
+    // operation (FLOOR(v+0.5) = Java Math.round); edge 400
+    "q29_hexbin" ->
+      s"""WITH h AS (SELECT
+            (sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / 400.0 AS q,
+            (2.0 / 3.0 * y) / 400.0 AS r FROM ($ptsSql)),
+          c AS (SELECT q, r, -q - r AS s,
+            FLOOR(q + 0.5) AS rq, FLOOR(r + 0.5) AS rr, FLOOR(-q - r + 0.5) AS rs
+            FROM h),
+          f AS (SELECT
+            CASE WHEN ABS(rq - q) > ABS(rr - r) AND ABS(rq - q) > ABS(rs - s)
+                 THEN -rr - rs ELSE rq END AS fq,
+            CASE WHEN NOT (ABS(rq - q) > ABS(rr - r) AND ABS(rq - q) > ABS(rs - s))
+                  AND ABS(rr - r) > ABS(rs - s)
+                 THEN -rq - rs ELSE rr END AS fr
+            FROM c)
+          SELECT CAST(fq AS BIGINT) AS hq, CAST(fr AS BIGINT) AS hr,
+            COUNT(*) AS density FROM f GROUP BY 1, 2""",
+    // connected components via transitive label closure (recursive CTE),
+    // roots densified by rank — mirrors min-label propagation + densify
+    "q30_cluster" ->
+      s"""WITH RECURSIVE p AS (
+            SELECT order_key AS k, x, y FROM ($ptsSql) WHERE order_key < 2000),
+          e AS (SELECT a.k AS pk, b.k AS qk FROM p a JOIN p b
+            ON a.k <> b.k AND
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 14400.0),
+          lbl(k, l) AS (
+            SELECT k, k FROM p
+            UNION
+            SELECT e.pk, lbl.l FROM e JOIN lbl ON lbl.k = e.qk),
+          r AS (SELECT k, MIN(l) AS root FROM lbl GROUP BY k),
+          d AS (SELECT root, DENSE_RANK() OVER (ORDER BY root) AS cid
+            FROM (SELECT DISTINCT root FROM r) t)
+          SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n
+          FROM r JOIN d USING (root) GROUP BY cid""",
+    // exact 9-NN (self included) per query, query-centered covariance,
+    // Smith's closed-form symmetric eigensolver replicated operation-
+    // for-operation (Eigen3.decompose); z == 0 so the diagonal fallback
+    // never fires. `+ 0.0` folds IEEE -0.0 into 0.0 on both engines.
+    "q36_eigen_features" ->
+      s"""WITH p AS ($ptsSql),
+          q AS (SELECT order_key, x, y, z FROM p WHERE order_key < 2000),
+          pairs AS (SELECT a.order_key AS qid, b.order_key AS cid,
+            (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS d2,
+            b.x - a.x AS nx, b.y - a.y AS ny, b.z - a.z AS nz
+            FROM q a JOIN q b ON true),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d2, cid) AS rnk FROM pairs),
+          nbr AS (SELECT * FROM ranked WHERE rnk <= 9),
+          mom AS (SELECT qid, AVG(nx) AS mx, AVG(ny) AS my, AVG(nz) AS mz,
+            AVG(nx*nx) AS sxx, AVG(nx*ny) AS sxy, AVG(nx*nz) AS sxz,
+            AVG(ny*ny) AS syy, AVG(ny*nz) AS syz, AVG(nz*nz) AS szz
+            FROM nbr GROUP BY qid),
+          cov AS (SELECT qid, sxx - mx*mx AS xx, sxy - mx*my AS xy,
+            sxz - mx*mz AS xz, syy - my*my AS yy, syz - my*mz AS yz,
+            szz - mz*mz AS zz FROM mom),
+          eig AS (SELECT qid, xx, xy, xz, yy, yz, zz,
+            xy*xy + xz*xz + yz*yz AS p1, (xx + yy + zz) / 3.0 AS qq FROM cov),
+          eig2 AS (SELECT *, (xx-qq)*(xx-qq) + (yy-qq)*(yy-qq) + (zz-qq)*(zz-qq)
+            + 2*p1 AS p2 FROM eig),
+          eig3 AS (SELECT *, SQRT(p2 / 6.0) AS pp FROM eig2),
+          eig4 AS (SELECT *, (xx-qq)/pp AS b11, (yy-qq)/pp AS b22,
+            (zz-qq)/pp AS b33, xy/pp AS b12, xz/pp AS b13, yz/pp AS b23
+            FROM eig3 WHERE p1 >= 1e-30),
+          eig5 AS (SELECT *, b11*(b22*b33 - b23*b23) - b12*(b12*b33 - b23*b13)
+            + b13*(b12*b23 - b22*b13) AS detB FROM eig4),
+          eig6 AS (SELECT *, ACOS(GREATEST(-1.0, LEAST(1.0, detB / 2.0))) / 3.0
+            AS phi FROM eig5),
+          lam AS (SELECT qid, qq, pp, qq + 2*pp*COS(phi) AS l1,
+            qq + 2*pp*COS(phi + 2.0943951023931953) AS l3 FROM eig6),
+          lam2 AS (SELECT qid, l1, 3*qq - l1 - l3 AS l2, l3 FROM lam)
+          SELECT qid AS order_key,
+            ROUND((l2 - l3) / GREATEST(l1, 1e-300), 3) + 0.0 AS pl,
+            ROUND(l3 / GREATEST(l1, 1e-300), 3) + 0.0 AS sp
+          FROM lam2"""
   )
 }
