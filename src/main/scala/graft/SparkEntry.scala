@@ -36,6 +36,21 @@ object SparkEntry {
        CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
        CAST(0.0 AS DOUBLE) AS z, event_type, value FROM events"""
 
+  /** 3D variant: z derived like x/y so neighborhood operators see real
+    * volumetric structure. */
+  private def pts3(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id").as("order_key"),
+      ((col("event_id") * 7919) % 10000).cast("double").as("x"),
+      ((col("event_id") * 104729) % 10000).cast("double").as("y"),
+      ((col("event_id") * 131) % 1000).cast("double").as("z"))
+
+  private val pts3Sql =
+    """SELECT event_id AS order_key,
+       CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+       CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
+       CAST((event_id * 131) % 1000 AS DOUBLE) AS z FROM events"""
+
   /** Flagship: crop -> splitter -> kNN-classify over a synthesized doc
     * table (the BASELINE.json pipeline at smoke scale). */
   def entry(spark: SparkSession): DataFrame = {
@@ -264,6 +279,33 @@ object SparkEntry {
       EigenFeatures(p, k = 8)
         .select(col("order_key"), (round(col("planarity"), 3) + lit(0.0)).as("pl"),
           (round(col("sphericity"), 3) + lit(0.0)).as("sp"))
+    }),
+    "q37_density_boundary" -> ((s, d) => {
+      // hexbin boundary polygon (kernels.density primary output):
+      // ring/vertex/area metadata; the polygon tracing itself is
+      // driver-side over the occupied-hex set -> rows-only
+      val r = HexBoundary.densityReport(pts(s, d), edge = 400.0)
+      import s.implicits._
+      Seq((r.rings, r.vertices, r.occupiedHexes,
+        math.round(r.area))).toDF("rings", "vertices", "occupied", "area_rnd")
+    }),
+    "q38_optimal_neighborhood" -> ((s, d) => {
+      // eigenentropy-minimizing neighborhood size (optimal_radius is
+      // bit-identical across engines: same d2 arithmetic, IEEE sqrt)
+      val p = pts3(s, d).filter(col("order_key") < 2000)
+      OptimalNeighborhood(p, kMin = 6, kMax = 12)
+        .select(col("order_key"), col("optimal_knn"), col("optimal_radius"))
+    }),
+    "q39_planefit" -> ((s, d) => {
+      // plane-fit criterion needs 3D structure: derive z like x/y
+      val p = pts3(s, d).filter(col("order_key") < 2000)
+      PlaneFit(p, knn = 8)
+        .select(col("order_key"), (round(col("plane_fit"), 3) + lit(0.0)).as("pf"))
+    }),
+    "q40_miniball" -> ((s, d) => {
+      val p = pts3(s, d).filter(col("order_key") < 2000)
+      MiniballFilter(p, knn = 8)
+        .select(col("order_key"), (round(col("miniball"), 3) + lit(0.0)).as("mb"))
     })
   )
 
@@ -537,6 +579,71 @@ object SparkEntry {
           SELECT qid AS order_key,
             ROUND((l2 - l3) / GREATEST(l1, 1e-300), 3) + 0.0 AS pl,
             ROUND(l3 / GREATEST(l1, 1e-300), 3) + 0.0 AS sp
-          FROM lam2"""
+          FROM lam2""",
+    // per-k prefix covariances via an expanding window, Smith eigen,
+    // eigenentropy argmin (ties -> smallest k). optimal_radius compares
+    // exactly: same d2 arithmetic and IEEE sqrt on both engines.
+    "q38_optimal_neighborhood" ->
+      s"""WITH p AS ($pts3Sql),
+          q AS (SELECT * FROM p WHERE order_key < 2000),
+          pairs AS (SELECT a.order_key AS qid, b.order_key AS cid,
+            (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS d2,
+            b.x - a.x AS nx, b.y - a.y AS ny, b.z - a.z AS nz
+            FROM q a JOIN q b ON true),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d2, cid) AS rnk FROM pairs),
+          nbr AS (SELECT * FROM ranked WHERE rnk <= 12),
+          pref AS (SELECT qid, rnk AS k, d2,
+            AVG(nx) OVER w AS mx, AVG(ny) OVER w AS my, AVG(nz) OVER w AS mz,
+            AVG(nx*nx) OVER w AS pxx, AVG(nx*ny) OVER w AS pxy,
+            AVG(nx*nz) OVER w AS pxz, AVG(ny*ny) OVER w AS pyy,
+            AVG(ny*nz) OVER w AS pyz, AVG(nz*nz) OVER w AS pzz
+            FROM nbr
+            WINDOW w AS (PARTITION BY qid ORDER BY rnk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          cov AS (SELECT qid, k, d2,
+            (pxx - mx*mx) * (k / (k - 1.0)) AS xx,
+            (pxy - mx*my) * (k / (k - 1.0)) AS xy,
+            (pxz - mx*mz) * (k / (k - 1.0)) AS xz,
+            (pyy - my*my) * (k / (k - 1.0)) AS yy,
+            (pyz - my*mz) * (k / (k - 1.0)) AS yz,
+            (pzz - mz*mz) * (k / (k - 1.0)) AS zz
+            FROM pref WHERE k BETWEEN 6 AND 12),
+          eig AS (SELECT *, xy*xy + xz*xz + yz*yz AS p1,
+            (xx + yy + zz) / 3.0 AS qq FROM cov),
+          eig2 AS (SELECT *, (xx-qq)*(xx-qq) + (yy-qq)*(yy-qq) + (zz-qq)*(zz-qq)
+            + 2*p1 AS p2 FROM eig),
+          eig3 AS (SELECT *, SQRT(p2 / 6.0) AS pp FROM eig2),
+          eig5 AS (SELECT *, ((xx-qq)/pp)*(((yy-qq)/pp)*((zz-qq)/pp) - (yz/pp)*(yz/pp))
+            - (xy/pp)*((xy/pp)*((zz-qq)/pp) - (yz/pp)*(xz/pp))
+            + (xz/pp)*((xy/pp)*(yz/pp) - ((yy-qq)/pp)*(xz/pp)) AS detB
+            FROM eig3),
+          eig6 AS (SELECT *, ACOS(GREATEST(-1.0, LEAST(1.0, detB / 2.0))) / 3.0
+            AS phi FROM eig5),
+          lam AS (SELECT qid, k, d2,
+            CASE WHEN p1 < 1e-30 THEN GREATEST(xx, yy, zz)
+                 ELSE qq + 2*pp*COS(phi) END AS l1,
+            CASE WHEN p1 < 1e-30 THEN xx + yy + zz
+                   - GREATEST(xx, yy, zz) - LEAST(xx, yy, zz)
+                 ELSE 3*qq - (qq + 2*pp*COS(phi))
+                   - (qq + 2*pp*COS(phi + 2.0943951023931953)) END AS l2,
+            CASE WHEN p1 < 1e-30 THEN LEAST(xx, yy, zz)
+                 ELSE qq + 2*pp*COS(phi + 2.0943951023931953) END AS l3
+            FROM eig6),
+          ent AS (SELECT qid, k, d2,
+            -(CASE WHEN GREATEST(l1,0)/(GREATEST(l1,0)+GREATEST(l2,0)+GREATEST(l3,0)) > 0
+                THEN GREATEST(l1,0)/(GREATEST(l1,0)+GREATEST(l2,0)+GREATEST(l3,0))
+                  * LN(GREATEST(l1,0)/(GREATEST(l1,0)+GREATEST(l2,0)+GREATEST(l3,0))) ELSE 0 END
+             + CASE WHEN GREATEST(l2,0)/(GREATEST(l1,0)+GREATEST(l2,0)+GREATEST(l3,0)) > 0
+                THEN GREATEST(l2,0)/(GREATEST(l1,0)+GREATEST(l2,0)+GREATEST(l3,0))
+                  * LN(GREATEST(l2,0)/(GREATEST(l1,0)+GREATEST(l2,0)+GREATEST(l3,0))) ELSE 0 END
+             + CASE WHEN GREATEST(l3,0)/(GREATEST(l1,0)+GREATEST(l2,0)+GREATEST(l3,0)) > 0
+                THEN GREATEST(l3,0)/(GREATEST(l1,0)+GREATEST(l2,0)+GREATEST(l3,0))
+                  * LN(GREATEST(l3,0)/(GREATEST(l1,0)+GREATEST(l2,0)+GREATEST(l3,0))) ELSE 0 END)
+            AS e FROM lam),
+          sel AS (SELECT qid, k, d2,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY e, k) AS r FROM ent)
+          SELECT qid AS order_key, CAST(k AS INT) AS optimal_knn,
+            SQRT(d2) AS optimal_radius FROM sel WHERE r = 1"""
   )
 }

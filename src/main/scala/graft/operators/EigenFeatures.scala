@@ -136,3 +136,130 @@ object EigenFeatures {
     df.join(features, Seq("order_key"), "left")
   }
 }
+
+/** filters.optimalneighborhood analog
+  * (filters/OptimalNeighborhoodFilter.cpp:72-165): per point, scan
+  * neighborhood sizes k in [kMin, kMax], compute the eigenentropy
+  * -sum(lambda_i ln lambda_i) of the sample covariance of the k nearest
+  * (self included), and keep the k (and its radius) minimizing it.
+  *
+  * Spark shape: one kNN join at kMax, explode neighbors with their rank,
+  * per-point prefix moments via a window over the (<= kMax)-row
+  * neighborhood — partitions are tiny by construction, so the window is
+  * skew-free — then the closed-form eigensolver per (point, k) row and a
+  * min_by. Ties pick the smallest k (reference: strict '<' keeps the
+  * first minimum). */
+object OptimalNeighborhood {
+  def apply(df: DataFrame, kMin: Int = 10, kMax: Int = 14,
+      cellSize: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select("order_key", "x", "y", "z")
+    val knn = KnnJoin.knn(pts, df, kMax, valueCol = "order_key",
+      cellSize = cellSize, selfJoin = true)
+    val edges = knn.join(pts.select(col("order_key"), col("x").as("qx"),
+        col("y").as("qy"), col("z").as("qz")), Seq("order_key"))
+      .select(col("order_key"), col("qx"), col("qy"), col("qz"),
+        posexplode(col("knn")).as(Seq("pos", "h")))
+      .select(col("order_key"), (col("pos") + 1).as("k"),
+        col("h.d2").as("d2"), col("h.cid").as("cid"),
+        col("qx"), col("qy"), col("qz"))
+    val nbr = edges.join(df.select(col("order_key").as("cid"),
+        col("x").as("ax"), col("y").as("ay"), col("z").as("az")), Seq("cid"))
+      .select(col("order_key"), col("k"), col("d2"),
+        (col("ax") - col("qx")).as("nx"), (col("ay") - col("qy")).as("ny"),
+        (col("az") - col("qz")).as("nz"))
+    val w = Window.partitionBy("order_key").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def pm(c: Column) = avg(c).over(w) // prefix mean over first k neighbors
+    val prefixed = nbr
+      .withColumn("mx", pm(col("nx"))).withColumn("my", pm(col("ny")))
+      .withColumn("mz", pm(col("nz")))
+      .withColumn("sxx", pm(col("nx") * col("nx")))
+      .withColumn("sxy", pm(col("nx") * col("ny")))
+      .withColumn("sxz", pm(col("nx") * col("nz")))
+      .withColumn("syy", pm(col("ny") * col("ny")))
+      .withColumn("syz", pm(col("ny") * col("nz")))
+      .withColumn("szz", pm(col("nz") * col("nz")))
+      .filter(col("k").between(kMin, kMax) && col("k") > 1)
+    // sample covariance: population moments * n/(n-1)
+    val n = col("k").cast("double")
+    val f = n / (n - 1)
+    val eig = org.apache.spark.sql.GraftBridge.column(Eigen3Expr(Seq(
+      (col("sxx") - col("mx") * col("mx")) * f,
+      (col("sxy") - col("mx") * col("my")) * f,
+      (col("sxz") - col("mx") * col("mz")) * f,
+      (col("syy") - col("my") * col("my")) * f,
+      (col("syz") - col("my") * col("mz")) * f,
+      (col("szz") - col("mz") * col("mz")) * f)
+      .map(org.apache.spark.sql.GraftBridge.expression)))
+    val withE = prefixed.withColumn("__e", eig)
+    val l1 = greatest(col("__e.l1"), lit(0.0))
+    val l2 = greatest(col("__e.l2"), lit(0.0))
+    val l3 = greatest(col("__e.l3"), lit(0.0))
+    val sum3 = l1 + l2 + l3
+    def term(l: Column) = {
+      val lam = l / sum3
+      when(lam > 0, -lam * log(lam)).otherwise(lit(0.0))
+    }
+    val scored = withE.withColumn("__ent", term(l1) + term(l2) + term(l3))
+    val best = scored.groupBy("order_key").agg(
+      min_by(struct(col("k"), sqrt(col("d2")).as("r")),
+        struct(col("__ent"), col("k"))).as("b"))
+      .select(col("order_key"), col("b.k").as("optimal_knn"),
+        col("b.r").as("optimal_radius"))
+    df.join(best, Seq("order_key"), "left")
+  }
+}
+
+/** filters.planefit analog (filters/PlaneFitFilter.cpp:115-152, Kutz et
+  * al. 2003): fit a plane to the k neighbors (self EXCLUDED), criterion
+  * = d / (d + d_bar) where d is the query's absolute plane distance and
+  * d_bar the neighbors' mean. Two aggregations over one exploded
+  * neighbor join: moments -> normal+centroid, then neighbor distances. */
+object PlaneFit {
+  def apply(df: DataFrame, knn: Int = 8, cellSize: Double = 0.0): DataFrame = {
+    val pts = df.select("order_key", "x", "y", "z")
+    val nn = KnnJoin.knn(pts, df, knn + 1, valueCol = "order_key",
+      cellSize = cellSize, selfJoin = true)
+    val edges = nn.join(pts.select(col("order_key"), col("x").as("qx"),
+        col("y").as("qy"), col("z").as("qz")), Seq("order_key"))
+      .select(col("order_key"), col("qx"), col("qy"), col("qz"),
+        explode(slice(col("knn"), lit(2),
+          greatest(size(col("knn")) - 1, lit(0)))).as("h"))
+      .select(col("order_key"), col("qx"), col("qy"), col("qz"),
+        col("h.cid").as("cid"))
+      .join(df.select(col("order_key").as("cid"), col("x").as("ax"),
+        col("y").as("ay"), col("z").as("az")), Seq("cid"))
+      // center on the query point for numerical stability (shift-
+      // invariant; plane distance computed in the same frame)
+      .select(col("order_key"),
+        (col("ax") - col("qx")).as("nx"), (col("ay") - col("qy")).as("ny"),
+        (col("az") - col("qz")).as("nz"))
+      .localCheckpoint(false)
+    val mom = edges.groupBy("order_key").agg(
+      count(lit(1)).as("n"),
+      avg("nx").as("mx"), avg("ny").as("my"), avg("nz").as("mz"),
+      avg(col("nx") * col("nx")).as("sxx"), avg(col("nx") * col("ny")).as("sxy"),
+      avg(col("nx") * col("nz")).as("sxz"), avg(col("ny") * col("ny")).as("syy"),
+      avg(col("ny") * col("nz")).as("syz"), avg(col("nz") * col("nz")).as("szz"))
+    val eig = org.apache.spark.sql.GraftBridge.column(Eigen3Expr(Seq(
+      col("sxx") - col("mx") * col("mx"), col("sxy") - col("mx") * col("my"),
+      col("sxz") - col("mx") * col("mz"), col("syy") - col("my") * col("my"),
+      col("syz") - col("my") * col("mz"), col("szz") - col("mz") * col("mz"))
+      .map(org.apache.spark.sql.GraftBridge.expression)))
+    val plane = mom.withColumn("__e", eig)
+      .select(col("order_key"), col("n"), col("mx"), col("my"), col("mz"),
+        col("__e.nx").as("px"), col("__e.ny").as("py"), col("__e.nz").as("pz"))
+    // query sits at the frame origin: d = |n . (0 - centroid)|
+    val dQuery = abs(col("px") * col("mx") + col("py") * col("my") +
+      col("pz") * col("mz"))
+    val nbrD = edges.join(plane, Seq("order_key"))
+      .withColumn("__dn", abs(col("px") * (col("nx") - col("mx")) +
+        col("py") * (col("ny") - col("my")) + col("pz") * (col("nz") - col("mz"))))
+      .groupBy("order_key").agg((sum("__dn") / lit(knn)).as("__dbar"))
+    val crit = plane.join(nbrD, Seq("order_key"))
+      .withColumn("plane_fit", dQuery / greatest(dQuery + col("__dbar"), lit(1e-300)))
+      .select("order_key", "plane_fit")
+    df.join(crit, Seq("order_key"), "left")
+  }
+}

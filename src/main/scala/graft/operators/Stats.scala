@@ -76,12 +76,30 @@ object Stats {
 }
 
 /** filters.info analog (filters/InfoFilter.cpp:47): schema + bbox + count
-  * + nearest point to a query location. */
+  * + nearest point list to a query location. */
 object Info {
   def apply(df: DataFrame): DataFrame =
     df.agg(count(lit(1)).as("num_points"),
       min("x").as("minx"), min("y").as("miny"), min("z").as("minz"),
       max("x").as("maxx"), max("y").as("maxy"), max("z").as("maxz"))
+
+  /** InfoFilter `query` option (filters/InfoFilter.cpp:58-64,
+    * parsePointSpec): the `count` points nearest to (qx, qy[, qz]),
+    * nearest first. orderBy+limit compiles to TakeOrderedAndProject —
+    * no global sort materializes. */
+  def nearest(df: DataFrame, qx: Double, qy: Double,
+      qz: Option[Double] = None, count: Int = 10): DataFrame = {
+    val d2 = qz match {
+      case Some(z) => (col("x") - qx) * (col("x") - qx) +
+        (col("y") - qy) * (col("y") - qy) + (col("z") - z) * (col("z") - z)
+      case None => (col("x") - qx) * (col("x") - qx) +
+        (col("y") - qy) * (col("y") - qy)
+    }
+    df.withColumn("__d2", d2)
+      .orderBy(col("__d2"), col("order_key"))
+      .limit(count)
+      .withColumn("distance", sqrt(col("__d2"))).drop("__d2")
+  }
 }
 
 /** filters.hexbin analog (filters/HexBinFilter.cpp:47): hexagonal
@@ -112,6 +130,6 @@ object HexBin {
     val hexes = apply(df, edge)
     val e = hexes.select("hex_edge").head().getDouble(0)
     val n = hexes.count()
-    (n, n * 2.598 * e * e) // hex area = 3*sqrt(3)/2 * edge^2
+    (n, n * 3.0 * math.sqrt(3.0) / 2.0 * e * e) // hex area = 3*sqrt(3)/2 * edge^2
   }
 }

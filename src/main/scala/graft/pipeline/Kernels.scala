@@ -73,6 +73,22 @@ object CloudMetrics {
   }
 }
 
+/** kernels.density (DensityKernel.cpp:51): hexbin density table plus the
+  * boundary MULTIPOLYGON of the occupied area — the reference's primary
+  * density output. */
+object DensityKernel {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local()
+    val df = spark.read.parquet(args(0))
+    val edge = args.lift(1).map(_.toDouble).getOrElse(0.0)
+    val r = HexBoundary.densityReport(df, edge)
+    println(s"[density] hexes=${r.occupiedHexes} area=${r.area} " +
+      s"density=${r.density} rings=${r.rings} vertices=${r.vertices}")
+    println(r.boundaryWkt)
+    spark.stop()
+  }
+}
+
 /** kernels.eval (EvalKernel.cpp:48): classification accuracy metrics vs a
   * truth cloud joined on order_key. */
 object EvalKernel {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Eigen3, EigenFeatures}
+import graft.operators.{Eigen3, EigenFeatures, OptimalNeighborhood, PlaneFit, MiniballFilter}
 
 class EigenSpec extends AnyFunSuite {
   import TestSpark._
@@ -60,5 +60,117 @@ class EigenSpec extends AnyFunSuite {
     assert(out.count() == 400)
     val sph = out.agg(avg("sphericity")).head().getDouble(0)
     assert(sph > 0.02, s"sphericity $sph should be clearly nonzero for a 3D cloud")
+  }
+
+  test("optimalneighborhood: differential vs reference selection " +
+      "(OptimalNeighborhoodFilter.cpp:72-165)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // flat sheet: entropy decreases as the neighborhood grows (planarity
+    // sharpens) -> optimum at kMax
+    val flat = (0 until 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100,
+        rnd.nextGaussian() * 0.001))
+      .toDF("order_key", "x", "y", "z")
+    val out = OptimalNeighborhood(flat, kMin = 6, kMax = 12)
+    assert(out.count() == 300)
+    assert(out.filter(col("optimal_knn").isNull).count() == 0)
+    assert(out.filter(col("optimal_radius") <= 0).count() == 0)
+    // differential: replicate the reference selection (prefix sample
+    // covariance -> eigenentropy -> argmin, ties to smallest k) in plain
+    // Scala for a sample of points and compare k and radius exactly
+    val all = flat.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val got = out.select("order_key", "optimal_knn", "optimal_radius")
+      .filter(col("order_key") < 10).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    got.foreach { case (qid, (gk, gr)) =>
+      val (_, qx, qy, qz) = all.find(_._1 == qid).get
+      val nbrs = all.map { case (cid, x, y, z) =>
+        val d2 = (x - qx) * (x - qx) + (y - qy) * (y - qy) + (z - qz) * (z - qz)
+        (d2, cid, x - qx, y - qy, z - qz)
+      }.sortBy(t => (t._1, t._2)).take(12)
+      var best = (Double.MaxValue, 0, 0.0)
+      for (k <- 6 to 12) {
+        val pre = nbrs.take(k)
+        val n = k.toDouble
+        def m(f: ((Double, Long, Double, Double, Double)) => Double) = pre.map(f).sum / n
+        val (mx, my, mz) = (m(_._3), m(_._4), m(_._5))
+        val f = n / (n - 1)
+        val e = Eigen3.decompose(
+          (m(t => t._3 * t._3) - mx * mx) * f, (m(t => t._3 * t._4) - mx * my) * f,
+          (m(t => t._3 * t._5) - mx * mz) * f, (m(t => t._4 * t._4) - my * my) * f,
+          (m(t => t._4 * t._5) - my * mz) * f, (m(t => t._5 * t._5) - mz * mz) * f)
+        val ls = e.take(3).map(math.max(_, 0.0))
+        val s = ls.sum
+        val ent = -ls.map(_ / s).map(l => if (l > 0) l * math.log(l) else 0.0).sum
+        if (ent < best._1) best = (ent, k, math.sqrt(pre.last._1))
+      }
+      assert(gk == best._2, s"qid=$qid k $gk != ${best._2}")
+      assert(math.abs(gr - best._3) < 1e-9, s"qid=$qid radius")
+    }
+    // entropy tie/containment sanity on a 3D blob: k within [kMin, kMax]
+    val blob = graft.core.Synth.docs(spark, 200, seed = 21)
+    val ob = OptimalNeighborhood(blob, kMin = 4, kMax = 8)
+    val mm = ob.agg(min("optimal_knn"), max("optimal_knn")).head()
+    assert(mm.getInt(0) >= 4 && mm.getInt(1) <= 8)
+  }
+
+  test("planefit: on-plane points score ~0, off-plane outlier scores high " +
+      "(PlaneFitFilter.cpp:115-152)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val plane = (0 until 200).map(i =>
+      (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100, 0.0))
+    val outlier = Seq((200L, 50.0, 50.0, 30.0)) // far above the sheet
+    val df = (plane ++ outlier).toDF("order_key", "x", "y", "z")
+    val out = PlaneFit(df, knn = 8)
+    val onPlane = out.filter(col("order_key") < 200)
+      .agg(avg("plane_fit")).head().getDouble(0)
+    val off = out.filter(col("order_key") === 200)
+      .head().getAs[Double]("plane_fit")
+    assert(onPlane < 0.2, s"on-plane mean $onPlane")
+    assert(off > 0.9, s"outlier $off (d >> d_bar of its planar neighbors)")
+  }
+
+  test("miniball: Welzl ball is minimal+enclosing; criterion separates " +
+      "outlier (MiniballFilter.cpp:101-147)") {
+    // unit cube corners -> circumscribed ball radius sqrt(3)/2
+    val cube = (for (x <- 0 to 1; y <- 0 to 1; z <- 0 to 1)
+      yield Array(x.toDouble, y.toDouble, z.toDouble)).toArray
+    val (cx, cy, cz, r) = graft.operators.Seb3.ball(cube)
+    assert(math.abs(cx - 0.5) < 1e-9 && math.abs(cy - 0.5) < 1e-9 &&
+      math.abs(cz - 0.5) < 1e-9)
+    assert(math.abs(r - math.sqrt(3.0) / 2) < 1e-9, s"radius $r")
+    // collinear + duplicate robustness
+    val line = Array(Array(0.0, 0.0, 0.0), Array(2.0, 0.0, 0.0),
+      Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0))
+    val lb = graft.operators.Seb3.ball(line)
+    assert(math.abs(lb._4 - 1.0) < 1e-9 && math.abs(lb._1 - 1.0) < 1e-9)
+    // dataframe operator: centered point scores 0-ish, far outlier ~1
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val blob = (0 until 100).map(i =>
+      (i.toLong, rnd.nextDouble() * 10, rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+    val far = Seq((100L, 500.0, 500.0, 500.0))
+    val df = (blob ++ far).toDF("order_key", "x", "y", "z")
+    val out = MiniballFilter(df, knn = 8)
+    assert(out.count() == 101)
+    val farScore = out.filter(col("order_key") === 100)
+      .head().getAs[Double]("miniball")
+    assert(farScore > 0.95, s"far point $farScore")
+    val blobAvg = out.filter(col("order_key") < 100)
+      .agg(avg("miniball")).head().getDouble(0)
+    assert(blobAvg < 0.6, s"blob avg $blobAvg")
+  }
+
+  test("info nearest-to-query list (InfoFilter.cpp:58-64)") {
+    val docs = graft.core.Synth.docs(spark, 500, seed = 23)
+    val q = docs.select("x", "y").head()
+    val near = graft.operators.Info.nearest(docs, q.getDouble(0), q.getDouble(1), count = 5)
+    assert(near.count() == 5)
+    val dists = near.select("distance").collect().map(_.getDouble(0))
+    assert(dists.head == 0.0) // the query point itself is in the cloud
+    assert(dists.sameElements(dists.sorted))
   }
 }

@@ -264,4 +264,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() == 1065)
     assert(out.agg(max("order_key")).head().getLong(0) == 1064)
   }
+
+  test("hexbin boundary: single hex, shared-edge merge, donut hole " +
+      "(HexBinFilter.cpp:137-232 boundary output)") {
+    // one hex -> one 6-vertex ring
+    val one = HexBoundary.fromCells(Array((0, 0)), edge = 2.0)
+    assert(one.rings == 1 && one.vertices == 6)
+    assert(one.wkt.startsWith("MULTIPOLYGON ((("))
+    // two adjacent hexes share an edge -> one 10-vertex ring
+    val two = HexBoundary.fromCells(Array((0, 0), (1, 0)), edge = 2.0)
+    assert(two.rings == 1 && two.vertices == 10, s"$two")
+    // 6-hex donut: outer shell + 6-vertex hole, nested in ONE polygon
+    val ring = Array((1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1))
+    val donut = HexBoundary.fromCells(ring, edge = 2.0)
+    assert(donut.rings == 2, s"$donut")
+    assert(donut.vertices == 18 + 6, s"$donut")
+    assert(donut.wkt.count(_ == '(') == 4) // MULTIPOLYGON((shell),(hole)) nesting
+    // end-to-end over a DataFrame: boundary of the autzen hexes is a
+    // closed non-empty multipolygon consistent with densityInfo area
+    val rep = HexBoundary.densityReport(docs, edge = 50.0)
+    assert(rep.occupiedHexes > 0 && rep.rings >= 1 && rep.vertices >= 6)
+    val (nHex, area) = HexBin.densityInfo(docs, edge = 50.0)
+    assert(nHex == rep.occupiedHexes)
+    assert(math.abs(area - rep.area) / area < 1e-9)
+  }
 }
