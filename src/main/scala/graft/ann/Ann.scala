@@ -1,15 +1,22 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine top-k is the exactness baseline;
-  * the IVF variant is the 100TB scale path: corpus pre-partitioned into
-  * coarse cells (spherical k-means-lite), queries probe only nprobe
-  * cells — candidate volume drops by cells/nprobe while the final rerank
-  * stays exact over the probed subset. */
+  * IVF is the 100TB scale path: the corpus is pre-partitioned into nlist
+  * coarse cells, queries probe only nprobe cells — candidate volume
+  * drops by nlist/nprobe while the rerank inside probed cells stays
+  * exact.
+  *
+  * Centroid assignment runs as a tight primitive-array argmax over a
+  * BROADCAST centroid matrix inside mapPartitions (nlist * dim * 8 bytes
+  * — nlist 10^5 at dim 100 is ~80 MB, broadcastable), so nlist is no
+  * longer bounded by expression-tree size. At nlist beyond ~10^5 swap
+  * the flat argmax for an HNSW/k-means-tree over centroids — the
+  * partition layout and probe semantics stay identical. */
 object Ann {
 
   def dot(a: Column, b: Column): Column =
@@ -36,70 +43,162 @@ object Ann {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
-  /** IVF coarse quantizer: nlist centroids via deterministic seeded
-    * sampling + a few Lloyd rounds on the unit sphere; returns the
-    * centroid table (cell, centroid array). */
-  def trainIvfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Double])] = {
-    val unitV = transform(col(vecCol), x =>
+  private def unitCol(vecCol: String): Column =
+    transform(col(vecCol), x =>
       x.cast("double") / greatest(norm(col(vecCol)), lit(1e-12)))
-    val base = corpus.select(col(idCol).as("id"), unitV.as("u")).cache()
-    var cents = base.orderBy(xxhash64(col("id"))).limit(nlist)
-      .select("u").collect()
-      .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+
+  /** (id, unit-vector, argmax-dot cell) via broadcast centroids. */
+  private def assignCells(df: DataFrame,
+      cents: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("u")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = cents.value
+        it.map { case (id, u) =>
+          val v = u.toArray
+          var best = 0; var bs = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c); var s = 0.0; var j = 0
+            val n = math.min(v.length, cv.length)
+            while (j < n) { s += v(j) * cv(j); j += 1 }
+            if (s > bs) { bs = s; best = c }
+            c += 1
+          }
+          (id, u, best)
+        }
+      }.toDF("id", "u", "cell")
+  }
+
+  /** (id, unit-vector, top-nprobe cells by dot) via broadcast centroids. */
+  private def probeCells(df: DataFrame,
+      cents: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nprobe: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("u")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = cents.value
+        it.map { case (id, u) =>
+          val v = u.toArray
+          // top-nprobe via insertion into fixed arrays (nprobe is small)
+          val np = math.min(nprobe, cs.length)
+          val bd = Array.fill(np)(Double.NegativeInfinity)
+          val bc = new Array[Int](np)
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c); var s = 0.0; var j = 0
+            val n = math.min(v.length, cv.length)
+            while (j < n) { s += v(j) * cv(j); j += 1 }
+            if (s > bd(np - 1)) {
+              var p = np - 1
+              while (p > 0 && bd(p - 1) < s) {
+                bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1
+              }
+              bd(p) = s; bc(p) = c
+            }
+            c += 1
+          }
+          (id, u, bc.toSeq)
+        }
+      }.toDF("id", "u", "probes")
+  }
+
+  /** IVF coarse quantizer: nlist seeds by deterministic hash order, a few
+    * Lloyd rounds; the per-(cell, component) mean shuffle is map-side
+    * combined, so its volume is nlist * dim, not corpus size. */
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u"))
+      .localCheckpoint(true)
+    var cents: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id"))).limit(nlist)
+      .select("u").collect().map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
-      val assigned = base.withColumn("cell", assignCell(col("u"), cents))
-      // mean per (cell, pos)
-      val means = assigned.select(col("cell"), posexplode(col("u")).as(Seq("pos", "v")))
+      val bc = spark.sparkContext.broadcast(cents)
+      val means = assignCells(base, bc)
+        .select(col("cell"), posexplode(col("u")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg("v").as("m"))
         .groupBy("cell").agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("mm"))
         .collect().map { r =>
           val mm = r.getMap[Int, Double](1)
           r.getInt(0) -> Array.tabulate(mm.size)(i => mm(i))
         }.toMap
-      cents = cents.map { case (c, old) => c -> means.getOrElse(c, old) }
+      cents = cents.zipWithIndex.map { case (old, c) => means.getOrElse(c, old) }
+      bc.destroy()
       it += 1
     }
-    base.unpersist()
     cents
   }
 
-  /** Cell assignment: argmax centroid dot product (pure columns over a
-    * literal centroid table — broadcast by construction). */
-  private def assignCell(u: Column, cents: Array[(Int, Array[Double])]): Column = {
-    val scored = cents.map { case (c, v) =>
-      val cv = array(v.map(lit): _*)
-      struct(dot(u, cv).as("s"), lit(c).as("c"))
-    }
-    array_max(array(scored: _*)).getField("c")
+  /** IVF search: probe the nprobe best cells per query, exact cosine
+    * rerank inside probed cells only. Candidate volume ~ corpus *
+    * nprobe / nlist. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 256,
+      nprobe: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(cents)
+    val corp = assignCells(
+      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("u", "cv")
+    val q = probeCells(
+      queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc, nprobe)
+      .select(col("id").as("query_id"), col("u").as("qv"),
+        explode(col("probes")).as("cell"))
+    searchAssigned(corp, q, k)
   }
 
-  /** IVF search: probe the `nprobe` best cells per query, exact cosine
-    * rerank inside probed cells only. Recall < 1 by design; candidate
-    * volume ~ corpus * nprobe / nlist. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
-      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = trainIvfCentroids(corpus, nlist, idCol = idCol, vecCol = vecCol)
-    val unitV = transform(col(vecCol), x =>
-      x.cast("double") / greatest(norm(col(vecCol)), lit(1e-12)))
-    val corp = corpus.select(col(idCol).as("vec_id"), unitV.as("cv"))
-      .withColumn("cell", assignCell(col("cv"), cents))
-    // query -> top nprobe cells
-    val scoredCells = cents.map { case (c, v) =>
-      val cv = array(v.map(lit): _*)
-      struct(dot(col("qv"), cv).as("s"), lit(c).as("c"))
-    }
-    val q = queries.select(col(idCol).as("query_id"), unitV.as("qv"))
-      .withColumn("probe", slice(reverse(array_sort(array(scoredCells: _*))), 1, nprobe))
-      .withColumn("cell", explode(transform(col("probe"), p => p.getField("c"))))
-      .select("query_id", "qv", "cell")
-    val scored = q.join(corp, Seq("cell"))
+  private def searchAssigned(corp: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = probes.join(corp, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")))
+      .withColumn("cosine",
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Persist a trained IVF index: the corpus bucketed by cell (partition
+    * pruning turns every later query batch into an nprobe-partition
+    * scan) plus the centroid matrix — repeated querying never re-scans
+    * or re-trains (the EPT-page / Iceberg-layout shape for vectors). */
+  def writeIndex(corpus: DataFrame, path: String, nlist: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(cents)
+    assignCells(
+      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("u", "cv")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a persisted index: probed cells become a partition IN-filter
+    * on the bucketed corpus. */
+  def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val q = probeCells(
+      queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc, nprobe)
+      .select(col("id").as("query_id"), col("u").as("qv"),
+        explode(col("probes")).as("cell"))
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val corp = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(cells.toSeq: _*)) // partition-pruned scan
+    searchAssigned(corp, q, k)
   }
 }

@@ -152,9 +152,16 @@ object Dedup {
   }
 
   /** Embedding cosine near-dup pairs: seeded random-hyperplane LSH over a
-    * vector column, bucket join, exact cosine verification. */
+    * vector column, MULTI-BAND (OR-of-ANDs like minhash banding) bucket
+    * join, exact cosine verification.
+    *
+    * Recall for a pair at angle theta: 1 - (1 - (1-theta/pi)^planesPerBand)
+    * ^ bands. Defaults (8 planes x 6 bands) give ~0.96 recall at cosine
+    * 0.95 — the single-band version's ~0.28 recall hole. Candidate
+    * volume stays linear: per band, same-bucket pairs only. */
   def embeddingNearDup(df: DataFrame, threshold: Double = 0.95,
-      planes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      planesPerBand: Int = 8, bands: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
     val unit = transform(v, x => x.cast("double") / greatest(norm, lit(1e-12)))
@@ -168,13 +175,23 @@ object Dedup {
     }
     val prep = df.select(col(idCol).as("id"), unit.as("u"))
       .localCheckpoint(eager = true)
+    def bandBucket(b: Int): Column =
+      (0 until planesPerBand).map { i =>
+        shiftleft(planeBit(col("u"), b * planesPerBand + i), i)
+      }.reduce((a, c) => a.bitwiseOR(c))
     val sig = prep.withColumn("bucket",
-      (0 until planes).map(p => shiftleft(planeBit(col("u"), p), p))
-        .reduce((a, b) => a.bitwiseOR(b)))
-    val cand = sig.as("a").join(sig.as("b"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandBucket(b).as("h"))): _*)))
+      .select(col("id"), col("bucket"))
+      .localCheckpoint(eager = true)
+    // dedup candidate IDS before re-attaching vectors: the distinct
+    // shuffles 16-byte pairs, not embedding payloads
+    val candIds = sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.u").as("u_a"), col("b.u").as("u_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val cand = candIds
+      .join(prep.select(col("id").as("id_a"), col("u").as("u_a")), Seq("id_a"))
+      .join(prep.select(col("id").as("id_b"), col("u").as("u_b")), Seq("id_b"))
     cand.withColumn("cosine",
         aggregate(zip_with(col("u_a"), col("u_b"), (x, y) => x * y),
           lit(0.0), (a, x) => a + x))

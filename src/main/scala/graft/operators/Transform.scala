@@ -161,6 +161,45 @@ object GpsTimeConvert {
 
   def gst2gt(df: DataFrame): DataFrame =
     df.withColumn("gps_time", col("gps_time") + GST_OFFSET)
+
+  /** The full conversion matrix (GpsTimeConvert.cpp:72-96: in_time x
+    * out_time over {gws, gst, gt}), composed from the four primitives. */
+  def convert(df: DataFrame, inTime: String, outTime: String,
+      startDateWeekSeconds: Double = 0.0, wrapped: Boolean = false,
+      wrap: Boolean = false): DataFrame = (inTime, outTime) match {
+    case (a, b) if a == b => df
+    case ("gws", "gt") => gws2gt(df, startDateWeekSeconds, wrapped)
+    case ("gws", "gst") => gt2gst(gws2gt(df, startDateWeekSeconds, wrapped))
+    case ("gt", "gws") => gt2gws(df, wrap)
+    case ("gst", "gws") => gt2gws(gst2gt(df), wrap)
+    case ("gt", "gst") => gt2gst(df)
+    case ("gst", "gt") => gst2gt(df)
+    case other => throw new IllegalArgumentException(s"bad conversion $other")
+  }
+}
+
+/** SRS bookkeeping (pdal/Reader.cpp:56-64 override_srs/default_srs;
+  * pdal/SpatialReference): the CRS tag rides as column metadata on `x`,
+  * surviving projections and writes — the Spark-native place for
+  * view-level metadata. */
+object Srs {
+  import org.apache.spark.sql.types.MetadataBuilder
+
+  def tag(df: DataFrame, srs: String): DataFrame =
+    df.withColumn("x", col("x").as("x",
+      new MetadataBuilder().putString("srs", srs).build()))
+
+  def of(df: DataFrame): Option[String] =
+    df.schema.find(_.name == "x")
+      .filter(_.metadata.contains("srs")).map(_.metadata.getString("srs"))
+
+  /** override_srs forces the tag; default_srs fills only when absent. */
+  def applyReaderOptions(df: DataFrame, overrideSrs: Option[String],
+      defaultSrs: Option[String]): DataFrame = (overrideSrs, defaultSrs) match {
+    case (Some(s), _) => tag(df, s)
+    case (None, Some(s)) if of(df).isEmpty => tag(df, s)
+    case _ => df
+  }
 }
 
 /** filters.geomdistance analog (filters/GeomDistanceFilter.cpp:50):

@@ -32,6 +32,73 @@ object TileKernel {
   }
 }
 
+/** `pdal translate in out [filters-json]` (kernels/TranslateKernel.cpp:
+  * 77-193): assembles reader -> optional filter chain -> writer and runs
+  * it. The third argument is a JSON array of filter stage nodes in the
+  * same pipeline dialect. */
+object TranslateKernel {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local()
+    println(s"[translate] rows=${run(spark, args(0), args(1), args.lift(2)).count()}")
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, in: String, out: String,
+      filtersJson: Option[String]): DataFrame = {
+    val filters = filtersJson.map(_.trim).filter(_.nonEmpty)
+      .map(f => f.stripPrefix("[").stripSuffix("]")).filter(_.nonEmpty)
+      .map(body => s"$body,").getOrElse("")
+    val json =
+      s"""{"pipeline":[{"type":"readers.parquet","filename":"$in"},
+          $filters
+          {"type":"writers.parquet","filename":"$out"}]}"""
+    PipelineBuilder.run(spark, json)
+  }
+}
+
+/** `pdal tindex create/merge` (kernels/TIndexKernel.cpp:72): a tile
+  * index is a small table (path, bbox, count) over many point files;
+  * `merge` reads back only the files whose bbox intersects the query
+  * bounds — manifest pruning for unpartitioned file sets. */
+object TIndexKernel {
+  def create(spark: SparkSession, indexPath: String, files: Seq[String]): Unit = {
+    import spark.implicits._
+    val rows = files.map { f =>
+      val df = spark.read.parquet(f)
+      val r = df.agg(count(lit(1)), min("x"), min("y"), max("x"), max("y")).head()
+      (f, r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }
+    rows.toDF("path", "num_points", "minx", "miny", "maxx", "maxy")
+      .repartition(1).write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** Union of the indexed files intersecting the bounds — non-matching
+    * files are never opened. */
+  def merge(spark: SparkSession, indexPath: String,
+      minx: Double, miny: Double, maxx: Double, maxy: Double): DataFrame = {
+    val hits = spark.read.parquet(indexPath)
+      .filter(col("minx") <= maxx && col("maxx") >= minx &&
+        col("miny") <= maxy && col("maxy") >= miny)
+      .select("path").collect().map(_.getString(0))
+    require(hits.nonEmpty, "no indexed file intersects the bounds")
+    spark.read.parquet(hits.toIndexedSeq: _*)
+      .filter(col("x") >= minx && col("x") <= maxx &&
+        col("y") >= miny && col("y") <= maxy)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local()
+    args(0) match {
+      case "create" => create(spark, args(1), args.drop(2).toIndexedSeq)
+      case "merge" =>
+        val out = merge(spark, args(1), args(2).toDouble, args(3).toDouble,
+          args(4).toDouble, args(5).toDouble)
+        println(s"[tindex] rows=${out.count()}")
+    }
+    spark.stop()
+  }
+}
+
 object InfoKernel {
   /** `pdal info` (kernels/InfoKernel.cpp:53): metadata-only fast path via
     * parquet footer statistics when no point data is needed (QuickInfo,

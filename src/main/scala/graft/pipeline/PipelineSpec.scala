@@ -82,12 +82,16 @@ object PipelineBuilder {
 
     specs.zipWithIndex.foreach { case (spec, idx) =>
       val ins = inputsOf(spec, idx)
-      // per-stage where/where_merge (pdal/Stage.cpp:61-76): the stage sees
-      // only rows passing `where`; skipped rows merge back unless
-      // where_merge=false. Applies to filters only (readers have no input).
+      // per-stage where/where_merge (pdal/Stage.cpp:61-76, Stage.hpp:86-91
+      // — every stage supports it): the stage sees only rows passing
+      // `where`; skipped rows merge back unless where_merge=false. For
+      // writers this writes the passing subset and the stream continues
+      // with the merged (= full) input. Readers have no input.
       val out = (optStr(spec.options, "where"), ins.headOption) match {
-        case (Some(w), Some(_)) if spec.stageType.startsWith("filters.") =>
-          val merge = optBool(spec.options, "where_merge").getOrElse(true)
+        case (Some(w), Some(_)) if spec.stageType.startsWith("filters.") ||
+            spec.stageType.startsWith("writers.") =>
+          val merge = optBool(spec.options, "where_merge").getOrElse(true) ||
+            spec.stageType.startsWith("writers.")
           graft.expr.Where(ins.head, w,
             d => applyStage(spark, spec.copy(options = spec.options - "where" - "where_merge"),
               d +: ins.tail), merge)
@@ -102,23 +106,38 @@ object PipelineBuilder {
     val o = spec.options
     def in: DataFrame = ins.headOption.getOrElse(
       throw new IllegalArgumentException(s"${spec.stageType} needs an input"))
+    // reader base options (pdal/Reader.cpp:56-64): `count` caps points
+    // read (first N in point order — orderBy+limit, never a global
+    // rank); override_srs/default_srs tag the CRS as column metadata
+    def readerOpts(df: DataFrame): DataFrame = {
+      val capped = optLong(o, "count") match {
+        case Some(n) if df.columns.contains("order_key") => HeadTail.head(df, n)
+        case Some(n) => df.limit(n.toInt)
+        case None => df
+      }
+      if (capped.columns.contains("x"))
+        Srs.applyReaderOptions(capped, optStr(o, "override_srs"),
+          optStr(o, "default_srs"))
+      else capped
+    }
     spec.stageType match {
       // ---- readers ----
       case "readers.auto" | "readers.parquet" | "readers.las" =>
-        spark.read.parquet(optStr(o, "filename").get)
+        readerOpts(spark.read.parquet(optStr(o, "filename").get))
       case "readers.faux" =>
         val count = optLong(o, "count").getOrElse(1000L)
         val mode = optStr(o, "mode").getOrElse("ramp")
         val b = optStr(o, "bounds").map(parseBounds).getOrElse(
           ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)))
-        mode match {
+        val df = mode match {
           case "ramp" => graft.core.Synth.ramp(spark, count, b._1, b._2)
           case _ => graft.core.Synth.docs(spark, count,
             seed = optLong(o, "seed").getOrElse(42L))
         }
+        Srs.applyReaderOptions(df, optStr(o, "override_srs"), optStr(o, "default_srs"))
       case "readers.text" =>
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .csv(optStr(o, "filename").get)
+        readerOpts(spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(optStr(o, "filename").get))
       // ---- filters ----
       case "filters.crop" =>
         val outside = optBool(o, "outside").getOrElse(false)
@@ -203,6 +222,16 @@ object PipelineBuilder {
         Transformation(in, optStr(o, "matrix").get.trim.split("\\s+").map(_.toDouble).toSeq)
       case "filters.mortonorder" => MortonOrder(in,
         optStr(o, "reverse").exists(_.toBoolean))
+      case "filters.gpstimeconvert" =>
+        // `conversion` = "gws2gt" legacy form, or in_time/out_time pair
+        val (it, ot) = optStr(o, "conversion") match {
+          case Some(c) => val Array(a, b) = c.split("2"); (a, b)
+          case None => (optStr(o, "in_time").get, optStr(o, "out_time").get)
+        }
+        GpsTimeConvert.convert(in, it, ot,
+          optDouble(o, "start_date_ws").getOrElse(0.0),
+          wrapped = optBool(o, "wrapped_tows").getOrElse(false),
+          wrap = optBool(o, "wrap_tows").getOrElse(false))
       case "filters.hexbin" => HexBin(in, optDouble(o, "edge_size").getOrElse(0.0))
       case "filters.stats" => Stats(in,
         optStr(o, "dimensions").map(_.split(',').map(_.trim).toSeq)

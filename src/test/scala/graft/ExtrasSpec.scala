@@ -132,9 +132,31 @@ class ExtrasSpec extends AnyFunSuite {
     val v2 = v1.map(x => x + 0.001f) // near-dup
     val others = (0 until 20).map(i => (i + 10L, Array.fill(16)(r.nextFloat()).toSeq))
     val df = (Seq((1L, v1.toSeq), (2L, v2.toSeq)) ++ others).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDup(df, threshold = 0.999, planes = 8)
+    val pairs = Dedup.embeddingNearDup(df, threshold = 0.999,
+        planesPerBand = 4, bands = 4)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+    // multi-band recall at the contract point: plant 30 pairs at ~0.95
+    // cosine among noise; OR-of-ANDs banding must recover nearly all
+    // (single-band recall here was ~0.28 — the round-1 hole)
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val planted = (0 until 30).flatMap { i =>
+      val a = unit(Array.fill(24)(rnd.nextGaussian()))
+      // rotate slightly: cos ~ 0.95
+      val dir = unit(Array.fill(24)(rnd.nextGaussian()))
+      val b = unit(a.zip(dir).map { case (x, d) => 0.95 * x + 0.312 * d })
+      Seq((1000L + 2 * i, a.toSeq.map(_.toFloat)), (1001L + 2 * i, b.toSeq.map(_.toFloat)))
+    }
+    val noise = (0 until 200).map(i =>
+      (2000L + i, unit(Array.fill(24)(rnd.nextGaussian())).toSeq.map(_.toFloat)))
+    val big = (planted ++ noise).toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDup(big, threshold = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val hits = (0 until 30).count(i => found.contains((1000L + 2 * i, 1001L + 2 * i)))
+    assert(hits >= 27, s"multi-band recall $hits/30")
   }
 
   test("ANN brute-force topk is exact; IVF recall is reasonable") {
@@ -161,6 +183,47 @@ class ExtrasSpec extends AnyFunSuite {
     val ivfSet = ivf.filter(col("query_id") === qid).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     assert(ivfSet.intersect(bfSet).size >= 4, s"IVF recall too low: ${ivfSet.intersect(bfSet).size}/10")
+  }
+
+  test("IVF at real nlist: 4096 cells over 100k clustered vectors via " +
+      "broadcast assignment; persisted index prunes partitions") {
+    import spark.implicits._
+    val dim = 16; val nClusters = 500
+    // deterministic clustered corpus: cluster centers + small noise
+    val rnd = new scala.util.Random(3)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val corpus = spark.range(100000).select(col("id").as("vec_id"))
+      .as[Long].map { i =>
+        val r2 = new scala.util.Random(i)
+        val c = centers((i % nClusters).toInt)
+        val v = c.map(x => (x + 0.05 * r2.nextGaussian()).toFloat)
+        (i, v.toSeq)
+      }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = corpus.filter(col("vec_id") % 5000 === 1) // 20 queries
+    val bf = Ann.bruteForceTopK(corpus, queries, k = 10)
+    val ivf = Ann.ivfTopK(corpus, queries, k = 10, nlist = 4096, nprobe = 64,
+      iters = 2)
+    val bfMap = bf.collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ivfMap = ivf.collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = bfMap.map { case (q, exp) =>
+      ivfMap.getOrElse(q, Set.empty).intersect(exp).size.toDouble / exp.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.8, s"IVF@4096 mean recall $meanRecall")
+    // persisted index: write once, search prunes to <= nprobe partitions
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Ann.writeIndex(corpus.limit(20000), dir, nlist = 256, iters = 1)
+    val out = Ann.searchIndex(spark, dir, queries.limit(3), k = 5, nprobe = 8)
+    assert(out.count() > 0)
+    // the bucketed layout prunes: a cell IN-filter scan reads only those
+    // partitions (searchIndex builds exactly this filter from the probes)
+    val pruned = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(0, 1, 2))
+    val (readParts, totalParts) = graft.sources.CellStore.scanPartitionCounts(pruned)
+    assert(readParts <= 3 && totalParts > 50,
+      s"index scan read $readParts of $totalParts partitions")
   }
 
   test("text analysis: langid, quality, token counts, fingerprints") {
@@ -252,6 +315,32 @@ class ExtrasSpec extends AnyFunSuite {
       .toDF("order_key", "x", "y", "z").withColumn("classification", lit(0))
     assert(Elm(df3, cell = 10.0, threshold = 1.0)
       .filter(col("classification") === 7).count() == 0)
+  }
+
+  test("cell-partitioned store: polygon crop prunes partitions at plan " +
+      "time, result equals full-scan crop (EptReader.cpp:200-269 analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore").toString
+    val docs = Synth.docs(spark, 4000, seed = 41)
+    graft.sources.CellStore.write(docs, dir,
+      ox = 635000.0, oy = 848000.0, cellLen = 500.0)
+    // polygon covering a corner of the extent
+    val wkt = "POLYGON ((635200 848200, 636400 848200, 636400 849400, 635200 849400, 635200 848200))"
+    val pruned = graft.sources.CellStore.readPolygon(spark, dir, wkt,
+      635000.0, 848000.0, 500.0)
+    val (read, total) = graft.sources.CellStore.scanPartitionCounts(pruned)
+    assert(read < total, s"scan must prune: read $read of $total")
+    assert(read > 0)
+    // identical rows to the unpruned crop over the raw table
+    val full = graft.operators.Crop.polygon(
+      spark.read.parquet(dir).drop("cell"), wkt)
+    val a = pruned.select("order_key").collect().map(_.getLong(0)).toSet
+    val b = full.select("order_key").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty, s"pruned ${a.size} vs full ${b.size}")
+    // box path too
+    val box = graft.sources.CellStore.readBox(spark, dir,
+      635100, 848100, 636000, 849000, 635000.0, 848000.0, 500.0)
+    val (br, bt) = graft.sources.CellStore.scanPartitionCounts(box)
+    assert(br < bt && box.count() > 0)
   }
 
   test("outlier statistical degrades gracefully on a single point") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Fixtures
-import graft.pipeline.{CheckpointRunner, CloudMetrics, EvalKernel, PipelineBuilder, PipelineSpec}
+import graft.pipeline.{CheckpointRunner, CloudMetrics, EvalKernel, PipelineBuilder, PipelineSpec, TIndexKernel, TranslateKernel}
 
 class PipelineSpecSuite extends AnyFunSuite {
   import TestSpark._
@@ -65,6 +65,86 @@ class PipelineSpecSuite extends AnyFunSuite {
         ]}""")
     assert(out2.count() == 500) // x = 1000*i/999 >= 500 <=> i >= 500
     assert(out2.filter(col("classification") =!= 7).count() == 0)
+  }
+
+  test("reader count pushdown + srs bookkeeping (Reader.cpp:56-64)") {
+    val dir = java.nio.file.Files.createTempDirectory("rdopt").toString
+    graft.core.Synth.docs(spark, 500, seed = 51)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val out = PipelineBuilder.run(spark,
+      s"""{"pipeline":[
+         {"type":"readers.parquet","filename":"$dir/in","count":100,
+          "override_srs":"EPSG:26910"}]}""")
+    assert(out.count() == 100)
+    // count = FIRST 100 in point order
+    assert(out.agg(max("order_key")).head().getLong(0) == 99L)
+    assert(graft.operators.Srs.of(out).contains("EPSG:26910"))
+    // default_srs fills only when absent
+    val tagged = graft.operators.Srs.tag(out, "EPSG:4326")
+    val kept = graft.operators.Srs.applyReaderOptions(tagged, None, Some("EPSG:9999"))
+    assert(graft.operators.Srs.of(kept).contains("EPSG:4326"))
+  }
+
+  test("where on a WRITER writes the subset, stream keeps all rows " +
+      "(Stage.hpp:86-91)") {
+    val dir = java.nio.file.Files.createTempDirectory("wwhere").toString
+    val out = PipelineBuilder.run(spark,
+      s"""{"pipeline":[
+         {"type":"readers.faux","mode":"ramp","count":1000,
+          "bounds":"([0,1000],[0,1000],[0,1000])"},
+         {"type":"writers.parquet","filename":"$dir/out","where":"x < 500"}]}""")
+    assert(out.count() == 1000) // stream unchanged
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.count() < 1000 && written.count() > 0)
+    assert(written.agg(max("x")).head().getDouble(0) < 500.0)
+  }
+
+  test("gpstimeconvert full matrix composes (GpsTimeConvert.cpp:72-96)") {
+    import spark.implicits._
+    val df = Seq((0L, 100.0), (1L, 200.0)).toDF("order_key", "gps_time")
+    def gps(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("order_key").select("gps_time").collect().map(_.getDouble(0)).toSeq
+    val gt = graft.operators.GpsTimeConvert.convert(df, "gws", "gt",
+      startDateWeekSeconds = 1000.0)
+    assert(gps(gt) == Seq(1100.0, 1200.0))
+    val gst = graft.operators.GpsTimeConvert.convert(df, "gws", "gst",
+      startDateWeekSeconds = 1e9)
+    assert(gps(gst) == Seq(100.0, 200.0)) // + 1e9 - 1e9
+    assert(gps(graft.operators.GpsTimeConvert.convert(df, "gst", "gt"))
+      == Seq(1e9 + 100.0, 1e9 + 200.0))
+    // gst 100 -> gt 1e9+100 -> week-wrapped: 1e9 % 604800 = 265600
+    assert(gps(graft.operators.GpsTimeConvert.convert(
+      graft.operators.GpsTimeConvert.convert(df, "gst", "gws", wrap = true),
+      "gws", "gws")) == Seq(265700.0, 265800.0))
+    // via pipeline JSON with the legacy conversion form
+    val out = PipelineBuilder.run(spark,
+      """{"pipeline":[
+         {"type":"readers.faux","mode":"ramp","count":10,
+          "bounds":"([0,1],[0,1],[0,1])"},
+         {"type":"filters.assign","value":"gps_time = 5"},
+         {"type":"filters.gpstimeconvert","conversion":"gt2gst"}]}""")
+    assert(out.agg(max("gps_time")).head().getDouble(0) == 5.0 - 1e9)
+  }
+
+  test("translate + tindex kernels (TranslateKernel.cpp:77, TIndexKernel.cpp:72)") {
+    val dir = java.nio.file.Files.createTempDirectory("tk").toString
+    graft.core.Synth.docs(spark, 300, seed = 61,
+      bounds = (0.0, 0.0, 100.0, 100.0)).write.parquet(s"$dir/a")
+    graft.core.Synth.docs(spark, 300, seed = 62,
+      bounds = (1000.0, 1000.0, 1100.0, 1100.0)).write.parquet(s"$dir/b")
+    // translate with a filter chain
+    val out = TranslateKernel.run(spark, s"$dir/a", s"$dir/translated",
+      Some("""[{"type":"filters.range","limits":"x[0:50]"}]"""))
+    val re = spark.read.parquet(s"$dir/translated")
+    assert(re.count() == out.count() && re.count() > 0)
+    assert(re.agg(max("x")).head().getDouble(0) <= 50.0)
+    // tindex: create over both files, merge prunes to the intersecting one
+    TIndexKernel.create(spark, s"$dir/idx", Seq(s"$dir/a", s"$dir/b"))
+    assert(spark.read.parquet(s"$dir/idx").count() == 2)
+    val merged = TIndexKernel.merge(spark, s"$dir/idx", 0, 0, 200, 200)
+    assert(merged.count() == 300) // only file a intersects
+    intercept[IllegalArgumentException](
+      TIndexKernel.merge(spark, s"$dir/idx", 5000, 5000, 6000, 6000))
   }
 
   test("checkpoint runner: metrics recorded, exact resume skips completed stages") {
