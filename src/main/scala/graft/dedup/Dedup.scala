@@ -28,29 +28,65 @@ object Dedup {
       seed => array_min(transform(sh, s => xxhash64(seed, s))))
   }
 
+  /** S-curve banding: pick the band count (a divisor of numHashes) whose
+    * collision threshold (1/b)^(1/r) sits closest to the requested
+    * similarity threshold. */
+  def autoBands(numHashes: Int, threshold: Double): Int =
+    (1 to numHashes).filter(numHashes % _ == 0).minBy { b =>
+      val r = numHashes / b
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+
   /** MinHash + LSH near-dup pairs: signatures banded into `bands`
-    * buckets; same-bucket docs become candidates; candidates verified by
+    * buckets (bands <= 0 -> auto-picked from the threshold S-curve);
+    * same-bucket docs become candidates; candidates verified by
     * estimated Jaccard (matching minhash fraction) >= threshold.
-    * Returns (id_a, id_b, jaccard_est) with id_a < id_b. */
+    * Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+    *
+    * Degenerate mega-buckets (empty/boilerplate docs hashing to one
+    * bucket) would make the self-join quadratic: buckets larger than
+    * `maxBucket` are EXCLUDED from candidate generation — their members
+    * are near-identical boilerplate that exact dedup already collapses.
+    * This is a documented recall cap, not a silent one: pairs inside a
+    * dropped bucket are only missed if they share no other bucket. */
   def minhashLsh(df: DataFrame, threshold: Double = 0.7, numHashes: Int = 64,
-      bands: Int = 16, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val rows = numHashes / bands
+      bands: Int = 0, idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 100000): DataFrame = {
+    val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    val rows = numHashes / b
     // materialize shingles BEFORE fanning out to numHashes streams —
     // without the barrier Catalyst collapses the projections and inlines
     // the shingle construction into every per-seed min-hash (64x the
-    // string work, and a generated method too large to JIT)
+    // string work, and a generated method too large to JIT). persist
+    // (not localCheckpoint): lineage survives executor loss and the
+    // blocks can be evicted to disk instead of pinning one JVM.
     val shingled = df.select(col(idCol).as("id"),
         TextAnalysis.wordShingles(col(textCol), 3).as("sh"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = shingled.select(col("id"),
       transform(sequence(lit(0), lit(numHashes - 1)),
         seed => array_min(transform(col("sh"), s => xxhash64(seed, s)))).as("sig"))
-      .localCheckpoint(eager = true)
-    val banded = sig.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.withColumn("band", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("bucket", xxhash64(col("band"),
         to_json(struct(slice(col("sig"), col("band") * rows + 1, lit(rows))))))
       .select("id", "band", "bucket")
-    val cand = banded.as("a").join(banded.as("b"),
+    // mega-bucket cap. The collecting aggregate doubles as the ONE
+    // materialization of the signature cache (the banded self-join's two
+    // sides would otherwise race it and hash the shingles twice); the
+    // anti-join only exists when a hot bucket actually does.
+    val hotRows = banded.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucket).select("band", "bucket").collect()
+    val pruned =
+      if (hotRows.isEmpty) banded
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val hotDf = hotRows.map(r => (r.getInt(0), r.getLong(1))).toSeq
+          .toDF("band", "bucket")
+        banded.join(broadcast(hotDf), Seq("band", "bucket"), "left_anti")
+      }
+    val cand = pruned.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()

@@ -14,26 +14,47 @@ case class Hit(d2: Double, cid: Long, v: Double)
   * per-view; here per grid cell, distributed).
   *
   * Two-phase cell-neighborhood shuffle (SURVEY §2.7 north-star):
-  * phase 1 cogroups queries with candidates of the 3x3x3 cell
-  * neighborhood and computes per-cell partial top-k; phase 2 re-joins ONLY
-  * the points whose kth-distance ball escapes the examined cube
+  * phase 1 cogroups queries with the candidates of SUPERCELL regions
+  * (SxSxS cells + a one-cell halo shell — ~3.4x candidate duplication
+  * instead of 27x per-cell haloing) and answers each query's exact
+  * 3x3x3-cell cube from a task-local per-cell index; phase 2 re-joins
+  * ONLY the points whose kth-distance ball escapes the examined cube
   * (sqrt(d2_k) <= R*h proves the local result final — the halo-exchange
   * correctness property of SURVEY §7.4.3) against the next Chebyshev
   * shell, iterating until resolved. The shuffled payload is only
   * (qid, x, y, z[, hits]) — spans and other wide columns never move.
   *
-  * Skew: cell size targets ~`targetPerCell` candidates per cell from a
-  * global count/bbox estimate; residual hot cells are one task each and
-  * AQE splits the skewed shuffle partitions.
+  * Skew: cell size targets ~4k candidates per cell from the extent row;
+  * supercells whose task input exceeds `maxCellCandidates` are salted —
+  * candidates hash-split, queries replicated, per-salt top-k merged —
+  * because AQE's skew splitting does not apply to Dataset.cogroup.
   */
 object KnnJoin {
   private val B = 1L << 20 // per-axis cell-coordinate bias
+  /** Cells per supercell edge: the first-binning cogroup keys on
+    * supercells (4x4x4 cells) with a one-cell halo shell, so the
+    * candidate duplication factor is (1 + 2/S)^3 ~= 3.4x instead of the
+    * 27x of per-cell haloing — an 8x shuffle-volume cut on the join's
+    * dominant stage. */
+  private val S = 4
 
   private def cellCoord(v: Column, h: Double): Column =
     floor(v / h).cast("long")
 
   private def pack3(cx: Column, cy: Column, cz: Column): Column =
     shiftleft(cx + B, 42).bitwiseOR(shiftleft(cy + B, 21)).bitwiseOR(cz + B)
+
+  /** JVM-side cell key identical to pack3 (used inside cogroup tasks). */
+  @inline private def packS(cx: Long, cy: Long, cz: Long): Long =
+    ((cx + B) << 42) | ((cy + B) << 21) | (cz + B)
+
+  /** Supercell coordinate of a cell coordinate (bias-shifted so the
+    * floor-division operates on non-negatives; exact in doubles). */
+  private def superC(cc: Column, shift: Int): Column =
+    floor((cc + lit(B) + lit(shift)).cast("double") / S).cast("long")
+
+  private def superPack(sx: Column, sy: Column, sz: Column): Column =
+    shiftleft(sx, 42).bitwiseOR(shiftleft(sy, 21)).bitwiseOR(sz)
 
   /** Chebyshev shell-R offsets (R=0 -> just (0,0,0)). */
   private def shellOffsets(r: Int): Seq[(Int, Int, Int)] =
@@ -43,26 +64,40 @@ object KnnJoin {
       if math.max(math.abs(dx), math.max(math.abs(dy), math.abs(dz))) == r
     } yield (dx, dy, dz)
 
-  /** Hot halo-cells at cell size h: cells whose 27-cell neighborhood
-    * holds more than `cap` candidates, with their salt factor (capped at
-    * 64 groups). Two stages so uniform data pays only one slim
-    * map-side-combined aggregate: a destination cell can exceed cap only
-    * if some base neighbor cell exceeds cap/27, so the exact (27x
-    * exploded) count runs only when the cheap base count flags anything. */
-  private[graft] def detectHotCells(cand: DataFrame, h: Double, cap: Int): Map[Long, Int] = {
-    def cells = cand.select(cellCoord(col("x"), h).as("cx"),
-      cellCoord(col("y"), h).as("cy"), cellCoord(col("z"), h).as("cz"))
-    val basePre = cells.select(pack3(col("cx"), col("cy"), col("cz")).as("cell"))
-      .groupBy("cell").count().filter(col("count") > cap / 27)
+  /** Supercell (incl. one-cell halo shell) candidate row set at cell
+    * size h — what one first-binning cogroup task receives. */
+  private def superRows(cand: DataFrame, h: Double, valueCol: String): DataFrame = {
+    val withCells = cand.select(col("x"), col("y"), col("z"),
+      col("order_key").as("cid"), col(valueCol).cast("double").as("v"),
+      cellCoord(col("x"), h).as("ccx"), cellCoord(col("y"), h).as("ccy"),
+      cellCoord(col("z"), h).as("ccz"))
+    withCells
+      .withColumn("sx", explode(sequence(superC(col("ccx"), -1), superC(col("ccx"), 1))))
+      .withColumn("sy", explode(sequence(superC(col("ccy"), -1), superC(col("ccy"), 1))))
+      .withColumn("sz", explode(sequence(superC(col("ccz"), -1), superC(col("ccz"), 1))))
+      .select(superPack(col("sx"), col("sy"), col("sz")).as("skey"),
+        col("x"), col("y"), col("z"), col("cid"), col("v"))
+  }
+
+  /** Hot supercells at cell size h: supercell tasks (shell included)
+    * holding more than `cap` candidates, with their salt factor (capped
+    * at 64 groups) — the per-task input bound AQE cannot provide for
+    * Dataset.cogroup. Two stages: a task region (supercell + 1-cell
+    * shell, S+2 cells per axis) spans at most 2 supercells per axis =
+    * 8 base supercells, so a task can exceed cap only if one of those 8
+    * exceeds cap/8 — the cheap non-exploded count gates the exact (3.4x
+    * exploded) one, and uniform data pays one slim map-side-combined
+    * aggregate and stops. */
+  private[graft] def detectHotSupercells(cand: DataFrame, h: Double,
+      cap: Int): Map[Long, Int] = {
+    val basePre = cand.select(superPack(
+        superC(cellCoord(col("x"), h), 0), superC(cellCoord(col("y"), h), 0),
+        superC(cellCoord(col("z"), h), 0)).as("skey"))
+      .groupBy("skey").count().filter(col("count") > cap / 8)
       .limit(1).count()
     if (basePre == 0L) return Map.empty
-    val offs = array((shellOffsets(0) ++ shellOffsets(1)).map { case (dx, dy, dz) =>
-      struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
-    }: _*)
-    cells.withColumn("__o", explode(offs))
-      .select(pack3(col("cx") + col("__o.dx"), col("cy") + col("__o.dy"),
-        col("cz") + col("__o.dz")).as("cell"))
-      .groupBy("cell").count().filter(col("count") > cap).collect()
+    superRows(cand, h, "order_key").groupBy("skey").count()
+      .filter(col("count") > cap).collect()
       .map(r => r.getLong(0) ->
         math.min(math.ceil(r.getLong(1).toDouble / cap), 64.0).toInt).toMap
   }
@@ -98,21 +133,31 @@ object KnnJoin {
       selfJoin: Boolean = false, maxCellCandidates: Int = 100000): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    val debug = sys.env.contains("GRAFT_KNN_DEBUG")
+    val tStart = System.nanoTime()
+    def dbg(msg: => String): Unit =
+      if (debug) println(f"[knn +${(System.nanoTime() - tStart) / 1e9}%.1fs] $msg")
 
-    // materialize both inputs ONCE: everything downstream (extent agg,
-    // per-ring candidate scans, escalated binnings) would otherwise
-    // re-execute the caller's full upstream plan per job. For self-kNN
-    // the query side IS the candidate side — one materialization.
+    // materialize both inputs ONCE: everything downstream (per-ring
+    // candidate scans, escalated binnings) would otherwise re-execute
+    // the caller's full upstream plan per job. persist + the extent
+    // aggregate as the materializing action = ONE job that both fills
+    // the cache and returns the bbox (no separate probe job); lineage
+    // stays intact so an executor loss recomputes instead of failing.
+    // For self-kNN the query side IS the candidate side.
     val candCols =
       if (valueCol == "order_key") Seq(col("x"), col("y"), col("z"), col("order_key"))
       else Seq(col("x"), col("y"), col("z"), col("order_key"), col(valueCol))
-    val candM = graft.core.Mat(cand.select(candCols: _*))
+    val candM = cand.select(candCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queriesM =
       if (selfJoin) candM.select("order_key", "x", "y", "z")
-      else graft.core.Mat(queries.select("order_key", "x", "y", "z"))
+      else queries.select("order_key", "x", "y", "z")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val ext = candM.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
       min("z"), max("z")).head()
+    dbg(s"candM materialized n=${ext.getLong(0)}")
     val hitType = "array<struct<d2:double,cid:bigint,v:double>>"
     if (ext.getLong(0) == 0L) // no candidates at all
       return queries.select(col("order_key"),
@@ -136,7 +181,19 @@ object KnnJoin {
     val maxExtent = math.max(1e-9, math.max(uext.getDouble(2) - uext.getDouble(1),
       math.max(uext.getDouble(4) - uext.getDouble(3), uext.getDouble(6) - uext.getDouble(5))))
 
-    val h0raw = if (cellSize > 0) cellSize else estimateCellSize(candM, math.max(64.0, k * 4.0))
+    // cell-size estimate straight from the already-collected extent row
+    // (the old estimateCellSize call was a second identical aggregate)
+    val h0raw =
+      if (cellSize > 0) cellSize
+      else {
+        val n = math.max(ext.getLong(0), 1L)
+        val target = math.max(64.0, k * 4.0)
+        val ex = math.max(ext.getDouble(2) - ext.getDouble(1), 1e-9)
+        val ey = math.max(ext.getDouble(4) - ext.getDouble(3), 1e-9)
+        val ez = ext.getDouble(6) - ext.getDouble(5)
+        if (ez <= 1e-12) math.sqrt(ex * ey * target / n)
+        else math.cbrt(ex * ey * ez * target / n)
+      }
     val h0 = if (h0raw.isNaN || h0raw <= 1e-12) maxExtent / 16 else h0raw
 
     def candPrep(h: Double) = candM.select(
@@ -145,63 +202,124 @@ object KnnJoin {
       col(valueCol).cast("double").as("v"))
       .withColumn("__salt", lit(0))
 
-    /** Candidates duplicated into their 27-cube neighbor cells (the halo
-      * exchange on the CANDIDATE side): every ring-1 query then joins a
-      * single cell and gets its final cube-1 top-k in ONE cogroup — no
-      * per-query partial-merge shuffle at all. */
-    def candHaloBase(h: Double) = {
-      val offs = array((shellOffsets(0) ++ shellOffsets(1)).map { case (dx, dy, dz) =>
-        struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
-      }: _*)
-      candM.select(
-          cellCoord(col("x"), h).as("cx"), cellCoord(col("y"), h).as("cy"),
-          cellCoord(col("z"), h).as("cz"),
-          col("x"), col("y"), col("z"), col("order_key").as("cid"),
-          col(valueCol).cast("double").as("v"))
-        .withColumn("__o", explode(offs))
-        .select(pack3(col("cx") + col("__o.dx"), col("cy") + col("__o.dy"),
-            col("cz") + col("__o.dz")).as("cell"),
-          col("x"), col("y"), col("z"), col("cid"), col("v"))
-    }
-
-    /** Halo candidates with skew salt: rows of hot destination cells get
-      * a deterministic hash salt in [0, S) so each cogroup group holds at
-      * most ~cap candidates. */
-    def candHalo(h: Double, hotDf: Option[DataFrame]) = hotDf match {
-      case Some(hd) => candHaloBase(h).join(hd, Seq("cell"), "left")
-        .withColumn("__salt", when(col("__s").isNotNull,
-          pmod(xxhash64(col("cid")), col("__s").cast("long")).cast("int"))
-          .otherwise(lit(0)))
-        .drop("__s")
-      case None => candHaloBase(h).withColumn("__salt", lit(0))
-    }
-
-    def detectHot(h: Double, cap: Int): Map[Long, Int] = detectHotCells(candM, h, cap)
-
     def bin(q: DataFrame, h: Double): DataFrame = q.select(col("qid"),
       col("qx"), col("qy"), col("qz"),
       cellCoord(col("qx"), h).as("ccx"), cellCoord(col("qy"), h).as("ccy"),
       cellCoord(col("qz"), h).as("ccz"))
 
-    def ringPartials(q: DataFrame, shell: Seq[(Int, Int, Int)],
-        candsDf: DataFrame, filterCells: Boolean,
-        hotDf: Option[DataFrame] = None): DataFrame = {
-      val offs = array(shell.map { case (dx, dy, dz) =>
-        struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
-      }: _*)
-      val exploded0 = q.withColumn("__o", explode(offs))
-        .select(col("qid"), col("qx"), col("qy"), col("qz"),
-          pack3(col("ccx") + col("__o.dx"), col("ccy") + col("__o.dy"),
-            col("ccz") + col("__o.dz")).as("cell"))
-      // queries probing a hot cell fan out to every salt group of that
-      // cell (candidates were split); cold cells keep the single salt 0
-      val exploded = (hotDf match {
-        case Some(hd) => exploded0.join(hd, Seq("cell"), "left")
+    /** First-binning join: cogroup keyed on SUPERCELLS (SxSxS cells)
+      * with candidates duplicated only into the one-cell halo shell of
+      * adjacent supercells (~(1+2/S)^3 = 3.4x fan-out instead of the 27x
+      * of per-cell haloing — an 8x shuffle-volume cut on the dominant
+      * stage). Each task builds a local per-cell chain index and answers
+      * every query's exact 27-cell cube, so per-query results are
+      * IDENTICAL to the per-cell design. Hot supercells are salted on
+      * the candidate side with queries replicated across salt groups. */
+    def superPartials(q: DataFrame, h: Double, hotDf: Option[DataFrame]): DataFrame = {
+      val q1 = q.select(col("qid"), col("qx"), col("qy"), col("qz"),
+        superPack(superC(col("ccx"), 0), superC(col("ccy"), 0),
+          superC(col("ccz"), 0)).as("skey"))
+      val qS = (hotDf match {
+        case Some(hd) => q1.join(hd, Seq("skey"), "left")
           .withColumn("__salt",
             explode(sequence(lit(0), coalesce(col("__s"), lit(1)) - 1)))
           .drop("__s")
-        case None => exploded0.withColumn("__salt", lit(0))
-      }).select("qid", "qx", "qy", "qz", "cell", "__salt")
+        case None => q1.withColumn("__salt", lit(0))
+      }).select("qid", "qx", "qy", "qz", "skey", "__salt")
+        .as[(Long, Double, Double, Double, Long, Int)]
+      val c1 = superRows(candM, h, valueCol)
+      val cS = (hotDf match {
+        case Some(hd) => c1.join(hd, Seq("skey"), "left")
+          .withColumn("__salt", when(col("__s").isNotNull,
+            pmod(xxhash64(col("cid")), col("__s").cast("long")).cast("int"))
+            .otherwise(lit(0)))
+          .drop("__s")
+        case None => c1.withColumn("__salt", lit(0))
+      }).select("skey", "x", "y", "z", "cid", "v", "__salt")
+        .as[(Long, Double, Double, Double, Long, Double, Int)]
+      val hL = h
+      qS.groupByKey(t => (t._5, t._6)).cogroup(cS.groupByKey(t => (t._1, t._7))) {
+        (_, qs, cs) =>
+          val cBuf = cs.toArray
+          if (cBuf.isEmpty) Iterator.empty
+          else {
+            val n = cBuf.length
+            val cxA = new Array[Double](n); val cyA = new Array[Double](n)
+            val czA = new Array[Double](n); val cidA = new Array[Long](n)
+            val cvA = new Array[Double](n)
+            // per-cell chains: head(cellKey) -> last idx, next(idx) -> prev
+            val head = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+            val nxt = new Array[Int](n)
+            var j = 0
+            while (j < n) {
+              val c = cBuf(j)
+              cxA(j) = c._2; cyA(j) = c._3; czA(j) = c._4
+              cidA(j) = c._5; cvA(j) = c._6
+              val ck = packS(math.floor(c._2 / hL).toLong,
+                math.floor(c._3 / hL).toLong, math.floor(c._4 / hL).toLong)
+              val prev = head.put(ck, j)
+              nxt(j) = if (prev == null) -1 else prev.intValue()
+              j += 1
+            }
+            qs.map { case (qid, qx, qy, qz, _, _) =>
+              val qcx = math.floor(qx / hL).toLong
+              val qcy = math.floor(qy / hL).toLong
+              val qcz = math.floor(qz / hL).toLong
+              val bd = new Array[Double](k); val bc = new Array[Long](k)
+              val bv = new Array[Double](k)
+              var cnt = 0
+              var dx = -1
+              while (dx <= 1) {
+                var dy = -1
+                while (dy <= 1) {
+                  var dz = -1
+                  while (dz <= 1) {
+                    val start = head.get(packS(qcx + dx, qcy + dy, qcz + dz))
+                    var i = if (start == null) -1 else start.intValue()
+                    while (i != -1) {
+                      val ddx = cxA(i) - qx; val ddy = cyA(i) - qy
+                      val ddz = czA(i) - qz
+                      val d2 = ddx * ddx + ddy * ddy + ddz * ddz
+                      val cid = cidA(i)
+                      if (cnt < k || d2 < bd(cnt - 1) ||
+                          (d2 == bd(cnt - 1) && cid < bc(cnt - 1))) {
+                        var p = if (cnt < k) cnt else k - 1
+                        while (p > 0 && (bd(p - 1) > d2 ||
+                            (bd(p - 1) == d2 && bc(p - 1) > cid))) {
+                          bd(p) = bd(p - 1); bc(p) = bc(p - 1); bv(p) = bv(p - 1)
+                          p -= 1
+                        }
+                        bd(p) = d2; bc(p) = cid; bv(p) = cvA(i)
+                        if (cnt < k) cnt += 1
+                      }
+                      i = nxt(i)
+                    }
+                    dz += 1
+                  }
+                  dy += 1
+                }
+                dx += 1
+              }
+              val out = new Array[Hit](cnt)
+              var q2 = 0
+              while (q2 < cnt) { out(q2) = Hit(bd(q2), bc(q2), bv(q2)); q2 += 1 }
+              (qid, out)
+            }
+          }
+      }.toDF("qid", "hits")
+    }
+
+    def ringPartials(q: DataFrame, shell: Seq[(Int, Int, Int)],
+        candsDf: DataFrame, filterCells: Boolean): DataFrame = {
+      val offs = array(shell.map { case (dx, dy, dz) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
+      }: _*)
+      val exploded = q.withColumn("__o", explode(offs))
+        .select(col("qid"), col("qx"), col("qy"), col("qz"),
+          pack3(col("ccx") + col("__o.dx"), col("ccy") + col("__o.dy"),
+            col("ccz") + col("__o.dz")).as("cell"))
+        .withColumn("__salt", lit(0))
+        .select("qid", "qx", "qy", "qz", "cell", "__salt")
         .as[(Long, Double, Double, Double, Long, Int)]
       // late rings probe few cells: shrink the candidate shuffle to the
       // cells actually probed instead of re-shuffling the full corpus
@@ -289,16 +407,16 @@ object KnnJoin {
       // and shrink candidates to probed cells.
       var accumulated =
         if (firstBinning) {
-          // n <= cap means no cell can exceed the cap — detection free
+          // n <= cap means no supercell can exceed the cap — detection free
           val hot =
             if (ext.getLong(0) <= maxCellCandidates) Map.empty[Long, Int]
-            else detectHot(h, maxCellCandidates)
+            else detectHotSupercells(candM, h, maxCellCandidates)
+          dbg(s"hot detection done: ${hot.size} hot supercells at h=$h")
           val hotDf =
             if (hot.isEmpty) None
             else Some(broadcast(
-              spark.createDataFrame(hot.toSeq).toDF("cell", "__s")))
-          val partials = ringPartials(q, shellOffsets(0), candHalo(h, hotDf),
-            filterCells = false, hotDf = hotDf)
+              spark.createDataFrame(hot.toSeq).toDF("skey", "__s")))
+          val partials = superPartials(q, h, hotDf)
           // salted queries hold partials per salt group -> merge; the
           // skew-free fast path keeps the single-cogroup result as-is
           if (hotDf.isDefined) mergeTopK(partials)
@@ -316,17 +434,25 @@ object KnnJoin {
         val kth = try_element_at(col("knn"), lit(k))
         val isFinal = (size(col("knn")) === k &&
           sqrt(kth.getField("d2")) <= lit(ring * h)) || lit(coverAll)
-        // one materialization per ring: resolved AND pending filters read
-        // the checkpointed rows; the cogroup behind `accumulated` runs once
+        // one materialization per ring: LAZY localCheckpoint (cuts the
+        // logical plan immediately — the ring loop otherwise compounds
+        // plans exponentially) with the pending-count aggregate as the
+        // materializing action — a single job checkpoints the ring AND
+        // answers "is anything unresolved", replacing the old eager-
+        // checkpoint job + isEmpty probe pair (two driver barriers per
+        // ring -> one; the serial-floor item of BENCH/BASELINE.md)
         val joined = bin(pending, h).join(accumulated, Seq("qid"), "left")
           .withColumn("knn", coalesce(col("knn"),
             typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType)))
           .withColumn("__final", isFinal)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
+        val pendingCount = joined.agg(
+          count(when(!col("__final"), lit(1)))).head().getLong(0)
+        dbg(s"ring=$ring h=$h pending=$pendingCount")
         resolvedParts = joined.filter(col("__final")).select(col("qid"), col("knn")) :: resolvedParts
         val nextPending = joined.filter(!col("__final"))
         pending = nextPending.select("qid", "qx", "qy", "qz")
-        if (pending.isEmpty) done = true
+        if (pendingCount == 0L) done = true
         else if (ring < ringsPerBinning) {
           // jump both remaining shells in one round: pending is already the
           // small boundary-escaping minority, one cogroup covers rings 2+3
@@ -345,6 +471,7 @@ object KnnJoin {
         }
       }
     }
+    dbg("loop done")
     resolvedParts.reduce(_.unionByName(_))
       .withColumnRenamed("qid", "order_key")
   }

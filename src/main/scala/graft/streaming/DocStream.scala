@@ -32,6 +32,48 @@ object DocStream {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("tile_id"))
       .agg(count(lit(1)).as("n"), avg("z").as("mean_z"))
 
+  /** Stream-stream AS-OF join of a doc-span stream against a media
+    * stream on media_ref: each doc matches the LATEST media event whose
+    * event time <= the doc's time; docs arriving before their media are
+    * buffered in state and emitted when a matching media event lands
+    * (the flatMapGroupsWithState custom-state path — Spark's built-in
+    * stream-stream joins are equality+interval, not as-of).
+    *
+    * @param docEvents  streaming (media_ref, ts, doc_id)
+    * @param mediaEvents streaming (media_ref, ts, meta)
+    * @return appended (doc_id, media_ref, doc_ts, media_ts, meta)
+    */
+  def asOfJoinMedia(spark: SparkSession, docEvents: DataFrame,
+      mediaEvents: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val tagged = docEvents.select(col("media_ref"), lit("doc").as("side"),
+        col("ts").cast("long"), col("doc_id").cast("long"),
+        lit(null).cast("string").as("meta"))
+      .unionByName(mediaEvents.select(col("media_ref"), lit("media").as("side"),
+        col("ts").cast("long"), lit(-1L).as("doc_id"), col("meta")))
+    tagged.as[(String, String, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ref: String, it: Iterator[(String, String, Long, Long, String)],
+         state: GroupState[(List[(Long, String)], List[(Long, Long)])]) =>
+          var (mediaL, pend) = state.getOption.getOrElse(
+            (List.empty[(Long, String)], List.empty[(Long, Long)]))
+          val rows = it.toList
+          // media kept sorted by ts desc: head-most match is the latest <= t
+          mediaL = (mediaL ++ rows.filter(_._2 == "media").map(r => (r._3, r._5)))
+            .sortBy(-_._1)
+          pend = pend ++ rows.filter(_._2 == "doc").map(r => (r._3, r._4))
+          val (matched, still) = pend.partition { case (ts, _) =>
+            mediaL.exists(_._1 <= ts) }
+          state.update((mediaL, still))
+          matched.iterator.map { case (ts, id) =>
+            val m = mediaL.find(_._1 <= ts).get
+            (id, ref, ts, m._1, m._2)
+          }
+      }.toDF("doc_id", "media_ref", "doc_ts", "media_ts", "meta")
+  }
+
   /** Stateful per-tile running counts via mapGroupsWithState — the
     * KeyValueGroupedDataset custom-state path. */
   def runningTileCounts(spark: SparkSession, stream: DataFrame,

@@ -100,6 +100,19 @@ class ExtrasSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
     val deduped = Dedup.minhashDedup(docs, threshold = 0.4)
     assert(deduped.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // S-curve auto-banding: 64 hashes at t=0.7 -> 8 bands of 8 rows
+    assert(Dedup.autoBands(64, 0.7) == 8)
+    assert(Dedup.autoBands(64, 0.5) == 16)
+    // mega-bucket cap: 300 boilerplate clones would otherwise emit
+    // ~45k quadratic candidate pairs; with the cap the bucket is dropped
+    // while the real near-dup pair elsewhere is still found
+    val clones = (0 until 300).map(i => (100L + i, "boilerplate header text " * 5))
+    val mixed = (Seq((1L, base), (2L, nearDup)) ++ clones).toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(mixed, threshold = 0.4, numHashes = 64,
+      bands = 16, maxBucket = 100)
+    val cp = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp.contains((1L, 2L)))
+    assert(!cp.exists(p => p._1 >= 100L && p._2 >= 100L), "mega-bucket must be dropped")
   }
 
   test("simhash hamming pairs on near-identical docs") {

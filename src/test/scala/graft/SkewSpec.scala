@@ -57,8 +57,8 @@ class SkewSpec extends AnyFunSuite {
     val pts = skewed.select("order_key", "x", "y", "z").cache()
     val h = 500.0 // dense blob spans 100m -> one 500m cell holds ~9000
     val cap = 1000
-    val hot = graft.operators.KnnJoin.detectHotCells(pts, h, cap)
-    assert(hot.nonEmpty, "dense cell must be detected as hot")
+    val hot = graft.operators.KnnJoin.detectHotSupercells(pts, h, cap)
+    assert(hot.nonEmpty, "dense supercell must be detected as hot")
     // salt factors bound each (cell, salt) cogroup group to ~cap: the
     // task-input bound AQE cannot provide for Dataset.cogroup
     hot.values.foreach(s => assert(s >= 9 && s <= 64, s"salt factor $s"))

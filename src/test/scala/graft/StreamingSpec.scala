@@ -40,4 +40,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(g == e)
     } finally q2.stop()
   }
+
+  test("stream-stream AS-OF join: docs match latest media at-or-before " +
+      "their time; early docs buffer until media arrives") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val docsIn = MemoryStream[(String, Long, Long)]
+    val mediaIn = MemoryStream[(String, Long, String)]
+    val joined = DocStream.asOfJoinMedia(spark,
+      docsIn.toDF().toDF("media_ref", "ts", "doc_id"),
+      mediaIn.toDF().toDF("media_ref", "ts", "meta"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("asof").start()
+    try {
+      // batch 1: media m1@10, m1@20; doc d1@15 -> matches media@10
+      mediaIn.addData(("m1", 10L, "v1"), ("m1", 20L, "v2"))
+      docsIn.addData(("m1", 15L, 1L))
+      q.processAllAvailable()
+      // batch 2: doc d2@25 -> media@20; doc d3@5 on m2 buffers (no media)
+      docsIn.addData(("m1", 25L, 2L), ("m2", 5L, 3L))
+      q.processAllAvailable()
+      // batch 3: media m2@3 arrives late -> buffered d3 emits
+      mediaIn.addData(("m2", 3L, "w1"))
+      q.processAllAvailable()
+      val got = spark.table("asof").collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+      assert(got(1L) == (10L, "v1"))
+      assert(got(2L) == (20L, "v2"))
+      assert(got(3L) == (3L, "w1"))
+      assert(got.size == 3)
+    } finally q.stop()
+  }
 }
