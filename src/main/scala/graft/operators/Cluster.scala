@@ -67,7 +67,7 @@ object Dbscan {
     val core = df.join(counts, Seq("order_key"), "left")
       .filter(coalesce(col("__rc"), lit(1L)) >= minPoints)
       .drop("__rc")
-      .localCheckpoint(eager = true)
+      .transform(d => graft.core.Mat(d))
     val coreClusters = Cluster(core, eps, outCol = "__ccid")
       .select(col("order_key").as("ck"), col("__ccid"))
     // border points: nearest core within eps (min core order_key wins)

@@ -18,9 +18,8 @@ object Order {
     // eager checkpoint pins the physical partitions: the counts job and the
     // rank job must see the SAME __pid mapping (AQE partition coalescing
     // can otherwise re-map partition ids between the two jobs)
-    val ranged = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = graft.core.Mat(df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id()))
     val counts = ranged.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (counts.isEmpty) 0 else counts.keys.max
@@ -46,9 +45,9 @@ object Order {
       outCol: String): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val ranged = df.repartitionByRange(parts, (col(groupCol) +: sortCols): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = graft.core.Mat(
+      df.repartitionByRange(parts, (col(groupCol) +: sortCols): _*)
+        .withColumn("__pid", spark_partition_id()))
     val counts = ranged.groupBy("__pid", groupCol).count().collect()
       .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2))
     // offset of (pid, g) = total count of g in lower pids
@@ -77,10 +76,9 @@ object Order {
     * total offsets (one collected row per partition). */
   def globalPrefixSum(df: DataFrame, valueCol: Column, outCol: String): DataFrame = {
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val ranged = df.withColumn("__v", valueCol)
+    val ranged = graft.core.Mat(df.withColumn("__v", valueCol)
       .repartitionByRange(parts, col("order_key"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id()))
     val sums = ranged.groupBy("__pid").agg(sum("__v").as("s")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (sums.isEmpty) 0 else sums.keys.max

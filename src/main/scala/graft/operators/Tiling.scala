@@ -71,10 +71,15 @@ object Splitter {
   * input is one block and this reproduces the goldens bit-for-bit.
   */
 object ChipperCore {
+  def numPartitions(n: Long, capacity: Long): Long = {
+    var np = n / capacity
+    if (n % capacity != 0) np += 1
+    np
+  }
+
   /** Cumulate-and-round partition boundaries (partition() :161-181). */
   def partitions(n: Long, capacity: Long): Array[Long] = {
-    var numPart = n / capacity
-    if (n % capacity != 0) numPart += 1
+    val numPart = numPartitions(n, capacity)
     val psize = n.toDouble / numPart
     val out = new Array[Long](numPart.toInt + 1)
     var total = 0.0
@@ -88,6 +93,25 @@ object ChipperCore {
     out
   }
 
+  /** Boundary accessor that stays O(1) memory past `maxExact` chips: up
+    * to maxExact partitions the exact accumulated array is used
+    * (bit-identical to the reference); beyond it the closed form
+    * floor(i * psize + 0.5) with the last boundary clamped to n — the
+    * documented large-scale variant (the accumulated and multiplied
+    * forms agree except when i * psize lands within ~i ulps of a .5
+    * rounding boundary, where the chip boundary may shift by one). */
+  def boundaryFn(n: Long, capacity: Long, maxExact: Int = 1 << 24): Int => Long = {
+    val np = numPartitions(n, capacity)
+    if (np <= maxExact) {
+      val a = partitions(n, capacity)
+      i => a(i)
+    } else {
+      val psize = n.toDouble / np
+      i => if (i <= 0) 0L else if (i >= np) n
+           else math.floor(i * psize + 0.5).toLong
+    }
+  }
+
   /** Assign chip ids (= global partition start index of the chip) to the
     * points of one block. xs/ys/ord indexed by local point index; parts is
     * the GLOBAL partition array; [pleft, pright) the block's partition
@@ -95,7 +119,7 @@ object ChipperCore {
     * true since decideSplit's v1 is the x vector at the root).
     */
   def chipBlock(xs: Array[Double], ys: Array[Double], ord: Array[Long],
-      parts: Array[Long], pleft: Int, pright: Int, prevAxisX: Boolean): Array[Int] = {
+      parts: Int => Long, pleft: Int, pright: Int, prevAxisX: Boolean): Array[Int] = {
     val n = xs.length
     require(n == (parts(pright) - parts(pleft)),
       s"block size $n != partition span ${parts(pright) - parts(pleft)}")
@@ -170,8 +194,8 @@ object Chipper {
     val spark = df.sparkSession
     val n = df.count()
     if (n == 0) return df.withColumn(chipCol, lit(0L)).limit(0)
-    val parts = ChipperCore.partitions(n, capacity)
-    val numPart = parts.length - 1
+    val parts = ChipperCore.boundaryFn(n, capacity)
+    val numPart = ChipperCore.numPartitions(n, capacity).toInt
 
     var work = df.select(col("x"), col("y"), col("order_key"))
       .withColumn("__block", lit(0))
@@ -219,15 +243,15 @@ object Chipper {
           case None => Seq(id -> b)
         }
       }
-      work = work.localCheckpoint(eager = false)
+      work = graft.core.Mat(work, eager = false)
     }
 
-    // local phase: exact recursion per block. parts is broadcast; its size
-    // is numPartitions+1 longs (n/capacity) — fine through ~1e8 chips; past
-    // that raise `capacity` or `localThreshold` (documented silent-cap: none,
-    // this errors loudly on driver memory instead of approximating).
+    // local phase: exact recursion per block. Executors rebuild the
+    // boundary accessor from (n, capacity) — nothing O(chips) is ever
+    // broadcast or held on the driver (boundaryFn switches to the
+    // closed form past 2^24 chips).
     val blockMeta = blocks // small, serialized into the closure
-    val partsB = spark.sparkContext.broadcast(parts)
+    val nCap = (n, capacity)
     val assignEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     import spark.implicits._
     val assign = work.select("x", "y", "order_key", "__block")
@@ -238,7 +262,7 @@ object Chipper {
         val b = blockMeta(blk)
         val chips = ChipperCore.chipBlock(
           rows.map(_._1), rows.map(_._2), rows.map(_._3),
-          partsB.value, b.pleft, b.pright, b.prevAxisX)
+          ChipperCore.boundaryFn(nCap._1, nCap._2), b.pleft, b.pright, b.prevAxisX)
         chips.iterator.zipWithIndex.map { case (c, i) => (rows(i)._3, c.toLong) }
       }(assignEnc)
       .toDF("order_key", chipCol)

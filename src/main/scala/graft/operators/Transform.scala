@@ -122,9 +122,8 @@ object GpsTimeConvert {
     // per-partition offsets (bump totals + the one boundary comparison
     // between consecutive partitions — one collected row per partition).
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val ranged = df.repartitionByRange(parts, col("order_key"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = graft.core.Mat(df.repartitionByRange(parts, col("order_key"))
+      .withColumn("__pid", spark_partition_id()))
     val w = Window.partitionBy("__pid").orderBy("order_key")
     val prev = lag(col("gps_time"), 1).over(w)
     val bump = when(prev.isNotNull && col("gps_time") < prev, 1L).otherwise(0L)

@@ -131,16 +131,16 @@ object Sample {
           col("acz") === col("bcz") && col("bk") < col("ak"), "inner")
       .filter(d2 < radius * radius)
       .select(col("ak"), col("bk"))
-      .localCheckpoint(eager = true)
+      .transform(d => graft.core.Mat(d))
 
     // fixpoint: decided(k) with kept flag
     var decided = pts.select(col("order_key").as("k"))
       .join(pairs.select(col("ak").as("k")).distinct(), Seq("k"), "left_anti")
       .withColumn("kept", lit(true)) // no earlier conflict at all -> kept
-      .localCheckpoint(eager = true)
+      .transform(d => graft.core.Mat(d))
     var remaining = pts.select(col("order_key").as("k"))
       .join(decided.select("k"), Seq("k"), "left_anti")
-      .localCheckpoint(eager = true)
+      .transform(d => graft.core.Mat(d))
     while (!remaining.isEmpty) {
       // p decidable when all earlier conflicts are decided
       val pend = pairs.join(remaining, pairs("ak") === remaining("k"), "left_semi")
@@ -153,9 +153,9 @@ object Sample {
         .select(col("ak")).distinct()
       val newly = decidable.join(keptEarlier, decidable("k") === keptEarlier("ak"), "left")
         .select(col("k"), col("ak").isNull.as("kept"))
-      decided = decided.unionByName(newly).localCheckpoint(eager = true)
+      decided = decided.unionByName(newly).transform(d => graft.core.Mat(d))
       remaining = remaining.join(newly.select("k"), Seq("k"), "left_anti")
-        .localCheckpoint(eager = true)
+        .transform(d => graft.core.Mat(d))
     }
     df.join(decided.filter(col("kept")).select(col("k").as("order_key")),
       Seq("order_key"), "left_semi")
@@ -189,7 +189,7 @@ object Fps {
     val spark = df.sparkSession
     var pts = df.select("order_key", "x", "y", "z")
       .withColumn("__mind", lit(Double.MaxValue))
-      .localCheckpoint(eager = true)
+      .transform(d => graft.core.Mat(d))
     val first = pts.orderBy("order_key").select("order_key", "x", "y", "z").head()
     var chosen = List(first.getLong(0))
     var (cx, cy, cz) = (first.getDouble(1), first.getDouble(2), first.getDouble(3))
@@ -198,7 +198,7 @@ object Fps {
       val d2 = (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy) +
         (col("z") - cz) * (col("z") - cz)
       pts = pts.withColumn("__mind", least(col("__mind"), d2))
-        .localCheckpoint(eager = true)
+        .transform(d => graft.core.Mat(d))
       val next = pts.filter(!col("order_key").isInCollection(chosen))
         .orderBy(col("__mind").desc, col("order_key").asc).head()
       chosen = next.getLong(0) :: chosen

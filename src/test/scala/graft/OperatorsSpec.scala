@@ -265,6 +265,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.agg(max("order_key")).head().getLong(0) == 1064)
   }
 
+  test("chipper boundary accessor: exact below maxExact, closed form " +
+      "bounded-divergent and mass-preserving above it") {
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 50) {
+      val n = 1L + rnd.nextInt(2000000)
+      val cap = 1L + rnd.nextInt(10000)
+      val np = ChipperCore.numPartitions(n, cap).toInt
+      val exact = ChipperCore.partitions(n, cap)
+      // accessor IS the exact array below the threshold
+      val fn = ChipperCore.boundaryFn(n, cap)
+      assert(fn(0) == 0 && fn(np) == n && fn(np / 2) == exact(np / 2))
+      // closed form (the >2^24-chip path): every boundary within 1 of
+      // the reference's accumulated value, endpoints exact, monotone
+      val cf = ChipperCore.boundaryFn(n, cap, maxExact = 0)
+      assert(cf(0) == 0 && cf(np) == n)
+      var i = 1
+      val step = math.max(1, np / 64)
+      var prev = 0L
+      while (i <= np) {
+        val b = cf(i)
+        assert(math.abs(b - exact(i)) <= 1, s"n=$n cap=$cap i=$i")
+        assert(b >= prev)
+        prev = b
+        i += step
+      }
+    }
+  }
+
   test("hexbin boundary: single hex, shared-edge merge, donut hole " +
       "(HexBinFilter.cpp:137-232 boundary output)") {
     // one hex -> one 6-vertex ring
