@@ -52,11 +52,11 @@ object Ann {
       cents: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("u")).as[(Long, Seq[Double])]
+    // Array[Double] decode: primitive-backed, no per-component boxing
+    df.select(col("id"), col("u")).as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = cents.value
-        it.map { case (id, u) =>
-          val v = u.toArray
+        it.map { case (id, v) =>
           var best = 0; var bs = Double.NegativeInfinity
           var c = 0
           while (c < cs.length) {
@@ -66,7 +66,7 @@ object Ann {
             if (s > bs) { bs = s; best = c }
             c += 1
           }
-          (id, u, best)
+          (id, v, best)
         }
       }.toDF("id", "u", "cell")
   }
@@ -77,11 +77,10 @@ object Ann {
       nprobe: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("u")).as[(Long, Seq[Double])]
+    df.select(col("id"), col("u")).as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = cents.value
-        it.map { case (id, u) =>
-          val v = u.toArray
+        it.map { case (id, v) =>
           // top-nprobe via insertion into fixed arrays (nprobe is small)
           val np = math.min(nprobe, cs.length)
           val bd = Array.fill(np)(Double.NegativeInfinity)
@@ -100,7 +99,7 @@ object Ann {
             }
             c += 1
           }
-          (id, u, bc.toSeq)
+          (id, v, bc.toSeq)
         }
       }.toDF("id", "u", "probes")
   }
@@ -111,8 +110,8 @@ object Ann {
   def trainIvfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     val spark = corpus.sparkSession
-    val base = corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u"))
-      .localCheckpoint(true)
+    val base = graft.core.Mat(
+      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
     var cents: Array[Array[Double]] = base
       .orderBy(xxhash64(col("id"))).limit(nlist)
       .select("u").collect().map(_.getSeq[Double](0).toArray)

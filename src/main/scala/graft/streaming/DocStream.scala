@@ -39,12 +39,19 @@ object DocStream {
     * (the flatMapGroupsWithState custom-state path — Spark's built-in
     * stream-stream joins are equality+interval, not as-of).
     *
+    * Per-key state is BOUNDED: only the latest `maxMediaHistory` media
+    * versions and `maxPending` buffered docs are retained per media_ref
+    * (oldest evicted first — a doc needing evicted history matches the
+    * oldest retained version instead; at 16 versions that is the
+    * pathological-upload case, not the steady state).
+    *
     * @param docEvents  streaming (media_ref, ts, doc_id)
     * @param mediaEvents streaming (media_ref, ts, meta)
     * @return appended (doc_id, media_ref, doc_ts, media_ts, meta)
     */
   def asOfJoinMedia(spark: SparkSession, docEvents: DataFrame,
-      mediaEvents: DataFrame): DataFrame = {
+      mediaEvents: DataFrame, maxMediaHistory: Int = 16,
+      maxPending: Int = 10000): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val tagged = docEvents.select(col("media_ref"), lit("doc").as("side"),
@@ -62,11 +69,11 @@ object DocStream {
           val rows = it.toList
           // media kept sorted by ts desc: head-most match is the latest <= t
           mediaL = (mediaL ++ rows.filter(_._2 == "media").map(r => (r._3, r._5)))
-            .sortBy(-_._1)
+            .sortBy(-_._1).take(maxMediaHistory)
           pend = pend ++ rows.filter(_._2 == "doc").map(r => (r._3, r._4))
           val (matched, still) = pend.partition { case (ts, _) =>
             mediaL.exists(_._1 <= ts) }
-          state.update((mediaL, still))
+          state.update((mediaL, still.sortBy(-_._1).take(maxPending)))
           matched.iterator.map { case (ts, id) =>
             val m = mediaL.find(_._1 <= ts).get
             (id, ref, ts, m._1, m._2)

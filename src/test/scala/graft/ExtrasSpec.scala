@@ -356,6 +356,32 @@ class ExtrasSpec extends AnyFunSuite {
     assert(br < bt && box.count() > 0)
   }
 
+  test("Mat uses the reliable checkpoint dir when configured (cluster " +
+      "path: state survives executor loss, not pinned to one JVM)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-mat").toString
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    try {
+      sc.setCheckpointDir(dir)
+      val df = graft.core.Mat(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      assert(df.count() == 2)
+      // reliable checkpoint writes RDD blocks under the configured dir
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("part-")).count()
+      assert(files > 0, "reliable checkpoint must write to the dir")
+      // an iterative operator runs unchanged on the cluster path
+      val blob = (0 until 40).map(i => (i.toLong, i * 1.0, 0.0, 0.0))
+        .toDF("order_key", "x", "y", "z")
+      val cc = Cluster(blob, tolerance = 1.5)
+      assert(cc.select("cluster_id").distinct().count() == 1)
+    } finally {
+      // SparkContext has no unset API; null resets the internal option
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("outlier statistical degrades gracefully on a single point") {
     import spark.implicits._
     val one = Seq((0L, 1.0, 1.0, 1.0)).toDF("order_key", "x", "y", "z")
