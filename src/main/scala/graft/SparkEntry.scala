@@ -644,6 +644,80 @@ object SparkEntry {
           sel AS (SELECT qid, k, d2,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY e, k) AS r FROM ent)
           SELECT qid AS order_key, CAST(k AS INT) AS optimal_knn,
-            SQRT(d2) AS optimal_radius FROM sel WHERE r = 1"""
+            SQRT(d2) AS optimal_radius FROM sel WHERE r = 1""",
+    // PlaneFit replicated operation-for-operation: k=8 neighborhood
+    // (self excluded: rnk 2..9 under the same (d2, cid) order the knn
+    // array uses), query-centered covariance, Smith eigenvalues, normal
+    // = largest-norm cross product of rows of (A - l3*I) — first-wins
+    // on ties like the sequential argmax — then the distance ratio
+    // d(query)/(d(query)+mean |d(nbr)|). The orientation flip (nz<0) is
+    // skipped: IEEE negation is exact, so ABS() cancels it bit-for-bit.
+    "q39_planefit" ->
+      s"""WITH p AS ($pts3Sql),
+          q AS (SELECT order_key, x, y, z FROM p WHERE order_key < 2000),
+          pairs AS (SELECT a.order_key AS qid, b.order_key AS cid,
+            (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS d2,
+            b.x - a.x AS nx, b.y - a.y AS ny, b.z - a.z AS nz
+            FROM q a JOIN q b ON true),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d2, cid) AS rnk FROM pairs),
+          nbr AS (SELECT * FROM ranked WHERE rnk BETWEEN 2 AND 9),
+          mom AS (SELECT qid, AVG(nx) AS mx, AVG(ny) AS my, AVG(nz) AS mz,
+            AVG(nx*nx) AS sxx, AVG(nx*ny) AS sxy, AVG(nx*nz) AS sxz,
+            AVG(ny*ny) AS syy, AVG(ny*nz) AS syz, AVG(nz*nz) AS szz
+            FROM nbr GROUP BY qid),
+          cov AS (SELECT qid, mx, my, mz, sxx - mx*mx AS xx, sxy - mx*my AS xy,
+            sxz - mx*mz AS xz, syy - my*my AS yy, syz - my*mz AS yz,
+            szz - mz*mz AS zz FROM mom),
+          eig AS (SELECT *, xy*xy + xz*xz + yz*yz AS p1,
+            (xx + yy + zz) / 3.0 AS qq FROM cov),
+          eig2 AS (SELECT *, (xx-qq)*(xx-qq) + (yy-qq)*(yy-qq) + (zz-qq)*(zz-qq)
+            + 2*p1 AS p2 FROM eig),
+          eig3 AS (SELECT *, SQRT(p2 / 6.0) AS pp FROM eig2),
+          eig5 AS (SELECT *, ((xx-qq)/pp)*(((yy-qq)/pp)*((zz-qq)/pp) - (yz/pp)*(yz/pp))
+            - (xy/pp)*((xy/pp)*((zz-qq)/pp) - (yz/pp)*(xz/pp))
+            + (xz/pp)*((xy/pp)*(yz/pp) - ((yy-qq)/pp)*(xz/pp)) AS detB
+            FROM eig3),
+          eig6 AS (SELECT *, ACOS(GREATEST(-1.0, LEAST(1.0, detB / 2.0))) / 3.0
+            AS phi FROM eig5),
+          lam AS (SELECT qid, mx, my, mz, xx, xy, xz, yy, yz, zz,
+            CASE WHEN p1 < 1e-30 THEN LEAST(xx, yy, zz)
+                 ELSE qq + 2*pp*COS(phi + 2.0943951023931953) END AS l3
+            FROM eig6),
+          rows3 AS (SELECT qid, mx, my, mz, xx - l3 AS r1x, xy AS r1y, xz AS r1z,
+            xy AS r2x, yy - l3 AS r2y, yz AS r2z,
+            xz AS r3x, yz AS r3y, zz - l3 AS r3z FROM lam),
+          crs AS (SELECT qid, mx, my, mz,
+            r1y*r2z - r1z*r2y AS c1x, r1z*r2x - r1x*r2z AS c1y,
+            r1x*r2y - r1y*r2x AS c1z,
+            r1y*r3z - r1z*r3y AS c2x, r1z*r3x - r1x*r3z AS c2y,
+            r1x*r3y - r1y*r3x AS c2z,
+            r2y*r3z - r2z*r3y AS c3x, r2z*r3x - r2x*r3z AS c3y,
+            r2x*r3y - r2y*r3x AS c3z FROM rows3),
+          crs2 AS (SELECT *, c1x*c1x + c1y*c1y + c1z*c1z AS n21,
+            c2x*c2x + c2y*c2y + c2z*c2z AS n22,
+            c3x*c3x + c3y*c3y + c3z*c3z AS n23 FROM crs),
+          sel1 AS (SELECT qid, mx, my, mz, n23,
+            CASE WHEN n22 > n21 THEN c2x ELSE c1x END AS bx,
+            CASE WHEN n22 > n21 THEN c2y ELSE c1y END AS by,
+            CASE WHEN n22 > n21 THEN c2z ELSE c1z END AS bz,
+            CASE WHEN n22 > n21 THEN n22 ELSE n21 END AS bn2,
+            c3x, c3y, c3z FROM crs2),
+          sel2 AS (SELECT qid, mx, my, mz,
+            CASE WHEN n23 > bn2 THEN c3x ELSE bx END AS bx,
+            CASE WHEN n23 > bn2 THEN c3y ELSE by END AS by,
+            CASE WHEN n23 > bn2 THEN c3z ELSE bz END AS bz,
+            CASE WHEN n23 > bn2 THEN n23 ELSE bn2 END AS bn2 FROM sel1),
+          nrm AS (SELECT qid, mx, my, mz,
+            bx / SQRT(GREATEST(bn2, 1e-300)) AS px,
+            by / SQRT(GREATEST(bn2, 1e-300)) AS py,
+            bz / SQRT(GREATEST(bn2, 1e-300)) AS pz FROM sel2),
+          dq AS (SELECT qid, ABS(px*mx + py*my + pz*mz) AS dquery FROM nrm),
+          dbar AS (SELECT n.qid,
+            SUM(ABS(px*(n.nx - mx) + py*(n.ny - my) + pz*(n.nz - mz))) / 8.0
+            AS db FROM nbr n JOIN nrm ON n.qid = nrm.qid GROUP BY n.qid)
+          SELECT dq.qid AS order_key,
+            ROUND(dquery / GREATEST(dquery + db, 1e-300), 3) + 0.0 AS pf
+          FROM dq JOIN dbar ON dq.qid = dbar.qid"""
   )
 }
