@@ -138,6 +138,10 @@ object PipelineBuilder {
       case "readers.text" =>
         readerOpts(spark.read.option("header", "true").option("inferSchema", "true")
           .csv(optStr(o, "filename").get))
+      case "readers.view" | "readers.table" =>
+        // readers.memoryview analog (io/MemoryViewReader.cpp:50): read a
+        // registered temp view / catalog table by name
+        readerOpts(spark.table(optStr(o, "view").orElse(optStr(o, "table")).get))
       // ---- filters ----
       case "filters.crop" =>
         val outside = optBool(o, "outside").getOrElse(false)
@@ -243,7 +247,31 @@ object PipelineBuilder {
       case "filters.overlay" =>
         Overlay(in, Seq((optStr(o, "polygon").get,
           optDouble(o, "value").getOrElse(1.0))), optStr(o, "dimension").get)
+      case "filters.streamcallback" =>
+        CallbackRegistry(optStr(o, "name").get)(in)
+      case "filters.shell" =>
+        ShellStage.run(in, optStr(o, "command").get)
       // ---- writers ----
+      case "writers.ogr" =>
+        graft.sources.OgrWriter.writeGeoJson(in, optStr(o, "filename").get,
+          optStr(o, "attr_dims").map(_.split(',').map(_.trim).toSeq).getOrElse(Nil),
+          optStr(o, "measure_dim"),
+          optLong(o, "multicount").getOrElse(1L).toInt)
+        in
+      case "writers.raster" | "writers.faceraster" | "writers.gdal" =>
+        val res = optDouble(o, "resolution").getOrElse(1.0)
+        val nodata = optDouble(o, "nodata").getOrElse(-9999.0)
+        val band = optStr(o, "output_type").getOrElse("mean")
+        val origin = (for (x <- optDouble(o, "origin_x");
+          y <- optDouble(o, "origin_y")) yield (x, y)).getOrElse {
+          val r = in.agg(min("x"), min("y")).head()
+          (r.getDouble(0), r.getDouble(1))
+        }
+        val grid = Rasterize(in, res, optStr(o, "dimension").getOrElse("z"),
+          optDouble(o, "radius").getOrElse(0.0), Some(origin))
+        graft.sources.AscWriter.writeAsc(grid, optStr(o, "filename").get,
+          band, nodata, res, origin)
+        in
       case "writers.auto" | "writers.parquet" | "writers.las" =>
         val path = optStr(o, "filename").get
         val w = in.write.mode("overwrite")

@@ -212,4 +212,81 @@ class PipelineSpecSuite extends AnyFunSuite {
       assert(c3 == (c5 >> 4), "level-3 id must be the level-5 id without its last 2x2 bits")
     }
   }
+
+  test("writers.ogr: GeoJSONSeq features round-trip with attrs, measure " +
+      "and multicount MULTIPOINT (OGRWriter.cpp:74-84)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ogr").toString
+    val pts = Seq((0L, 1.0, 2.0, 3.0, 7), (1L, 4.0, 5.0, 6.0, 8),
+      (2L, 7.0, 8.0, 9.0, 9), (3L, 10.0, 11.0, 12.0, 10))
+      .toDF("order_key", "x", "y", "z", "intensity")
+    pts.createOrReplaceTempView("ogr_in")
+    PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.view","view":"ogr_in"},
+       {"type":"writers.ogr","filename":"$dir/pts.json",
+        "attr_dims":"intensity","measure_dim":"intensity"}]}""")
+    val back = spark.read.json(s"$dir/pts.json")
+    assert(back.count() == 4)
+    val f = back.filter(col("properties.intensity") === 7)
+      .select("geometry.coordinates").as[Seq[Double]].head()
+    assert(f == Seq(1.0, 2.0, 3.0, 7.0)) // xyz + measure as 4th coord
+    assert(back.select("type").distinct().as[String].head() == "Feature")
+    // multicount: consecutive pairs -> MULTIPOINT, stream (order_key) order
+    graft.sources.OgrWriter.writeGeoJson(pts, s"$dir/mp.json", multiCount = 2)
+    val mp = spark.read.json(s"$dir/mp.json")
+    assert(mp.count() == 2)
+    val g0 = mp.select(col("geometry.type").as[String],
+      to_json(col("geometry.coordinates")).as[String]).collect().toMap
+    assert(g0.keySet == Set("MultiPoint"))
+    assert(g0("MultiPoint").contains("[1.0,2.0,3.0]") ||
+      g0("MultiPoint").contains("[7.0,8.0,9.0]"))
+  }
+
+  test("writers.raster: Arc/Info ASCII grid emit with nodata fill " +
+      "(RasterWriter.cpp:66-79 / AAIGrid)") {
+    import spark.implicits._
+    // two occupied cells on a diagonal -> 3x3 grid with nodata elsewhere
+    val pts = Seq((0L, 0.5, 0.5, 10.0), (1L, 2.5, 2.5, 30.0))
+      .toDF("order_key", "x", "y", "z")
+    pts.createOrReplaceTempView("rast_in")
+    val f = java.nio.file.Files.createTempDirectory("graft-asc")
+      .resolve("out.asc").toString
+    PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.view","view":"rast_in"},
+       {"type":"writers.raster","filename":"$f","resolution":1.0,
+        "radius":0.1,"origin_x":0.0,"origin_y":0.0}]}""")
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+    assert(lines.get(0).trim == "ncols 3" && lines.get(1).trim == "nrows 3")
+    assert(lines.get(4).trim == "cellsize 1.0")
+    // north-to-south rows: top row has the (2,2) cell value in column 2
+    val top = lines.get(6).trim.split(" ")
+    val bottom = lines.get(8).trim.split(" ")
+    assert(top.toSeq == Seq("-9999.0", "-9999.0", "30.0"))
+    assert(bottom.toSeq == Seq("10.0", "-9999.0", "-9999.0"))
+    assert(lines.get(7).trim.split(" ").forall(_ == "-9999.0"))
+  }
+
+  test("filters.streamcallback + filters.shell: registered transform and " +
+      "gated driver command (StreamCallbackFilter.hpp:55-70, ShellFilter.cpp:70)") {
+    import spark.implicits._
+    graft.pipeline.CallbackRegistry.register("boost",
+      df => df.withColumn("z", col("z") * 2).filter(col("z") < 40))
+    Seq((0L, 1.0, 1.0, 10.0), (1L, 2.0, 2.0, 25.0))
+      .toDF("order_key", "x", "y", "z").createOrReplaceTempView("cb_in")
+    val gated = intercept[IllegalStateException] {
+      PipelineBuilder.run(spark, """{"pipeline":[
+         {"type":"readers.view","view":"cb_in"},
+         {"type":"filters.shell","command":"echo hi"}]}""")
+    }
+    assert(gated.getMessage.contains("GRAFT_ALLOW_SHELL"))
+    sys.props("graft.allow.shell") = "1"
+    try {
+      val out = PipelineBuilder.run(spark, """{"pipeline":[
+         {"type":"readers.view","view":"cb_in"},
+         {"type":"filters.shell","command":"echo graft-shell-ok"},
+         {"type":"filters.streamcallback","name":"boost"}]}""")
+      assert(out.select("z").as[Double].collect().toSet == Set(20.0))
+      assert(graft.pipeline.ShellStage.lastOutput.contains("graft-shell-ok"))
+    } finally sys.props.remove("graft.allow.shell")
+  }
 }
