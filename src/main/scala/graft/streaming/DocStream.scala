@@ -39,19 +39,28 @@ object DocStream {
     * (the flatMapGroupsWithState custom-state path — Spark's built-in
     * stream-stream joins are equality+interval, not as-of).
     *
-    * Per-key state is BOUNDED: only the latest `maxMediaHistory` media
-    * versions and `maxPending` buffered docs are retained per media_ref
-    * (oldest evicted first — a doc needing evicted history matches the
-    * oldest retained version instead; at 16 versions that is the
-    * pathological-upload case, not the steady state).
+    * Per-key state is BOUNDED two ways:
+    * - hard caps: the latest `maxMediaHistory` media versions and
+    *   `maxPending` buffered docs per media_ref (oldest evicted first);
+    * - the WATERMARK (`watermarkDelay` behind max event time) drives
+    *   eviction via EventTimeTimeout: a pending doc older than the
+    *   watermark can never match a late media event (that event would
+    *   itself be behind the watermark), so it is resolved — emitted
+    *   left-outer with null media columns — and dropped; media versions
+    *   older than the watermark collapse to the single newest one (the
+    *   only version any future doc can match); keys left with no state
+    *   are removed entirely. Idle keys get the same flush through the
+    *   timeout callback, so state size tracks the active window, not
+    *   stream lifetime.
     *
     * @param docEvents  streaming (media_ref, ts, doc_id)
     * @param mediaEvents streaming (media_ref, ts, meta)
-    * @return appended (doc_id, media_ref, doc_ts, media_ts, meta)
+    * @return appended (doc_id, media_ref, doc_ts, media_ts, meta);
+    *         media_ts/meta are null for watermark-expired unmatched docs
     */
   def asOfJoinMedia(spark: SparkSession, docEvents: DataFrame,
       mediaEvents: DataFrame, maxMediaHistory: Int = 16,
-      maxPending: Int = 10000): DataFrame = {
+      maxPending: Int = 10000, watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val tagged = docEvents.select(col("media_ref"), lit("doc").as("side"),
@@ -59,24 +68,44 @@ object DocStream {
         lit(null).cast("string").as("meta"))
       .unionByName(mediaEvents.select(col("media_ref"), lit("media").as("side"),
         col("ts").cast("long"), lit(-1L).as("doc_id"), col("meta")))
-    tagged.as[(String, String, Long, Long, String)]
+      .withColumn("ets", timestamp_seconds(col("ts")))
+      .withWatermark("ets", watermarkDelay)
+    tagged.as[(String, String, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (ref: String, it: Iterator[(String, String, Long, Long, String)],
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ref: String, it: Iterator[(String, String, Long, Long, String, java.sql.Timestamp)],
          state: GroupState[(List[(Long, String)], List[(Long, Long)])]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmSec = wmMs / 1000
           var (mediaL, pend) = state.getOption.getOrElse(
             (List.empty[(Long, String)], List.empty[(Long, Long)]))
-          val rows = it.toList
-          // media kept sorted by ts desc: head-most match is the latest <= t
-          mediaL = (mediaL ++ rows.filter(_._2 == "media").map(r => (r._3, r._5)))
-            .sortBy(-_._1).take(maxMediaHistory)
-          pend = pend ++ rows.filter(_._2 == "doc").map(r => (r._3, r._4))
-          val (matched, still) = pend.partition { case (ts, _) =>
-            mediaL.exists(_._1 <= ts) }
-          state.update((mediaL, still.sortBy(-_._1).take(maxPending)))
-          matched.iterator.map { case (ts, id) =>
-            val m = mediaL.find(_._1 <= ts).get
-            (id, ref, ts, m._1, m._2)
+          if (!state.hasTimedOut) {
+            val rows = it.toList
+            // media kept sorted by ts desc: head match is the latest <= t
+            mediaL = (mediaL ++ rows.filter(_._2 == "media").map(r => (r._3, r._5)))
+              .sortBy(-_._1).take(maxMediaHistory)
+            pend = pend ++ rows.filter(_._2 == "doc").map(r => (r._3, r._4))
+          }
+          // resolve: matched now, or expired by the watermark (no earlier
+          // media can arrive any more -> final, emit left-outer)
+          val (resolved, still) = pend.partition { case (ts, _) =>
+            mediaL.exists(_._1 <= ts) || ts < wmSec }
+          // media older than the watermark: only the newest can ever be
+          // the as-of match for a future (>= watermark) doc
+          val (older, recent) = mediaL.partition(_._1 < wmSec)
+          val prunedMedia = recent ++ older.take(1)
+          val keep = still.sortBy(-_._1).take(maxPending)
+          if (keep.isEmpty && prunedMedia.isEmpty) state.remove()
+          else {
+            state.update((prunedMedia, keep))
+            // flush/cleanup callback once the watermark moves past here
+            state.setTimeoutTimestamp(wmMs + 1000)
+          }
+          resolved.iterator.map { case (ts, id) =>
+            mediaL.find(_._1 <= ts) match {
+              case Some(m) => (id, ref, ts, Option(m._1), Option(m._2))
+              case None => (id, ref, ts, Option.empty[Long], Option.empty[String])
+            }
           }
       }.toDF("doc_id", "media_ref", "doc_ts", "media_ts", "meta")
   }

@@ -72,4 +72,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.size == 3)
     } finally q.stop()
   }
+
+  test("AS-OF join watermark eviction: unmatched docs past the watermark " +
+      "emit left-outer with null media and state is dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val docsIn = MemoryStream[(String, Long, Long)]
+    val mediaIn = MemoryStream[(String, Long, String)]
+    val joined = DocStream.asOfJoinMedia(spark,
+      docsIn.toDF().toDF("media_ref", "ts", "doc_id"),
+      mediaIn.toDF().toDF("media_ref", "ts", "meta"),
+      watermarkDelay = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("asof_evict").start()
+    try {
+      // doc on m9 at t=1000 with no media ever; media anchor advances time
+      docsIn.addData(("m9", 1000L, 7L))
+      mediaIn.addData(("m1", 1000L, "v0"))
+      q.processAllAvailable()
+      assert(spark.table("asof_evict").count() == 0) // buffered, wm ~ 940
+      // event time jumps: watermark = 2_000_000 - 60 >> 1000 -> doc 7
+      // is unreachable by any non-late media event => resolve left-outer
+      mediaIn.addData(("m1", 2000000L, "v1"))
+      q.processAllAvailable()
+      q.processAllAvailable() // no-data batch fires the timeout flush
+      val rows = spark.table("asof_evict").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          Option(r.getString(4)))).toList
+      assert(rows.contains((7L, None, None)), s"expected expired doc 7, got $rows")
+      // a doc arriving after the jump still matches the surviving media
+      docsIn.addData(("m1", 2000100L, 8L))
+      q.processAllAvailable()
+      val got8 = spark.table("asof_evict").collect()
+        .find(_.getLong(0) == 8L).get
+      assert(got8.getLong(3) == 2000000L && got8.getString(4) == "v1")
+    } finally q.stop()
+  }
 }
