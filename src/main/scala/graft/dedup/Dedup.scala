@@ -20,13 +20,19 @@ object Dedup {
     fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
 
-  /** MinHash signature: numHashes permutations approximated by seeded
-    * xxhash64 min over word shingles — a pure-column expression. */
-  def minhashSignature(textCol: Column, numHashes: Int = 64, shingle: Int = 3): Column = {
-    val sh = TextAnalysis.wordShingles(textCol, shingle)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(seed, s))))
-  }
+  /** MinHash signature: each shingle STRING is hashed once; the
+    * numHashes "permutations" derive from that 8-byte base hash with a
+    * seeded long-hash (the standard one-strong-hash + k-derived family)
+    * — hashing a long is a single block vs 4+ for the string, so the
+    * per-row work drops ~4x vs re-hashing strings per seed. The base
+    * array is bound to a lambda variable so it is built once per row
+    * (CollapseProject cannot inline into a lambda-variable reference). */
+  def minhashSignature(textCol: Column, numHashes: Int = 64, shingle: Int = 3): Column =
+    element_at(transform(
+      array(array_distinct(transform(TextAnalysis.wordShingles(textCol, shingle),
+        s => xxhash64(s)))),
+      hs => transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => array_min(transform(hs, h => xxhash64(seed, h))))), 1)
 
   /** S-curve banding: pick the band count (a divisor of numHashes) whose
     * collision threshold (1/b)^(1/r) sits closest to the requested
@@ -54,22 +60,17 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val rows = numHashes / b
-    // materialize shingles BEFORE fanning out to numHashes streams —
-    // without the barrier Catalyst collapses the projections and inlines
-    // the shingle construction into every per-seed min-hash (64x the
-    // string work, and a generated method too large to JIT). persist
-    // (not localCheckpoint): lineage survives executor loss and the
-    // blocks can be evicted to disk instead of pinning one JVM.
-    val shingled = df.select(col(idCol).as("id"),
-        TextAnalysis.wordShingles(col(textCol), 3).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = shingled.select(col("id"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        seed => array_min(transform(col("sh"), s => xxhash64(seed, s)))).as("sig"))
+    // One-pass signature (see minhashSignature: strings hashed once,
+    // permutations derived from the 8-byte base hash, lambda-bound so
+    // nothing re-evaluates per seed). No intermediate shingle table is
+    // materialized at all (round 2: this replaces a persist of the full
+    // shingle arrays — the heaviest intermediate at scale).
+    val sig = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, 3).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.withColumn("band", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("bucket", xxhash64(col("band"),
-        to_json(struct(slice(col("sig"), col("band") * rows + 1, lit(rows))))))
+        slice(col("sig"), col("band") * rows + 1, lit(rows))))
       .select("id", "band", "bucket")
     // mega-bucket cap. The collecting aggregate doubles as the ONE
     // materialization of the signature cache (the banded self-join's two
@@ -139,8 +140,8 @@ object Dedup {
     * chunks. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhashSql(textCol).as("fp"))
-      .localCheckpoint(eager = true)
+    val fp = graft.core.Mat(
+      df.select(col(idCol).as("id"), simhashSql(textCol).as("fp")))
     simhashPairsFromFp(fp, maxHamming)
   }
 
@@ -209,8 +210,7 @@ object Dedup {
         lit(0.0), (a, x) => a + x)
       when(dot >= 0, 1L).otherwise(0L)
     }
-    val prep = df.select(col(idCol).as("id"), unit.as("u"))
-      .localCheckpoint(eager = true)
+    val prep = graft.core.Mat(df.select(col(idCol).as("id"), unit.as("u")))
     def bandBucket(b: Int): Column =
       (0 until planesPerBand).map { i =>
         shiftleft(planeBit(col("u"), b * planesPerBand + i), i)
@@ -219,7 +219,7 @@ object Dedup {
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), bandBucket(b).as("h"))): _*)))
       .select(col("id"), col("bucket"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dedup candidate IDS before re-attaching vectors: the distinct
     // shuffles 16-byte pairs, not embedding payloads
     val candIds = sig.as("a").join(sig.as("b"),
