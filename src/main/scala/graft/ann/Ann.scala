@@ -1,8 +1,107 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** Coarse quantizer over an IVF centroid matrix. Flat argmax scan up to
+  * `flatLimit` centroids; beyond that a TWO-LEVEL TREE (sqrt(nlist)
+  * super-centroids, each owning its nearest centroids) cuts per-vector
+  * probe cost from O(nlist*dim) to O((sqrt(nlist)*(1+wsuper))*dim) — at
+  * nlist 10^5 that is ~35x less work per corpus vector. Built once on
+  * the driver (O(nlist*sqrt(nlist)*dim), seconds at nlist 10^5) and
+  * broadcast; unit vectors travel as float (half the shuffle bytes of
+  * double), dots accumulate in double. */
+final class Coarse private (val cents: Array[Array[Double]],
+    superCents: Array[Array[Double]], buckets: Array[Array[Int]])
+    extends Serializable {
+
+  def isFlat: Boolean = superCents.length == 0
+
+  @inline private def dotf(v: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0; var j = 0; val n = math.min(v.length, c.length)
+    while (j < n) { s += v(j) * c(j); j += 1 }
+    s
+  }
+
+  /** top-k by dot among candidate centroid ids (insertion top-k: k is
+    * small). ids == null scans all centroids. */
+  private def topk(v: Array[Float], ids: Array[Array[Int]], k: Int): Array[Int] = {
+    val total = if (ids == null) cents.length else ids.map(_.length).sum
+    val kk = math.min(k, total)
+    val bd = Array.fill(kk)(Double.NegativeInfinity)
+    val bc = new Array[Int](kk)
+    def offer(c: Int): Unit = {
+      val s = dotf(v, cents(c))
+      if (s > bd(kk - 1)) {
+        var p = kk - 1
+        while (p > 0 && bd(p - 1) < s) { bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1 }
+        bd(p) = s; bc(p) = c
+      }
+    }
+    if (ids == null) { var c = 0; while (c < cents.length) { offer(c); c += 1 } }
+    else ids.foreach(b => { var i = 0; while (i < b.length) { offer(b(i)); i += 1 } })
+    bc
+  }
+
+  /** top-nprobe centroid ids for v; tree mode scans the `wsuper` best
+    * super-buckets only. */
+  def probe(v: Array[Float], nprobe: Int, wsuper: Int): Array[Int] = {
+    if (isFlat) topk(v, null, nprobe)
+    else {
+      val ns = superCents.length
+      val ws = math.min(wsuper, ns)
+      val sd = Array.fill(ws)(Double.NegativeInfinity)
+      val sc = new Array[Int](ws)
+      var s = 0
+      while (s < ns) {
+        val d = dotf(v, superCents(s))
+        if (d > sd(ws - 1)) {
+          var p = ws - 1
+          while (p > 0 && sd(p - 1) < d) { sd(p) = sd(p - 1); sc(p) = sc(p - 1); p -= 1 }
+          sd(p) = d; sc(p) = s
+        }
+        s += 1
+      }
+      topk(v, sc.map(buckets), nprobe)
+    }
+  }
+
+  def nearest(v: Array[Float], wsuper: Int): Int = probe(v, 1, wsuper)(0)
+}
+
+object Coarse {
+  /** flatLimit: largest nlist still scanned flat (exact assignment). */
+  def build(cents: Array[Array[Double]], flatLimit: Int = 2048): Coarse = {
+    val nlist = cents.length
+    if (nlist <= flatLimit)
+      return new Coarse(cents, Array.empty, Array.empty)
+    val nsuper = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    // deterministic stride-sampled super-centroids over the (hash-
+    // shuffled, so unbiased) centroid order
+    val stride = nlist / nsuper
+    val supers = Array.tabulate(nsuper)(i => cents(i * stride))
+    val assign = new Array[Int](nlist)
+    var c = 0
+    while (c < nlist) {
+      val v = cents(c)
+      var best = 0; var bs = Double.NegativeInfinity
+      var s = 0
+      while (s < nsuper) {
+        val sv = supers(s); var d = 0.0; var j = 0
+        val n = math.min(v.length, sv.length)
+        while (j < n) { d += v(j) * sv(j); j += 1 }
+        if (d > bs) { bs = d; best = s }
+        s += 1
+      }
+      assign(c) = best
+      c += 1
+    }
+    val buckets = Array.fill(nsuper)(new scala.collection.mutable.ArrayBuffer[Int]())
+    assign.zipWithIndex.foreach { case (s, i) => buckets(s) += i }
+    new Coarse(cents, supers, buckets.map(_.toArray))
+  }
+}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine top-k is the exactness baseline;
@@ -11,12 +110,13 @@ import org.apache.spark.sql.functions._
   * drops by nlist/nprobe while the rerank inside probed cells stays
   * exact.
   *
-  * Centroid assignment runs as a tight primitive-array argmax over a
-  * BROADCAST centroid matrix inside mapPartitions (nlist * dim * 8 bytes
-  * — nlist 10^5 at dim 100 is ~80 MB, broadcastable), so nlist is no
-  * longer bounded by expression-tree size. At nlist beyond ~10^5 swap
-  * the flat argmax for an HNSW/k-means-tree over centroids — the
-  * partition layout and probe semantics stay identical. */
+  * Centroid assignment runs as a tight primitive-array scan over a
+  * BROADCAST [[Coarse]] quantizer inside mapPartitions (nlist * dim * 8
+  * bytes — nlist 10^5 at dim 100 is ~80 MB, broadcastable); past
+  * `flatLimit` centroids the quantizer switches to its two-level tree,
+  * so nlist is bounded by broadcast size, not scan cost. Unit vectors
+  * are carried as array<float> end-to-end — half the shuffle and index
+  * bytes of double — with double accumulation in every dot. */
 object Ann {
 
   def dot(a: Column, b: Column): Column =
@@ -43,64 +143,34 @@ object Ann {
       .select("query_id", "vec_id", "cosine", "rank")
   }
 
+  /** Unit vector as array<float>: 4 bytes/component through every
+    * shuffle and the persisted index; dots re-accumulate in double. */
   private def unitCol(vecCol: String): Column =
     transform(col(vecCol), x =>
-      x.cast("double") / greatest(norm(col(vecCol)), lit(1e-12)))
+      (x.cast("double") / greatest(norm(col(vecCol)), lit(1e-12))).cast("float"))
 
-  /** (id, unit-vector, argmax-dot cell) via broadcast centroids. */
+  /** (id, unit-vector, nearest cell) via the broadcast quantizer. */
   private def assignCells(df: DataFrame,
-      cents: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame = {
+      q: org.apache.spark.broadcast.Broadcast[Coarse], wsuper: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Array[Double] decode: primitive-backed, no per-component boxing
-    df.select(col("id"), col("u")).as[(Long, Array[Double])]
+    df.select(col("id"), col("u")).as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val cs = cents.value
-        it.map { case (id, v) =>
-          var best = 0; var bs = Double.NegativeInfinity
-          var c = 0
-          while (c < cs.length) {
-            val cv = cs(c); var s = 0.0; var j = 0
-            val n = math.min(v.length, cv.length)
-            while (j < n) { s += v(j) * cv(j); j += 1 }
-            if (s > bs) { bs = s; best = c }
-            c += 1
-          }
-          (id, v, best)
-        }
+        val cq = q.value
+        it.map { case (id, v) => (id, v, cq.nearest(v, wsuper)) }
       }.toDF("id", "u", "cell")
   }
 
-  /** (id, unit-vector, top-nprobe cells by dot) via broadcast centroids. */
+  /** (id, unit-vector, top-nprobe cells) via the broadcast quantizer. */
   private def probeCells(df: DataFrame,
-      cents: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
-      nprobe: Int): DataFrame = {
+      q: org.apache.spark.broadcast.Broadcast[Coarse], nprobe: Int,
+      wsuper: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("u")).as[(Long, Array[Double])]
+    df.select(col("id"), col("u")).as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val cs = cents.value
-        it.map { case (id, v) =>
-          // top-nprobe via insertion into fixed arrays (nprobe is small)
-          val np = math.min(nprobe, cs.length)
-          val bd = Array.fill(np)(Double.NegativeInfinity)
-          val bc = new Array[Int](np)
-          var c = 0
-          while (c < cs.length) {
-            val cv = cs(c); var s = 0.0; var j = 0
-            val n = math.min(v.length, cv.length)
-            while (j < n) { s += v(j) * cv(j); j += 1 }
-            if (s > bd(np - 1)) {
-              var p = np - 1
-              while (p > 0 && bd(p - 1) < s) {
-                bd(p) = bd(p - 1); bc(p) = bc(p - 1); p -= 1
-              }
-              bd(p) = s; bc(p) = c
-            }
-            c += 1
-          }
-          (id, v, bc.toSeq)
-        }
+        val cq = q.value
+        it.map { case (id, v) => (id, v, cq.probe(v, nprobe, wsuper).toSeq) }
       }.toDF("id", "u", "probes")
   }
 
@@ -108,17 +178,18 @@ object Ann {
     * Lloyd rounds; the per-(cell, component) mean shuffle is map-side
     * combined, so its volume is nlist * dim, not corpus size. */
   def trainIvfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      flatLimit: Int = 2048, wsuper: Int = 8): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     val base = graft.core.Mat(
       corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
     var cents: Array[Array[Double]] = base
       .orderBy(xxhash64(col("id"))).limit(nlist)
-      .select("u").collect().map(_.getSeq[Double](0).toArray)
+      .select("u").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val means = assignCells(base, bc)
+      val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
+      val means = assignCells(base, bc, wsuper)
         .select(col("cell"), posexplode(col("u")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg("v").as("m"))
         .groupBy("cell").agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("mm"))
@@ -138,15 +209,17 @@ object Ann {
     * nprobe / nlist. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 256,
       nprobe: Int = 16, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      flatLimit: Int = 2048, wsuper: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol)
-    val bc = spark.sparkContext.broadcast(cents)
+    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol, flatLimit, wsuper)
+    val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
     val corp = assignCells(
-      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc)
+      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc, wsuper)
       .withColumnRenamed("id", "vec_id").withColumnRenamed("u", "cv")
     val q = probeCells(
-      queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc, nprobe)
+      queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")),
+      bc, nprobe, wsuper)
       .select(col("id").as("query_id"), col("u").as("qv"),
         explode(col("probes")).as("cell"))
     searchAssigned(corp, q, k)
@@ -156,7 +229,8 @@ object Ann {
     val scored = probes.join(corp, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine",
-        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y),
+        aggregate(zip_with(col("qv"), col("cv"),
+          (x, y) => x.cast("double") * y.cast("double")),
           lit(0.0), (acc, x) => acc + x))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -167,14 +241,16 @@ object Ann {
   /** Persist a trained IVF index: the corpus bucketed by cell (partition
     * pruning turns every later query batch into an nprobe-partition
     * scan) plus the centroid matrix — repeated querying never re-scans
-    * or re-trains (the EPT-page / Iceberg-layout shape for vectors). */
+    * or re-trains (the EPT-page / Iceberg-layout shape for vectors).
+    * Unit vectors land as array<float>: half the index bytes. */
   def writeIndex(corpus: DataFrame, path: String, nlist: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      flatLimit: Int = 2048, wsuper: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol)
-    val bc = spark.sparkContext.broadcast(cents)
+    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol, flatLimit, wsuper)
+    val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
     assignCells(
-      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc)
+      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc, wsuper)
       .withColumnRenamed("id", "vec_id").withColumnRenamed("u", "cv")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     import spark.implicits._
@@ -187,12 +263,14 @@ object Ann {
     * on the bucketed corpus. */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nprobe: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      flatLimit: Int = 2048, wsuper: Int = 8): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
     val q = probeCells(
-      queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc, nprobe)
+      queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")),
+      bc, nprobe, wsuper)
       .select(col("id").as("query_id"), col("u").as("qv"),
         explode(col("probes")).as("cell"))
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))

@@ -225,6 +225,22 @@ class ExtrasSpec extends AnyFunSuite {
     }
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.8, s"IVF@4096 mean recall $meanRecall")
+    // nlist=4096 > flatLimit=2048 => the two-level centroid tree was the
+    // quantizer for that recall. Exactness of the tree itself: with
+    // wsuper = all supers it scans every bucket == flat argmax
+    val rnd2 = new scala.util.Random(11)
+    val cents2 = Array.fill(300)(Array.fill(8)(rnd2.nextGaussian()))
+    val flatQ = graft.ann.Coarse.build(cents2, flatLimit = 4096)
+    val treeQ = graft.ann.Coarse.build(cents2, flatLimit = 10)
+    assert(flatQ.isFlat && !treeQ.isFlat)
+    (0 until 50).foreach { _ =>
+      val v = Array.fill(8)(rnd2.nextGaussian().toFloat)
+      assert(treeQ.probe(v, 5, wsuper = 300).toSet ==
+        flatQ.probe(v, 5, wsuper = 1).toSet)
+      // restricted wsuper keeps the true nearest most of the time on
+      // this data; exactness is only guaranteed for full wsuper
+      assert(treeQ.probe(v, 5, wsuper = 8).length == 5)
+    }
     // persisted index: write once, search prunes to <= nprobe partitions
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     Ann.writeIndex(corpus.limit(20000), dir, nlist = 256, iters = 1)
