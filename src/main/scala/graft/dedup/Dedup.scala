@@ -140,8 +140,11 @@ object Dedup {
     * chunks. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // codegen'd fingerprint (one tight loop per row); bit-identical to
+    // simhashSql, which stays as the executable spec it is tested against
     val fp = graft.core.Mat(
-      df.select(col(idCol).as("id"), simhashSql(textCol).as("fp")))
+      df.select(col(idCol).as("id"),
+        graft.functions.F.simhash64(col(textCol)).as("fp")))
     simhashPairsFromFp(fp, maxHamming)
   }
 

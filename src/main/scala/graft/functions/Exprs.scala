@@ -207,11 +207,56 @@ case class GeomDistExpr(left: Expression, right: Expression, grid: PnpGrid)
     copy(left = l, right = r)
 }
 
+/** Static SimHash kernel callable from generated Java (static forwarder). */
+object SimHashMath {
+  private val WS = org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
+
+  /** 64-bit SimHash of `split(trim(lower(s)), '\\s+')` tokens: per token
+    * one xxhash64 (Spark's function, default seed 42 — identical to the
+    * SQL surface) and a 64-lane vote update. Bit-identical to
+    * Dedup.simhashSql (equivalence-tested), but one tight loop instead
+    * of ~64 interpreted lambda nodes per token. */
+  def simhash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val tokens = s.toLowerCase.trim.split(WS, -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(tokens(i), org.apache.spark.sql.types.StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+}
+
+/** Codegen'd SimHash fingerprint (document fingerprinting for near-dup
+  * bucketing — stays inside whole-stage codegen). */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashMath.simhash64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMath.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level API over the custom expressions. */
 object F {
   import GraftBridge.{column, expression}
 
   def mix64(c: Column): Column = column(Mix64Expr(expression(c)))
+
+  def simhash64(c: Column): Column = column(SimHash64Expr(expression(c)))
 
   def cellId(x: Column, y: Column, ox: Double, oy: Double, len: Double,
       morton: Boolean = false): Column =

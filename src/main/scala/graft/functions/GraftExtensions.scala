@@ -52,6 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HierCellIdExpr(es(0), es(1), d(es(2)), d(es(3)), d(es(4)), d(es(5)).toInt)),
     "hex_cell_id" -> (es => HexIdExpr(es(0), es(1), d(es(2)))),
     "mix64" -> (es => Mix64Expr(es.head)),
+    "simhash64" -> (es => SimHash64Expr(es.head)),
     "st_contains_wkt" -> (es =>
       GridPnpContains(es(1), es(2), new PnpGrid(Wkt.parse(str(es(0)))))),
     "st_distance_wkt" -> (es =>

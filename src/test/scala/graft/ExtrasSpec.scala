@@ -127,6 +127,28 @@ class ExtrasSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("codegen'd simhash64 expression is bit-identical to the SQL spec") {
+    import spark.implicits._
+    val texts = Seq("", " ", "  \t leading ws", "Hello WORLD hello",
+      "héllo wörld ÜML", "single",
+      "a b c d e f g h i j k l m n o p " * 20,
+      "MiXeD   CaSe\twith\nnewlines and\ttabs")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = df.select(Dedup.simhashSql("text").as("sql_fp"),
+      graft.functions.F.simhash64(col("text")).as("gen_fp")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"simhash mismatch for '$t': sql=${r.getLong(0)} gen=${r.getLong(1)}")
+    }
+    // SQL registration surface
+    graft.functions.GraftExtensions.registerTemp(spark)
+    df.createOrReplaceTempView("sh_docs")
+    val viaSql = spark.sql("SELECT simhash64(text) FROM sh_docs").collect()
+    assert(viaSql.map(_.getLong(0)).toSeq ==
+      rows.map(_.getLong(1)).toSeq)
+  }
+
   test("ngram jaccard verification on candidate pairs") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x"), (3L, "z y x w v u t s"))
