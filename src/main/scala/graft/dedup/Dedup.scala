@@ -60,13 +60,13 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
     val rows = numHashes / b
-    // One-pass signature (see minhashSignature: strings hashed once,
-    // permutations derived from the 8-byte base hash, lambda-bound so
-    // nothing re-evaluates per seed). No intermediate shingle table is
-    // materialized at all (round 2: this replaces a persist of the full
-    // shingle arrays — the heaviest intermediate at scale).
+    // Codegen'd one-pass signature (strings hashed once, permutations
+    // derived from the 8-byte base hash) — bit-identical to the column
+    // formulation minhashSignature, which stays as the executable spec
+    // it is equivalence-tested against. No intermediate shingle table is
+    // materialized at all.
     val sig = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, 3).as("sig"))
+        graft.functions.F.minhashSig(col(textCol), numHashes, 3).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.withColumn("band", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("bucket", xxhash64(col("band"),

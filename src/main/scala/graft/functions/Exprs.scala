@@ -237,6 +237,72 @@ object SimHashMath {
   }
 }
 
+/** Static MinHash kernel callable from generated Java. */
+object MinHashMath {
+  private val WS = org.apache.spark.unsafe.types.UTF8String.fromString("\\s+")
+  private val SP = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** MinHash signature with the exact semantics of
+    * Dedup.minhashSignature (equivalence-tested): word n-shingles of
+    * `split(trim(lower(s)), '\\s+')`, each shingle string hashed once
+    * with xxhash64 (seed 42), the k "permutations" derived as
+    * xxhash64(seed, baseHash) = hashLong(baseHash, hashLong(seed, 42)),
+    * minimum per seed. One tight loop; distinct base hashes cut the
+    * inner k-scan for repetitive docs. */
+  def signature(s: org.apache.spark.unsafe.types.UTF8String,
+      numHashes: Int, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val toks = s.toLowerCase.trim.split(WS, -1)
+    val numSh = math.max(toks.length - n, 0) + 1
+    val hs = new Array[Long](numSh)
+    val seen = new java.util.HashSet[java.lang.Long](numSh * 2)
+    var cnt = 0
+    var i = 0
+    while (i < numSh) {
+      val end = math.min(i + n, toks.length)
+      val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(
+        SP, java.util.Arrays.copyOfRange(toks, i, end): _*)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(sh, org.apache.spark.sql.types.StringType, 42L)
+      if (seen.add(h)) { hs(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    val sig = new Array[Long](numHashes)
+    var sd = 0
+    while (sd < numHashes) {
+      // the column formulation's seed stream is IntegerType (sequence),
+      // and Spark hashes ints with hashInt — match it exactly
+      val seedH = XXH64.hashInt(sd, 42L)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < cnt) {
+        val v = XXH64.hashLong(hs(j), seedH)
+        if (v < m) m = v
+        j += 1
+      }
+      sig(sd) = m
+      sd += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+}
+
+/** Codegen'd MinHash signature column (see MinHashMath.signature). */
+case class MinHashSigExpr(child: Expression, numHashes: Int, shingle: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashMath.signature(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], numHashes, shingle)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashMath.signature($c, $numHashes, $shingle)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Codegen'd SimHash fingerprint (document fingerprinting for near-dup
   * bucketing — stays inside whole-stage codegen). */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
@@ -257,6 +323,9 @@ object F {
   def mix64(c: Column): Column = column(Mix64Expr(expression(c)))
 
   def simhash64(c: Column): Column = column(SimHash64Expr(expression(c)))
+
+  def minhashSig(c: Column, numHashes: Int = 64, shingle: Int = 3): Column =
+    column(MinHashSigExpr(expression(c), numHashes, shingle))
 
   def cellId(x: Column, y: Column, ox: Double, oy: Double, len: Double,
       morton: Boolean = false): Column =

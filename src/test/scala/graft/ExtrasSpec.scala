@@ -127,6 +127,22 @@ class ExtrasSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("codegen'd minhash signature is bit-identical to the column spec") {
+    import spark.implicits._
+    val texts = Seq("", " ", "one", "one two", "one two three four",
+      "repeat repeat repeat repeat repeat",
+      "Hello WORLD mixed CASE tokens here",
+      "héllo wörld unicode tokens", ("w" + "x y z " * 40).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = df.select(
+      Dedup.minhashSignature(col("text"), 64, 3).as("spec"),
+      graft.functions.F.minhashSig(col("text"), 64, 3).as("gen")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"minhash mismatch for '$t'")
+    }
+  }
+
   test("codegen'd simhash64 expression is bit-identical to the SQL spec") {
     import spark.implicits._
     val texts = Seq("", " ", "  \t leading ws", "Hello WORLD hello",
