@@ -32,15 +32,18 @@ object Cluster {
       // min over neighbor labels
       val nbrMin = edges.join(labels, edges("qk") === labels("k"))
         .groupBy(col("pk").as("k")).agg(min("lbl").as("nlbl"))
+      // thread the previous label through, so change detection is a
+      // cached-scan count, not another join job per round
       val prop = labels.join(nbrMin, Seq("k"), "left")
-        .select(col("k"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("k"), col("lbl").as("__old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jump: follow the label's own label (labels are node keys)
       val parents = prop.select(col("k").as("lbl"), col("lbl").as("__plbl"))
       val jumped = graft.core.Mat(prop.join(parents, Seq("lbl"), "left")
-        .select(col("k"), coalesce(col("__plbl"), col("lbl")).as("lbl")))
-      changed = jumped.join(labels.select(col("k"), col("lbl").as("__old")), Seq("k"))
-        .filter(col("lbl") =!= col("__old")).count()
-      labels = jumped
+        .select(col("k"), coalesce(col("__plbl"), col("lbl")).as("lbl"),
+          col("__old")))
+      changed = jumped.filter(col("lbl") =!= col("__old")).count()
+      labels = jumped.select("k", "lbl")
     }
     // densify: cluster id = 1-based rank of the root label, computed with
     // the range-partitioned global rank (roots only — small, but never a
