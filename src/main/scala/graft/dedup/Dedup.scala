@@ -202,26 +202,43 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, threshold: Double = 0.95,
       planesPerBand: Int = 8, bands: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = transform(col(vecCol), x => x.cast("double"))
     val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
     val unit = transform(v, x => x.cast("double") / greatest(norm, lit(1e-12)))
-    // deterministic pseudo-random hyperplanes: component j of plane p =
-    // mix of xxhash64(p, j) -> [-1, 1)
-    def planeBit(u: Column, p: Int): Column = {
-      val dot = aggregate(zip_with(u, sequence(lit(0), size(u) - 1),
-        (x, j) => x * (xxhash64(lit(p), j).cast("double") / lit(9.223372036854776e18))),
-        lit(0.0), (a, x) => a + x)
-      when(dot >= 0, 1L).otherwise(0L)
-    }
     val prep = graft.core.Mat(df.select(col(idCol).as("id"), unit.as("u")))
-    def bandBucket(b: Int): Column =
-      (0 until planesPerBand).map { i =>
-        shiftleft(planeBit(col("u"), b * planesPerBand + i), i)
-      }.reduce((a, c) => a.bitwiseOR(c))
-    val sig = prep.withColumn("bucket",
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandBucket(b).as("h"))): _*)))
-      .select(col("id"), col("bucket"))
+    // deterministic pseudo-random hyperplanes, component j of plane p =
+    // xxhash64(p, j) -> [-1, 1). PRECOMPUTED once on the driver and
+    // broadcast (bands*planes*dim doubles) — the per-row work is then
+    // bands*planes fused dot products in one tight mapPartitions loop,
+    // not 48 interpreted hash-recomputing lambda chains per vector.
+    val dim = prep.select(size(col("u"))).head().getInt(0)
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val planes = Array.tabulate(bands * planesPerBand)(p =>
+      Array.tabulate(dim)(j =>
+        XXH64.hashInt(j, XXH64.hashInt(p, 42L)).toDouble / 9.223372036854776e18))
+    val bp = spark.sparkContext.broadcast(planes)
+    val sig = prep.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val ps = bp.value
+        it.flatMap { case (id, u) =>
+          (0 until bands).iterator.map { b =>
+            var h = 0L
+            var i = 0
+            while (i < planesPerBand) {
+              val w = ps(b * planesPerBand + i)
+              var d = 0.0; var j = 0
+              val n = math.min(u.length, w.length)
+              while (j < n) { d += u(j) * w(j); j += 1 }
+              if (d >= 0) h |= (1L << i)
+              i += 1
+            }
+            (id, b, h)
+          }
+        }
+      }.toDF("id", "band", "h")
+      .select(col("id"), struct(col("band"), col("h")).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dedup candidate IDS before re-attaching vectors: the distinct
     // shuffles 16-byte pairs, not embedding payloads
