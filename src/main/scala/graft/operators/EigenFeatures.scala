@@ -235,7 +235,7 @@ object PlaneFit {
       .select(col("order_key"),
         (col("ax") - col("qx")).as("nx"), (col("ay") - col("qy")).as("ny"),
         (col("az") - col("qz")).as("nz"))
-      .localCheckpoint(false)
+      .transform(d => graft.core.Mat(d, eager = false))
     val mom = edges.groupBy("order_key").agg(
       count(lit(1)).as("n"),
       avg("nx").as("mx"), avg("ny").as("my"), avg("nz").as("mz"),

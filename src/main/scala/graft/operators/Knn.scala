@@ -445,7 +445,7 @@ object KnnJoin {
           .withColumn("knn", coalesce(col("knn"),
             typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType)))
           .withColumn("__final", isFinal)
-          .localCheckpoint(false)
+          .transform(d => graft.core.Mat(d, eager = false))
         val pendingCount = joined.agg(
           count(when(!col("__final"), lit(1)))).head().getLong(0)
         dbg(s"ring=$ring h=$h pending=$pendingCount")
