@@ -63,7 +63,11 @@ final class Coarse private (val cents: Array[Array[Double]],
         }
         s += 1
       }
-      topk(v, sc.map(buckets), nprobe)
+      val picked = sc.map(buckets)
+      // all selected super-buckets empty (possible when a super's own
+      // centroid assigned elsewhere): fall back to the flat scan
+      if (picked.forall(_.isEmpty)) topk(v, null, nprobe)
+      else topk(v, picked, nprobe)
     }
   }
 

@@ -36,9 +36,10 @@ object OgrWriter {
         // consecutive blocks of `multicount` points (stream order =
         // order_key) -> MULTIPOINT; grouping key is a scalable range
         // rank, not a single-partition window
+        val mcols = Seq(col("order_key"), col("x"), col("y"), col("z")) ++
+          measureDim.map(col) // measure rides into the MULTIPOINT coords
         val ranked = graft.operators.Order.globalRankBy(
-          df.select(col("order_key"), col("x"), col("y"), col("z")),
-          Seq(col("order_key")), "__rn")
+          df.select(mcols: _*), Seq(col("order_key")), "__rn")
         ranked
           .withColumn("__g", floor(col("__rn") / multiCount)) // 0-based rank
           .groupBy("__g")
@@ -72,6 +73,7 @@ object AscWriter {
       origin: (Double, Double) = (0.0, 0.0)): Unit = {
     val spark = grid.sparkSession
     val b = grid.agg(min("cell_x"), max("cell_x"), min("cell_y"), max("cell_y")).head()
+    require(!b.isNullAt(0), "writers.raster: empty grid (no cells to rasterize)")
     val (cx0, cx1, cy0, cy1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val (ncols, nrows) = (cx1 - cx0 + 1, cy1 - cy0 + 1)
     val rows = grid
