@@ -306,6 +306,35 @@ object SparkEntry {
       val p = pts3(s, d).filter(col("order_key") < 2000)
       MiniballFilter(p, knn = 8)
         .select(col("order_key"), (round(col("miniball"), 3) + lit(0.0)).as("mb"))
+    }),
+    "q41_ngram_jaccard" -> ((s, d) => {
+      // exact n-gram Jaccard verification over a deterministic pair set
+      // (doc rank 2k vs 2k+1 — range-partitioned rank, no global window);
+      // the oracle rebuilds shingle sets and set-jaccard in SQL
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val ranked = Order.globalRankBy(docs, Seq(col("doc_id").asc), "__rn")
+      val a = ranked.filter(col("__rn") % 2 === 0)
+        .select(floor(col("__rn") / 2).as("g"), col("doc_id").as("id_a"))
+      val b = ranked.filter(col("__rn") % 2 === 1)
+        .select(floor(col("__rn") / 2).as("g"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, "g").select("id_a", "id_b")
+      Dedup.ngramJaccard(t(s, d, "documents"), pairs, n = 3)
+        .select(col("id_a"), col("id_b"),
+          (round(col("jaccard"), 3) + lit(0.0)).as("j"))
+    }),
+    "q42_embedding_neardup" -> ((s, d) => {
+      // embedding-cosine near-dup over the embeddings table with
+      // deterministic planted duplicates (same direction, 2x scale ->
+      // cosine 1.0); pair set depends on the hyperplane hash family ->
+      // rows-only, exactness covered by the planted-pair recall test
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val dups = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => (x * 2.0).cast("float")).as("embedding"))
+      Dedup.embeddingNearDup(emb.unionByName(dups), threshold = 0.95)
+        .select(col("id_a"), col("id_b"),
+          (round(col("cosine"), 3) + lit(0.0)).as("cos"))
     })
   )
 
@@ -718,6 +747,27 @@ object SparkEntry {
             AS db FROM nbr n JOIN nrm ON n.qid = nrm.qid GROUP BY n.qid)
           SELECT dq.qid AS order_key,
             ROUND(dquery / GREATEST(dquery + db, 1e-300), 3) + 0.0 AS pf
-          FROM dq JOIN dbar ON dq.qid = dbar.qid"""
+          FROM dq JOIN dbar ON dq.qid = dbar.qid""",
+    // shingle construction parity: Spark slice(tokens, i+1, 3) for
+    // i in 0..max(len-3,0)  ==  DuckDB words[i:least(i+2,len)] for
+    // i in 1..greatest(len-3,0)+1 (whole list when len < 3)
+    "q41_ngram_jaccard" ->
+      """WITH r AS (SELECT doc_id, text,
+            ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn FROM documents),
+          a AS (SELECT rn // 2 AS g, doc_id AS id_a, text AS ta FROM r WHERE rn % 2 = 0),
+          b AS (SELECT rn // 2 AS g, doc_id AS id_b, text AS tb FROM r WHERE rn % 2 = 1),
+          p AS (SELECT id_a, id_b, ta, tb FROM a JOIN b USING (g)),
+          w AS (SELECT id_a, id_b,
+            string_split_regex(trim(lower(ta)), '\s+') AS wa,
+            string_split_regex(trim(lower(tb)), '\s+') AS wb FROM p),
+          sh AS (SELECT id_a, id_b,
+            list_distinct(list_transform(generate_series(1, greatest(len(wa)-3,0)+1),
+              i -> array_to_string(wa[i:least(i+2, len(wa))], ' '))) AS sa,
+            list_distinct(list_transform(generate_series(1, greatest(len(wb)-3,0)+1),
+              i -> array_to_string(wb[i:least(i+2, len(wb))], ' '))) AS sb FROM w)
+          SELECT id_a, id_b,
+            ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
+              GREATEST(len(list_distinct(list_concat(sa, sb))), 1), 3) + 0.0 AS j
+          FROM sh"""
   )
 }
