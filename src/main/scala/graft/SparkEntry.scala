@@ -335,6 +335,15 @@ object SparkEntry {
       Dedup.embeddingNearDup(emb.unionByName(dups), threshold = 0.95)
         .select(col("id_a"), col("id_b"),
           (round(col("cosine"), 3) + lit(0.0)).as("cos"))
+    }),
+    "q43_ann_ivf_exact" -> ((s, d) => {
+      // IVF with nprobe = nlist probes every cell: the bucketed rerank
+      // machinery must reproduce the exact brute-force top-k, so the
+      // same list_cosine oracle hash-verifies the whole IVF path
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      Ann.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 16, iters = 1)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rnk"))
     })
   )
 
@@ -768,6 +777,16 @@ object SparkEntry {
           SELECT id_a, id_b,
             ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
               GREATEST(len(list_distinct(list_concat(sa, sb))), 1), 3) + 0.0 AS j
-          FROM sh"""
+          FROM sh""",
+    "q43_ann_ivf_exact" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id % 100 = 0),
+          pairs AS (SELECT q.query_id, e.vec_id,
+            list_cosine_similarity(q.qv, e.embedding) AS cos
+            FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+          ranked AS (SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+            FROM pairs)
+          SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= 5"""
   )
 }
