@@ -48,10 +48,12 @@ object DocStream {
     *   itself be behind the watermark), so it is resolved — emitted
     *   left-outer with null media columns — and dropped; media versions
     *   older than the watermark collapse to the single newest one (the
-    *   only version any future doc can match); keys left with no state
+    *   only version any future doc can match); keys with nothing left
     *   are removed entirely. Idle keys get the same flush through the
-    *   timeout callback, so state size tracks the active window, not
-    *   stream lifetime.
+    *   timeout callback, so pending-doc state tracks the active window;
+    *   the irreducible long-term state is ONE media version per live
+    *   media_ref (an as-of join must hold the latest version for
+    *   future docs), after which the key stops re-arming timeouts.
     *
     * @param docEvents  streaming (media_ref, ts, doc_id)
     * @param mediaEvents streaming (media_ref, ts, meta)
@@ -98,8 +100,12 @@ object DocStream {
           if (keep.isEmpty && prunedMedia.isEmpty) state.remove()
           else {
             state.update((prunedMedia, keep))
-            // flush/cleanup callback once the watermark moves past here
-            state.setTimeoutTimestamp(wmMs + 1000)
+            // flush/cleanup callback once the watermark moves past here —
+            // but only while there is something left to flush or prune;
+            // a fully-settled key (one media version, no pending) stops
+            // re-arming and wakes again only on a real event
+            if (keep.nonEmpty || prunedMedia.length > 1)
+              state.setTimeoutTimestamp(wmMs + 1000)
           }
           resolved.iterator.map { case (ts, id) =>
             mediaL.find(_._1 <= ts) match {
