@@ -127,6 +127,29 @@ class ExtrasSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("property: codegen sketches match their specs on random unicode text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abc XYZ \t\n 0189 .,!? éüßñ 中文   -_"
+    val texts = (0 until 120).map { i =>
+      val len = rnd.nextInt(80)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = texts.toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      Dedup.simhashSql("text").as("s_spec"),
+      graft.functions.F.simhash64(col("text")).as("s_gen"),
+      Dedup.minhashSignature(col("text"), 16, 3).as("m_spec"),
+      graft.functions.F.minhashSig(col("text"), 16, 3).as("m_gen")).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == r.getLong(2), s"simhash diverged on doc $id: " +
+        s"'${texts(id.toInt)._2}'")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"minhash diverged on doc $id: " +
+        s"'${texts(id.toInt)._2}'")
+    }
+  }
+
   test("codegen'd minhash signature is bit-identical to the column spec") {
     import spark.implicits._
     val texts = Seq("", " ", "one", "one two", "one two three four",
