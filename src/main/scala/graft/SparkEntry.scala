@@ -325,14 +325,17 @@ object SparkEntry {
     "q42_embedding_neardup" -> ((s, d) => {
       // embedding-cosine near-dup over the embeddings table with
       // deterministic planted duplicates (same direction, 2x scale ->
-      // cosine 1.0); pair set depends on the hyperplane hash family ->
-      // rows-only, exactness covered by the planted-pair recall test
+      // cosine 1.0). At threshold 0.999 the verified pair set is exactly
+      // {pairs at cosine ~1.0}: 2x scaling is a binary-exponent shift, so
+      // the unit vectors are bit-identical and collide in EVERY LSH band
+      // (recall deterministically 1), while the max random-pair cosine in
+      // this data is ~0.51 — so a brute-force DuckDB oracle hash-matches.
       val emb = t(s, d, "embeddings")
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       val dups = emb.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => (x * 2.0).cast("float")).as("embedding"))
-      Dedup.embeddingNearDup(emb.unionByName(dups), threshold = 0.95)
+      Dedup.embeddingNearDup(emb.unionByName(dups), threshold = 0.999)
         .select(col("id_a"), col("id_b"),
           (round(col("cosine"), 3) + lit(0.0)).as("cos"))
     }),
@@ -778,6 +781,17 @@ object SparkEntry {
             ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE) /
               GREATEST(len(list_distinct(list_concat(sa, sb))), 1), 3) + 0.0 AS j
           FROM sh""",
+    "q42_embedding_neardup" ->
+      """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+                       FROM embeddings),
+          dups AS (SELECT vec_id + 1000000 AS vec_id,
+            list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
+            FROM base WHERE vec_id < 20),
+          allv AS (SELECT * FROM base UNION ALL SELECT * FROM dups)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ROUND(list_cosine_similarity(a.embedding, b.embedding), 3) + 0.0 AS cos
+          FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""",
     "q43_ann_ivf_exact" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                     WHERE vec_id % 100 = 0),

@@ -32,17 +32,20 @@ object Cluster {
       // min over neighbor labels
       val nbrMin = edges.join(labels, edges("qk") === labels("k"))
         .groupBy(col("pk").as("k")).agg(min("lbl").as("nlbl"))
-      // thread the previous label through, so change detection is a
-      // cached-scan count, not another join job per round
+      // thread the previous label through so the changed-row count can
+      // ride the materialization job (Mat.withChangedCount below)
       val prop = labels.join(nbrMin, Seq("k"), "left")
         .select(col("k"), col("lbl").as("__old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jump: follow the label's own label (labels are node keys)
       val parents = prop.select(col("k").as("lbl"), col("lbl").as("__plbl"))
-      val jumped = graft.core.Mat(prop.join(parents, Seq("lbl"), "left")
-        .select(col("k"), coalesce(col("__plbl"), col("lbl")).as("lbl"),
-          col("__old")))
-      changed = jumped.filter(col("lbl") =!= col("__old")).count()
+      // change count rides the materialization pass: one job per round
+      val (jumped, ch) = graft.core.Mat.withChangedCount(
+        prop.join(parents, Seq("lbl"), "left")
+          .select(col("k"), coalesce(col("__plbl"), col("lbl")).as("lbl"),
+            col("__old")),
+        col("lbl") =!= col("__old"))
+      changed = ch
       labels = jumped.select("k", "lbl")
     }
     // densify: cluster id = 1-based rank of the root label, computed with
