@@ -347,6 +347,17 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") % 100 === 0)
       Ann.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 16, iters = 1)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rnk"))
+    }),
+    "q44_ann_ivfpq_exact" -> ((s, d) => {
+      // IVF-PQ exact path: every cell probed AND the ADC top-rerank
+      // covers every candidate, so codebook training, byte-code encode,
+      // per-cell LUT scan, and the exact float rerank must together
+      // reproduce brute force — hash-verified by the same oracle as q43
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      Ann.ivfPqTopK(emb, q, k = 5, nlist = 16, nprobe = 16, m = 8,
+        ksub = 16, rerank = 1000000, iters = 1)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rnk"))
     })
   )
 
@@ -793,6 +804,16 @@ object SparkEntry {
           FROM allv a JOIN allv b ON a.vec_id < b.vec_id
           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999""",
     "q43_ann_ivf_exact" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id % 100 = 0),
+          pairs AS (SELECT q.query_id, e.vec_id,
+            list_cosine_similarity(q.qv, e.embedding) AS cos
+            FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+          ranked AS (SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+            FROM pairs)
+          SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= 5""",
+    "q44_ann_ivfpq_exact" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
                     WHERE vec_id % 100 = 0),
           pairs AS (SELECT q.query_id, e.vec_id,

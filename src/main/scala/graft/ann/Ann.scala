@@ -184,9 +184,15 @@ object Ann {
   def trainIvfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
       flatLimit: Int = 2048, wsuper: Int = 8): Array[Array[Double]] = {
-    val spark = corpus.sparkSession
     val base = graft.core.Mat(
       corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
+    trainFromBase(base, nlist, iters, flatLimit, wsuper)
+  }
+
+  /** Lloyd rounds over an already-materialized (id, u) base. */
+  private def trainFromBase(base: DataFrame, nlist: Int, iters: Int,
+      flatLimit: Int, wsuper: Int): Array[Array[Double]] = {
+    val spark = base.sparkSession
     var cents: Array[Array[Double]] = base
       .orderBy(xxhash64(col("id"))).limit(nlist)
       .select("u").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -227,6 +233,99 @@ object Ann {
       .select(col("id").as("query_id"), col("u").as("qv"),
         explode(col("probes")).as("cell"))
     searchAssigned(corp, q, k)
+  }
+
+  /** IVF-PQ search: the memory-bound scale path. Corpus vectors live in
+    * their IVF cell as m-byte PQ codes (not D floats); each (query,
+    * probed cell) pair builds one ADC lookup table and scans the cell's
+    * codes at O(m) per candidate; the ADC top-`rerank` then rerank
+    * EXACTLY against the full float vectors, so the output contract is
+    * identical to [[ivfTopK]] minus candidates the code scan mis-ranks
+    * out of the top-rerank (bounded by the recall spec).
+    *
+    * Scan stage is a cell cogroup like the kNN halo join: per-cell task
+    * cost is O(|cell| * queriesProbing * m) and shuffles codes (m bytes/
+    * vector), not vectors — at dim 768 / m 16 the scanned bytes drop
+    * 192x, which is the difference between a 10^12-vector probe fitting
+    * in cluster memory or not. Dense-cell skew: one cell = one task, same
+    * mitigation as kNN (cells come from k-means, which splits dense
+    * regions into many cells by construction; cap nprobe-side fan-in by
+    * raising nlist). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 256, nprobe: Int = 16, m: Int = 8, ksub: Int = 256,
+      rerank: Int = 100, iters: Int = 3, pqSample: Int = 16384,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      flatLimit: Int = 2048, wsuper: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = graft.core.Mat(
+      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
+    val cents = trainFromBase(base, nlist, iters, flatLimit, wsuper)
+    val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
+    // codebooks train on a deterministic hash-ordered sample
+    val sample = base.orderBy(xxhash64(col("id"))).limit(pqSample)
+      .select("u").collect().map(_.getSeq[Float](0).toArray)
+    val bpq = spark.sparkContext.broadcast(Pq.train(sample, m, ksub))
+    // assign + encode in ONE pass over the base: (id, cell, m-byte code)
+    val codes = base.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cq = bc.value; val pq = bpq.value
+        it.map { case (id, v) => (id, cq.nearest(v, wsuper), pq.encode(v)) }
+      }
+    val probes = probeCells(
+      queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")),
+      bc, nprobe, wsuper)
+      .select(col("id"), col("u"), explode(col("probes")).as("cell"))
+      .as[(Long, Array[Float], Int)]
+    // per-cell ADC scan: one LUT per (query, cell), top-rerank per pair
+    val cand = probes.groupByKey(_._3).cogroup(codes.groupByKey(_._2)) {
+      (_, qs, cs) =>
+        val cArr = cs.toArray
+        if (cArr.isEmpty) Iterator.empty
+        else qs.flatMap { case (qid, qv, _) =>
+          val pq = bpq.value
+          val lut = pq.lut(qv)
+          val r = math.min(rerank, cArr.length)
+          val bs = Array.fill(r)(Float.NegativeInfinity)
+          val bi = new Array[Long](r)
+          var i = 0
+          while (i < cArr.length) {
+            val (vid, _, code) = cArr(i)
+            if (vid != qid) {
+              val s = pq.adc(lut, code)
+              // adc desc, id asc: deterministic under float ties
+              if (s > bs(r - 1) || (s == bs(r - 1) && vid < bi(r - 1))) {
+                var p = r - 1
+                while (p > 0 && (bs(p - 1) < s || (bs(p - 1) == s && bi(p - 1) > vid))) {
+                  bs(p) = bs(p - 1); bi(p) = bi(p - 1); p -= 1
+                }
+                bs(p) = s; bi(p) = vid
+              }
+            }
+            i += 1
+          }
+          (0 until r).iterator.filter(bs(_) > Float.NegativeInfinity)
+            .map(j => (qid, bi(j), bs(j)))
+        }
+    }.toDF("query_id", "vec_id", "adc")
+    // global ADC top-rerank across probed cells, then exact rerank
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val top = cand.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= rerank).select("query_id", "vec_id")
+    val qv = broadcast(queries
+      .select(col(idCol).cast("long").as("query_id"), unitCol(vecCol).as("qv")))
+    val scored = top
+      .join(base.select(col("id").as("vec_id"), col("u").as("cv")), Seq("vec_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("qv"), col("cv"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
   }
 
   private def searchAssigned(corp: DataFrame, probes: DataFrame, k: Int): DataFrame = {

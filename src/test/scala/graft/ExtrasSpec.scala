@@ -316,6 +316,62 @@ class ExtrasSpec extends AnyFunSuite {
       s"index scan read $readParts of $totalParts partitions")
   }
 
+  test("IVF-PQ: exact when nprobe=nlist and rerank covers the corpus; " +
+      "ADC recall holds at compressed settings") {
+    import spark.implicits._
+    // exactness: every cell probed + every ADC candidate reranked exactly
+    // => the PQ path must reproduce brute force bit-for-bit
+    val q = embeddings.filter(col("vec_id") % 20 === 0)
+    val bf = Ann.bruteForceTopK(embeddings, q, k = 5)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pqAll = Ann.ivfPqTopK(embeddings, q, k = 5, nlist = 8, nprobe = 8,
+      m = 8, ksub = 16, rerank = 100000, iters = 1)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pqAll == bf, s"IVF-PQ exact path diverged: ${pqAll.diff(bf).take(5)}")
+    // compressed path: 20k clustered vectors, dim 16 -> m=4 codes (4
+    // bytes/vector vs 64), selective probes + bounded rerank
+    val dim = 16; val nClusters = 200
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val corpus = spark.range(20000).select(col("id").as("vec_id"))
+      .as[Long].map { i =>
+        val r2 = new scala.util.Random(i * 31 + 7)
+        val c = centers((i % nClusters).toInt)
+        (i, c.map(x => (x + 0.05 * r2.nextGaussian()).toFloat).toSeq)
+      }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = corpus.filter(col("vec_id") % 1000 === 1) // 20 queries
+    val bf2 = Ann.bruteForceTopK(corpus, queries, k = 10).collect()
+      .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+    // rerank must exceed the ADC tie-width: a tight cluster of ~100
+    // near-duplicates all encode to one code, so ADC cannot order them —
+    // the exact rerank can, provided the whole tie group is in the top-R
+    val pq2 = Ann.ivfPqTopK(corpus, queries, k = 10, nlist = 64, nprobe = 8,
+      m = 4, ksub = 64, rerank = 250, iters = 2).collect()
+      .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+    val recalls = bf2.map { case (qq, exp) =>
+      pq2.getOrElse(qq, Set.empty).intersect(exp).size.toDouble / exp.size }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.7, s"IVF-PQ mean recall $meanRecall")
+    // ADC approximates the true inner product: trained codebooks on unit
+    // vectors keep |adc - <q,v>| small relative to the score range
+    val sample = corpus.limit(2000).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).max(1e-12)
+      v.map(x => (x / n).toFloat)
+    }
+    val pqq = graft.ann.Pq.train(sample, m = 4, ksub = 64)
+    val errs = sample.take(200).map { v =>
+      val lut = pqq.lut(v)
+      val truth = v.map(x => x.toDouble * x).sum // <v,v> = 1
+      math.abs(pqq.adc(lut, pqq.encode(v)) - truth)
+    }
+    val meanErr = errs.sum / errs.length
+    assert(meanErr < 0.12, s"ADC mean reconstruction error $meanErr")
+    assert(errs.max < 0.5, s"ADC max reconstruction error ${errs.max}")
+  }
+
   test("text analysis: langid, quality, token counts, fingerprints") {
     import spark.implicits._
     val texts = Seq(
