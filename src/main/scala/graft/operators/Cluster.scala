@@ -6,38 +6,121 @@ import org.apache.spark.sql.functions._
 /** filters.cluster analog (filters/ClusterFilter.cpp:48): Euclidean
   * connected components within `tolerance` -> ClusterID.
   *
-  * Distributed min-label propagation WITH pointer jumping (path halving)
-  * over the radius-neighbor graph: each round every point takes the min
-  * label of its neighborhood, then labels chase their own parents one
-  * hop (lbl <- lbl(lbl)). The jump doubles the resolved distance per
-  * round, so convergence is O(log diameter) rounds rather than
-  * O(diameter) — the property that keeps long thin components (scan
-  * lines, roads) from serializing the loop at scale. Materialization via
-  * Mat (reliable checkpoint on clusters, localCheckpoint single-JVM).
+  * TWO-PHASE CC (local contraction + global propagation):
   *
-  * Dense-cell caveat: the edge list is O(sum of per-cell pair counts);
-  * a blob of m points inside one tolerance-cell emits m^2 edges. That is
-  * inherent to the reference semantics (every within-tolerance pair IS
-  * an edge); cap the blowup upstream with voxel downsampling at
-  * cell ~= tolerance when the data has dense blobs.
+  * 1. LOCAL: points group by their tolerance-grid cell; a per-cell
+  *    union-find resolves every in-cell component inside the task. The
+  *    O(m^2) in-cell pair candidates are generated AND consumed locally
+  *    — they never shuffle (round 1 shuffled the full edge list; the
+  *    dominant cost of CC at scale is exactly that edge shuffle).
+  * 2. CONTRACT: only pairs that CROSS a cell boundary (half-shell halo
+  *    join, 13 directions) survive, mapped to their local roots — the
+  *    contracted graph has one node per (cell, local component), orders
+  *    of magnitude smaller than the point set.
+  * 3. GLOBAL: distributed min-label propagation with pointer jumping
+  *    (path halving) over the contracted graph: each round a root takes
+  *    the min label of its neighborhood, then labels chase their own
+  *    parents one hop (lbl <- lbl(lbl)), so convergence is O(log
+  *    diameter) rounds — and every round now touches roots, not points.
+  *    The changed-row count rides the materialization job
+  *    (Mat.withChangedCount): one job per round.
+  *
+  * Labels are point keys; the local root is the min key of its cell
+  * component, so the converged global label is the min point key of the
+  * whole component — identical output to a flat min-label CC.
+  *
+  * Dense-cell caveat: a blob of m points in one cell still costs O(m^2)
+  * distance checks inside its task (with union-find early-exit once
+  * connected), but no longer O(m^2) shuffled edge rows. Cap the residual
+  * compute upstream with voxel downsampling at cell ~= tolerance.
   */
 object Cluster {
   def apply(df: DataFrame, tolerance: Double, minPoints: Long = 1,
       outCol: String = "cluster_id"): DataFrame = {
-    val edges = graft.core.Mat(RadiusCount.pairs(df, tolerance).select("pk", "qk"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r2 = tolerance * tolerance
+    def cellC(c: Column) = floor(c / tolerance).cast("long")
+    val withCell = df.select(col("order_key").as("k"),
+      col("x"), col("y"), col("z"),
+      cellC(col("x")).as("cx"), cellC(col("y")).as("cy"), cellC(col("z")).as("cz"))
+    // 1. local union-find per cell -> (k, x, y, z, cell..., lroot)
+    val local = graft.core.Mat(withCell
+      .as[(Long, Double, Double, Double, Long, Long, Long)]
+      .groupByKey(t => (t._5, t._6, t._7))
+      .flatMapGroups { (_, it) =>
+        val arr = it.toArray
+        val n = arr.length
+        val parent = Array.tabulate(n)(identity)
+        def find(i: Int): Int = {
+          var x = i
+          while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+          x
+        }
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val ri = find(i); val rj = find(j)
+            if (ri != rj) { // skip the distance once already connected
+              val dx = arr(i)._2 - arr(j)._2
+              val dy = arr(i)._3 - arr(j)._3
+              val dz = arr(i)._4 - arr(j)._4
+              if (dx * dx + dy * dy + dz * dz <= r2) parent(ri) = rj
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val minKey = new scala.collection.mutable.HashMap[Int, Long]()
+        i = 0
+        while (i < n) {
+          val r = find(i)
+          val k = arr(i)._1
+          if (!minKey.contains(r) || k < minKey(r)) minKey(r) = k
+          i += 1
+        }
+        arr.indices.iterator.map { i =>
+          val t = arr(i)
+          (t._1, t._2, t._3, t._4, t._5, t._6, t._7, minKey(find(i)))
+        }
+      }.toDF("k", "x", "y", "z", "cx", "cy", "cz", "lroot"))
+    // 2. cross-cell pairs via half-shell halo (each unordered cell pair
+    //    joined once), contracted to root edges; both directions emitted
+    //    so min labels flow symmetrically in the loop
+    val halfShell = (for (dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1
+      if dx > 0 || (dx == 0 && dy > 0) || (dx == 0 && dy == 0 && dz > 0))
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz")))
+    val a = local.select(col("x").as("ax"), col("y").as("ay"), col("z").as("az"),
+        col("lroot").as("ra"), col("cx").as("cx0"), col("cy").as("cy0"),
+        col("cz").as("cz0"))
+      .withColumn("__o", explode(array(halfShell: _*)))
+      .select(col("ax"), col("ay"), col("az"), col("ra"),
+        (col("cx0") + col("__o.dx")).as("cx"),
+        (col("cy0") + col("__o.dy")).as("cy"),
+        (col("cz0") + col("__o.dz")).as("cz"))
+    val b = local.select(col("x").as("bx"), col("y").as("by"), col("z").as("bz"),
+      col("lroot").as("rb"), col("cx"), col("cy"), col("cz"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by")) +
+      (col("az") - col("bz")) * (col("az") - col("bz"))
+    val rootEdges = a.join(b, Seq("cx", "cy", "cz")).filter(d2 <= r2)
+      .select(col("ra"), col("rb")).filter(col("ra") =!= col("rb")).distinct()
+    val edges = graft.core.Mat(
+      rootEdges.select(col("ra").as("pk"), col("rb").as("qk"))
+        .unionAll(rootEdges.select(col("rb").as("pk"), col("ra").as("qk"))))
+    // 3. min-label propagation over the CONTRACTED graph only
     var labels = graft.core.Mat(
-      df.select(col("order_key").as("k"), col("order_key").as("lbl")))
+      edges.select(col("pk").as("k")).distinct().withColumn("lbl", col("k")))
     var changed = 1L
     while (changed > 0) {
       // min over neighbor labels
       val nbrMin = edges.join(labels, edges("qk") === labels("k"))
         .groupBy(col("pk").as("k")).agg(min("lbl").as("nlbl"))
-      // thread the previous label through so the changed-row count can
-      // ride the materialization job (Mat.withChangedCount below)
       val prop = labels.join(nbrMin, Seq("k"), "left")
         .select(col("k"), col("lbl").as("__old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // pointer jump: follow the label's own label (labels are node keys)
+      // pointer jump: follow the label's own label (labels are root keys)
       val parents = prop.select(col("k").as("lbl"), col("lbl").as("__plbl"))
       // change count rides the materialization pass: one job per round
       val (jumped, ch) = graft.core.Mat.withChangedCount(
@@ -48,14 +131,19 @@ object Cluster {
       changed = ch
       labels = jumped.select("k", "lbl")
     }
+    // 4. point label = its local root's global label (roots without any
+    //    cross-cell edge keep themselves)
+    val pointLabels = local.select(col("k"), col("lroot"))
+      .join(labels.select(col("k").as("lroot"), col("lbl")), Seq("lroot"), "left")
+      .select(col("k"), coalesce(col("lbl"), col("lroot")).as("lbl"))
     // densify: cluster id = 1-based rank of the root label, computed with
     // the range-partitioned global rank (roots only — small, but never a
     // single-partition window even when they aren't)
-    val roots = labels.select("lbl").distinct()
+    val roots = pointLabels.select("lbl").distinct()
     val dense = Order.globalRankBy(roots, Seq(col("lbl").asc), "__r")
       .select(col("lbl"), (col("__r") + 1).as("cid"))
-    val sized = labels.groupBy("lbl").agg(count(lit(1)).as("__sz"))
-    val withId = labels.join(dense, Seq("lbl")).join(sized, Seq("lbl"))
+    val sized = pointLabels.groupBy("lbl").agg(count(lit(1)).as("__sz"))
+    val withId = pointLabels.join(dense, Seq("lbl")).join(sized, Seq("lbl"))
       .select(col("k").as("order_key"),
         when(col("__sz") >= minPoints, col("cid")).otherwise(lit(0L)).as(outCol))
     df.join(withId, Seq("order_key"), "left")
