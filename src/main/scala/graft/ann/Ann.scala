@@ -277,7 +277,22 @@ object Ann {
       bc, nprobe, wsuper)
       .select(col("id"), col("u"), explode(col("probes")).as("cell"))
       .as[(Long, Array[Float], Int)]
-    // per-cell ADC scan: one LUT per (query, cell), top-rerank per pair
+    val top = adcTopRerank(probes, codes, bpq, rerank)
+    exactRerank(top,
+      base.select(col("id").as("vec_id"), col("u").as("cv")),
+      queries.select(col(idCol).cast("long").as("query_id"),
+        unitCol(vecCol).as("qv")), k)
+  }
+
+  /** Per-cell ADC scan (one LUT per (query, cell), insertion top-rerank
+    * per pair) + the global ADC top-rerank window.
+    * @return (query_id, vec_id) — the exact-rerank candidate set */
+  private def adcTopRerank(
+      probes: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)],
+      codes: org.apache.spark.sql.Dataset[(Long, Int, Array[Byte])],
+      bpq: org.apache.spark.broadcast.Broadcast[Pq], rerank: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
     val cand = probes.groupByKey(_._3).cogroup(codes.groupByKey(_._2)) {
       (_, qs, cs) =>
         val cArr = cs.toArray
@@ -308,16 +323,19 @@ object Ann {
             .map(j => (qid, bi(j), bs(j)))
         }
     }.toDF("query_id", "vec_id", "adc")
-    // global ADC top-rerank across probed cells, then exact rerank
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
-    val top = cand.withColumn("__r", row_number().over(wAdc))
+    cand.withColumn("__r", row_number().over(wAdc))
       .filter(col("__r") <= rerank).select("query_id", "vec_id")
-    val qv = broadcast(queries
-      .select(col(idCol).cast("long").as("query_id"), unitCol(vecCol).as("qv")))
+  }
+
+  /** Exact cosine rerank of an ADC candidate set against the full float
+    * vectors; output contract matches [[bruteForceTopK]]. */
+  private def exactRerank(top: DataFrame, vectors: DataFrame,
+      queriesUnit: DataFrame, k: Int): DataFrame = {
     val scored = top
-      .join(base.select(col("id").as("vec_id"), col("u").as("cv")), Seq("vec_id"))
-      .join(qv, Seq("query_id"))
+      .join(vectors, Seq("vec_id"))
+      .join(broadcast(queriesUnit), Seq("query_id"))
       .withColumn("cosine",
         aggregate(zip_with(col("qv"), col("cv"),
           (x, y) => x.cast("double") * y.cast("double")),
@@ -380,5 +398,75 @@ object Ann {
     val corp = spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(cells.toSeq: _*)) // partition-pruned scan
     searchAssigned(corp, q, k)
+  }
+
+  /** Persist an IVF-PQ index: one cell-partitioned table holding BOTH the
+    * m-byte code and the full float vector per row. Parquet is columnar,
+    * so the ADC scan reads only (vec_id, code) — the compressed index —
+    * while the exact rerank re-reads (vec_id, u) for just the top-R
+    * candidates; partition pruning on `cell` bounds both reads to the
+    * probed cells. Codebooks and centroids persist beside it, so repeated
+    * query batches never re-train or re-encode. */
+  def writePqIndex(corpus: DataFrame, path: String, nlist: Int,
+      m: Int = 8, ksub: Int = 256, iters: Int = 3, pqSample: Int = 16384,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      flatLimit: Int = 2048, wsuper: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = graft.core.Mat(
+      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
+    val cents = trainFromBase(base, nlist, iters, flatLimit, wsuper)
+    val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
+    val sample = base.orderBy(xxhash64(col("id"))).limit(pqSample)
+      .select("u").collect().map(_.getSeq[Float](0).toArray)
+    val pq = Pq.train(sample, m, ksub)
+    val bpq = spark.sparkContext.broadcast(pq)
+    base.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cq = bc.value; val p = bpq.value
+        it.map { case (id, v) => (id, v, p.encode(v), cq.nearest(v, wsuper)) }
+      }.toDF("vec_id", "u", "code", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    pq.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "cent", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Query a persisted IVF-PQ index: probed cells -> partition-pruned
+    * column-pruned code scan -> ADC top-rerank -> exact rerank against
+    * the float vectors of the candidates only. */
+  def searchPqIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 16, rerank: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      flatLimit: Int = 2048, wsuper: Int = 8): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("sub", "cent").collect()
+    val mSub = bookRows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(mSub)(s =>
+      bookRows.filter(_.getInt(0) == s).map(_.getSeq[Float](2).toArray))
+    val bpq = spark.sparkContext.broadcast(Pq.fromBooks(books))
+    val probes = probeCells(
+      queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")),
+      bc, nprobe, wsuper)
+      .select(col("id"), col("u"), explode(col("probes")).as("cell"))
+      .as[(Long, Array[Float], Int)]
+    val cells = probes.map(_._3).distinct().collect()
+    val pruned = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(cells.toSeq: _*)) // partition-pruned
+    // column-pruned: this projection never reads the `u` column bytes
+    val codes = pruned.select(col("vec_id"), col("cell"), col("code"))
+      .as[(Long, Int, Array[Byte])]
+    val top = adcTopRerank(probes, codes, bpq, rerank)
+    exactRerank(top, pruned.select(col("vec_id"), col("u").as("cv")),
+      queries.select(col(idCol).cast("long").as("query_id"),
+        unitCol(vecCol).as("qv")), k)
   }
 }

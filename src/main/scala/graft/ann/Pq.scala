@@ -79,6 +79,12 @@ final class Pq private (val m: Int, val ksub: Int, val dsub: Int,
 }
 
 object Pq {
+  /** Rebuild a quantizer from persisted codebooks ([sub][cent][comp]). */
+  def fromBooks(books: Array[Array[Array[Float]]]): Pq = {
+    require(books.nonEmpty && books(0).nonEmpty)
+    new Pq(books.length, books(0).length, books(0)(0).length, books)
+  }
+
   /** Train per-subspace codebooks with seeded Lloyd k-means on a sample
     * (rows in deterministic hash order). Empty clusters keep their seed.
     * Deterministic: same sample + seed order -> same codebooks. */

@@ -370,6 +370,19 @@ class ExtrasSpec extends AnyFunSuite {
     val meanErr = errs.sum / errs.length
     assert(meanErr < 0.12, s"ADC mean reconstruction error $meanErr")
     assert(errs.max < 0.5, s"ADC max reconstruction error ${errs.max}")
+    // persisted PQ index: training is deterministic, so the write/search
+    // path must reproduce the in-memory path EXACTLY at equal settings —
+    // and the scan must be partition-pruned
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Ann.writePqIndex(corpus, dir, nlist = 64, m = 4, ksub = 64, iters = 2)
+    val idx = Ann.searchPqIndex(spark, dir, queries, k = 10, nprobe = 8,
+      rerank = 250).collect()
+      .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+    assert(idx == pq2, "persisted PQ index diverged from the in-memory path")
+    val prunedScan = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(0, 1, 2))
+    val (rp, tp) = graft.sources.CellStore.scanPartitionCounts(prunedScan)
+    assert(rp <= 3 && tp > 30, s"PQ index scan read $rp of $tp partitions")
   }
 
   test("text analysis: langid, quality, token counts, fingerprints") {
