@@ -358,6 +358,49 @@ object SparkEntry {
       Ann.ivfPqTopK(emb, q, k = 5, nlist = 16, nprobe = 16, m = 8,
         ksub = 16, rerank = 1000000, iters = 1)
         .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rnk"))
+    }),
+    "q45_minhash_lsh_exact" -> ((s, d) => {
+      // MinHash-LSH end-to-end in the deterministic regime (the q42
+      // trick): planted exact duplicates have identical shingle sets ->
+      // identical 64-hash signatures -> they collide in EVERY band
+      // (recall deterministically 1). Candidates from the banded LSH
+      // machinery are verified with TRUE set-jaccard and kept only at
+      // jaccard = 1.0, so the output pair set is exactly {pairs with
+      // identical shingle sets} — brute-force SQL-expressible. Any pair
+      // the signature/band/bucket machinery dropped would hash-mismatch.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id").cast("long") % 50 === 0)
+        .select(concat(col("doc_id"), lit("_d")).as("doc_id"), col("text"))
+      val all = docs.unionByName(dups)
+      val cand = Dedup.minhashLsh(all, threshold = 1.0, numHashes = 64,
+          bands = 8).select("id_a", "id_b")
+      Dedup.ngramJaccard(all, cand, n = 3)
+        .filter(col("jaccard") >= 1.0)
+        .select("id_a", "id_b")
+    }),
+    "q46_simhash_exact" -> ((s, d) => {
+      // simhash chunk-bucket machinery in the deterministic regime:
+      // identical normalized token streams -> identical 64-bit
+      // fingerprints -> hamming 0 -> same key in every chunk bucket.
+      // Candidates verified with exact normalized-text equality, so the
+      // output pair set is exactly {normalized-equal pairs} — SQL-
+      // expressible; a candidate dropped by the fingerprint or bucket
+      // join would hash-mismatch.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id").cast("long") % 50 === 0)
+        .select(concat(col("doc_id"), lit("_d")).as("doc_id"), col("text"))
+      val all = docs.unionByName(dups)
+      val pairs = Dedup.simhashPairs(all, maxHamming = 0)
+        .select("id_a", "id_b")
+      val nrm = all.select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("nt"))
+      pairs
+        .join(nrm.select(col("doc_id").as("id_a"), col("nt").as("na")), Seq("id_a"))
+        .join(nrm.select(col("doc_id").as("id_b"), col("nt").as("nb")), Seq("id_b"))
+        .filter(col("na") === col("nb"))
+        .select("id_a", "id_b")
     })
   )
 
@@ -822,6 +865,35 @@ object SparkEntry {
           ranked AS (SELECT query_id, vec_id,
             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
             FROM pairs)
-          SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= 5"""
+          SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= 5""",
+    // deterministic-regime LSH oracles: output = {identical-shingle-set /
+    // normalized-equal pairs}, which the LSH paths are GUARANTEED to
+    // surface (identical keys collide in every band/chunk); DuckDB
+    // groups by the canonical key instead of running the LSH
+    "q45_minhash_lsh_exact" ->
+      """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+                       FROM documents),
+          dups AS (SELECT CAST(doc_id AS VARCHAR) || '_d' AS doc_id, text
+                   FROM documents WHERE doc_id % 50 = 0),
+          allv AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+          w AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS wa FROM allv),
+          sh AS (SELECT doc_id, list_sort(list_distinct(
+            list_transform(generate_series(1, greatest(len(wa)-3,0)+1),
+              i -> array_to_string(wa[i:least(i+2, len(wa))], ' ')))) AS key
+            FROM w)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.key = b.key AND a.doc_id < b.doc_id""",
+    "q46_simhash_exact" ->
+      """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+                       FROM documents),
+          dups AS (SELECT CAST(doc_id AS VARCHAR) || '_d' AS doc_id, text
+                   FROM documents WHERE doc_id % 50 = 0),
+          allv AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+          n AS (SELECT doc_id,
+            regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+            FROM allv)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM n a JOIN n b ON a.nt = b.nt AND a.doc_id < b.doc_id"""
   )
 }
