@@ -140,4 +140,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(all.count() == 3)
     } finally q.stop()
   }
+
+  test("streaming exact dedup within watermark: first doc per normalized " +
+      "fingerprint kept, later duplicates dropped across microbatches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("ets", timestamp_seconds(col("ts")))
+    val deduped = graft.streaming.StreamDedup
+      .exactWithinWatermark(docs, "ets", "10 seconds")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    try {
+      in.addData((1L, 100L, "alpha beta gamma"), (2L, 101L, "delta eps zeta"))
+      q.processAllAvailable()
+      // cross-microbatch duplicate (whitespace-normalized equal to doc 1)
+      in.addData((3L, 102L, "  alpha  beta   gamma "), (4L, 103L, "fresh content here"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("streaming minhash-LSH near-dup pairs: cross-microbatch pair emits; " +
+      "watermark expires old bucket members") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    val tB = "completely different content with other words entirely unrelated text"
+    val in = MemoryStream[(Long, Long, String)]
+    val pairs = graft.streaming.StreamDedup.minhashPairs(spark,
+      in.toDF().toDF("doc_id", "ts", "text"),
+      threshold = 0.9, delay = "5 seconds")
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("spairs").start()
+    try {
+      in.addData((1L, 10L, tA), (2L, 11L, tB))
+      q.processAllAvailable()
+      in.addData((3L, 12L, tA)) // exact text of doc 1, next microbatch
+      q.processAllAvailable()
+      val got1 = spark.table("spairs").select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got1 == Set((1L, 3L))) // found via state; (1,2) correctly absent
+      // advance the watermark far past docs 1-3 (wm = 100 - 5 = 95)
+      in.addData((4L, 100L, tB))
+      q.processAllAvailable()
+      // doc 5 repeats tA but every earlier tA member is watermark-expired
+      in.addData((5L, 101L, tA))
+      q.processAllAvailable()
+      in.addData((6L, 102L, tA)) // inside the horizon -> pairs with 5 only
+      q.processAllAvailable()
+      val got2 = spark.table("spairs").select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == Set((1L, 3L), (5L, 6L)))
+      // est for identical texts is exactly 1.0
+      val est = spark.table("spairs").select("jaccard_est").collect()
+        .map(_.getDouble(0)).toSet
+      assert(est == Set(1.0))
+    } finally q.stop()
+  }
 }
