@@ -185,8 +185,10 @@ class StreamingSpec extends AnyFunSuite {
       val got1 = spark.table("spairs").select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got1 == Set((1L, 3L))) // found via state; (1,2) correctly absent
-      // advance the watermark far past docs 1-3 (wm = 100 - 5 = 95)
-      in.addData((4L, 100L, tB))
+      // advance the watermark far past docs 1-3 (wm = 100 - 5 = 95); a
+      // fresh text — doc 2 is NOT yet expired at processing time (the
+      // watermark lags one microbatch), so reusing tB would pair here
+      in.addData((4L, 100L, "yet another brand new unique document body"))
       q.processAllAvailable()
       // doc 5 repeats tA but every earlier tA member is watermark-expired
       in.addData((5L, 101L, tA))
