@@ -231,10 +231,15 @@ final class PnpGrid(val polys: Array[PolyGeom], cellsHint: Int = 0) extends Seri
   /** Grid cells (cx, cy) whose box intersects the polygon bbox — for the
     * cell-partitioned join path (covering-cell IN-list, SURVEY §4). */
   def coveringCells(cellLen: Double, ox: Double, oy: Double): Seq[(Int, Int)] = {
-    val x0 = math.floor((minX - ox) / cellLen).toInt
-    val x1 = math.floor((maxX - ox) / cellLen).toInt
-    val y0 = math.floor((minY - oy) / cellLen).toInt
-    val y1 = math.floor((maxY - oy) / cellLen).toInt
+    // MUST bin with the same trunc-then-decrement convention the write
+    // path uses (CellMath.cellCoord): math.floor differs at exact
+    // negative multiples of cellLen (floor(-1.0) = -1 vs cellCoord -2),
+    // and a covering set computed with floor would prune the partition
+    // such boundary points were written to — silent row loss.
+    val x0 = CellMath.cellCoord(minX, ox, cellLen)
+    val x1 = CellMath.cellCoord(maxX, ox, cellLen)
+    val y0 = CellMath.cellCoord(minY, oy, cellLen)
+    val y1 = CellMath.cellCoord(maxY, oy, cellLen)
     for (cx <- x0 to x1; cy <- y0 to y1) yield (cx, cy)
   }
 }

@@ -117,9 +117,13 @@ object Cluster {
       // min over neighbor labels
       val nbrMin = edges.join(labels, edges("qk") === labels("k"))
         .groupBy(col("pk").as("k")).agg(min("lbl").as("nlbl"))
+      // lazily persisted: the jump join reads prop on BOTH sides (rows +
+      // parents projection) inside the one counted job below — the cache
+      // dedupes the aggregate/join compute without adding a job barrier
       val prop = labels.join(nbrMin, Seq("k"), "left")
         .select(col("k"), col("lbl").as("__old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // pointer jump: follow the label's own label (labels are root keys)
       val parents = prop.select(col("k").as("lbl"), col("lbl").as("__plbl"))
       // change count rides the materialization pass: one job per round
@@ -128,6 +132,7 @@ object Cluster {
           .select(col("k"), coalesce(col("__plbl"), col("lbl")).as("lbl"),
             col("__old")),
         col("lbl") =!= col("__old"))
+      prop.unpersist(false) // jumped is materialized; round cache done
       changed = ch
       labels = jumped.select("k", "lbl")
     }
@@ -164,7 +169,8 @@ object Dbscan {
       .transform(d => graft.core.Mat(d))
     val coreClusters = Cluster(core, eps, outCol = "__ccid")
       .select(col("order_key").as("ck"), col("__ccid"))
-    // border points: nearest core within eps (min core order_key wins)
+    // border points: smallest cluster id among in-eps cores (deterministic
+    // tie-break on the id, matching the oracle/test contract)
     val pairs = RadiusCount.pairs(df, eps)
     val toCore = pairs.join(coreClusters, pairs("qk") === coreClusters("ck"))
       .groupBy(col("pk")).agg(min("__ccid").as("__bcid"))
@@ -189,11 +195,9 @@ object KMeans {
       .select("x", "y", "z").collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
     var iter = 0
-    var assignExpr: Column = null
     while (iter < maxIters) {
-      assignExpr = assignCol(centroids)
-      val next = df.withColumn("__c", assignExpr)
-        .groupBy("__c").agg(avg("x"), avg("y"), avg("z"), count(lit(1)))
+      val next = df.withColumn("__c", assignCol(centroids))
+        .groupBy("__c").agg(avg("x"), avg("y"), avg("z"))
         .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
         .toMap
       val updated = centroids.indices.map(i => next.getOrElse(i, centroids(i))).toArray

@@ -30,8 +30,24 @@ object CellStore {
     grid.coveringCells(cellLen, ox, oy)
       .distinct.map { case (cx, cy) => CellMath.pack(cx, cy) }
 
+  /** Literal IN-lists stop scaling past a few thousand covering cells
+    * (driver-side plan construction is O(literals)); beyond this the
+    * predicate switches to cell-coordinate ranges — O(1) size, prunes
+    * the same partitions (partition pruning evaluates arbitrary
+    * deterministic expressions over the partition column, and the
+    * covering set is a bbox rectangle in cell space). */
+  private val MaxInList = 4096
+
+  private def cellPredicate(cells: Seq[Long]) =
+    if (cells.length <= MaxInList) col("cell").isin(cells: _*)
+    else {
+      val xs = cells.map(CellMath.unpackX); val ys = cells.map(CellMath.unpackY)
+      F.cellX(col("cell").cast("long")).between(xs.min, xs.max) &&
+        F.cellY(col("cell").cast("long")).between(ys.min, ys.max)
+    }
+
   /** Polygon crop with partition pushdown: polygon -> covering-cell
-    * IN-list on the partition column (pruned at planning time, before
+    * predicate on the partition column (pruned at planning time, before
     * any file is opened) -> exact point-in-polygon residual on the
     * surviving partitions only. */
   def readPolygon(spark: SparkSession, path: String, wkt: String,
@@ -39,33 +55,40 @@ object CellStore {
     val grid = new PnpGrid(Wkt.parse(wkt))
     val cells = coveringCellIds(grid, ox, oy, cellLen)
     spark.read.parquet(path)
-      .filter(col("cell").isin(cells: _*))
+      .filter(cellPredicate(cells))
       .filter(F.pnpContains(grid, col("x"), col("y")))
   }
 
-  /** Box crop with the same pushdown. */
+  /** Box crop with the same pushdown. Cell ranges are computed with the
+    * write path's binning (CellMath.cellCoord, trunc-then-decrement) —
+    * floor would miss the partition holding points that sit exactly on
+    * a negative cell boundary. */
   def readBox(spark: SparkSession, path: String, minx: Double, miny: Double,
       maxx: Double, maxy: Double, ox: Double, oy: Double, cellLen: Double): DataFrame = {
-    val x0 = math.floor((minx - ox) / cellLen).toInt
-    val x1 = math.floor((maxx - ox) / cellLen).toInt
-    val y0 = math.floor((miny - oy) / cellLen).toInt
-    val y1 = math.floor((maxy - oy) / cellLen).toInt
+    val x0 = CellMath.cellCoord(minx, ox, cellLen)
+    val x1 = CellMath.cellCoord(maxx, ox, cellLen)
+    val y0 = CellMath.cellCoord(miny, oy, cellLen)
+    val y1 = CellMath.cellCoord(maxy, oy, cellLen)
     val cells = for (cx <- x0 to x1; cy <- y0 to y1) yield CellMath.pack(cx, cy)
     spark.read.parquet(path)
-      .filter(col("cell").isin(cells: _*))
+      .filter(cellPredicate(cells))
       .filter(col("x") >= minx && col("x") <= maxx &&
         col("y") >= miny && col("y") <= maxy)
   }
 
   /** Partitions the physical scan will read vs the table total —
-    * pruning evidence straight from the executed plan's file scan. */
+    * pruning evidence straight from the executed plan's file scan
+    * (descends into AQE-wrapped plans, whose top node is a leaf). */
   def scanPartitionCounts(df: DataFrame): (Long, Long) = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    val scans = df.queryExecution.executedPlan.collect {
-      case s: FileSourceScanExec => s
-    }
-    require(scans.nonEmpty, "no file scan in plan")
-    val s = scans.head
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    }.flatten
+    val ss = scans(df.queryExecution.executedPlan)
+    require(ss.nonEmpty, "no file scan in plan")
+    val s = ss.head
     (s.selectedPartitions.partitionCount.toLong,
       s.relation.location.listFiles(Seq.empty, Seq.empty).length.toLong)
   }

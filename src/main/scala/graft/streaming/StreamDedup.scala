@@ -66,6 +66,10 @@ object StreamDedup {
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: String = "ts"): DataFrame = {
     import spark.implicits._
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a remainder " +
+        "would silently drop tail hashes from banding while jaccard_est " +
+        "still divides by the full count")
     val rows = numHashes / bands
     val banded = stream
       .withColumn("__ets", timestamp_seconds(col(tsCol).cast("long")))
@@ -91,7 +95,10 @@ object StreamDedup {
             val out = List.newBuilder[(Long, Long, Double)]
             arrivals.foreach { case (_, id, sig, ets) =>
               val ts = ets.getTime / 1000
-              if (ts >= wmSec) {
+              // an id already in state is an at-least-once redelivery:
+              // its pairs were emitted on first arrival — re-processing
+              // would emit duplicates AND burn extra maxBucket slots
+              if (ts >= wmSec && !members.exists(_._1 == id)) {
                 members.foreach { case (mid, msig, _) =>
                   if (mid != id) {
                     var m = 0; var i = 0

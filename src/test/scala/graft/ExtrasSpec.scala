@@ -502,6 +502,28 @@ class ExtrasSpec extends AnyFunSuite {
     assert(br < bt && box.count() > 0)
   }
 
+  test("cell store read/write binning agrees on exact negative cell " +
+      "boundaries (floor-based covering would prune the written partition)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cellstore-neg").toString
+    // x = -1.0 is an exact negative multiple of cellLen: the write path
+    // (CellMath.cellCoord, trunc-then-decrement) bins it to cell -2,
+    // while floor((-1.0)/1.0) = -1 — a floor-computed covering set
+    // silently loses the row at plan time
+    val pts = Seq((1L, -1.0, 0.5), (2L, -0.4, 0.5), (3L, 2.3, 0.5))
+      .toDF("order_key", "x", "y")
+    graft.sources.CellStore.write(pts, dir, ox = 0.0, oy = 0.0, cellLen = 1.0)
+    val got = graft.sources.CellStore.readBox(spark, dir,
+        -1.0, 0.0, 3.0, 1.0, 0.0, 0.0, 1.0)
+      .select("order_key").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+    // polygon path through PnpGrid.coveringCells has the same contract
+    val poly = graft.sources.CellStore.readPolygon(spark, dir,
+        "POLYGON ((-1.5 0, 3.5 0, 3.5 1, -1.5 1, -1.5 0))", 0.0, 0.0, 1.0)
+      .select("order_key").collect().map(_.getLong(0)).toSet
+    assert(poly == Set(1L, 2L, 3L))
+  }
+
   test("Mat uses the reliable checkpoint dir when configured (cluster " +
       "path: state survives executor loss, not pinned to one JVM)") {
     import spark.implicits._
