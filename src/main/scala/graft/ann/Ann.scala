@@ -148,10 +148,14 @@ object Ann {
   }
 
   /** Unit vector as array<float>: 4 bytes/component through every
-    * shuffle and the persisted index; dots re-accumulate in double. */
+    * shuffle and the persisted index; dots re-accumulate in double.
+    * The norm is bound to a lambda variable so it evaluates ONCE per
+    * row — inlined into the per-element lambda it would re-run the
+    * full-array aggregate for every component (O(D^2) per vector). */
   private def unitCol(vecCol: String): Column =
-    transform(col(vecCol), x =>
-      (x.cast("double") / greatest(norm(col(vecCol)), lit(1e-12))).cast("float"))
+    element_at(transform(array(greatest(norm(col(vecCol)), lit(1e-12))),
+      nrm => transform(col(vecCol),
+        x => (x.cast("double") / nrm).cast("float"))), 1)
 
   /** (id, unit-vector, nearest cell) via the broadcast quantizer. */
   private def assignCells(df: DataFrame,
@@ -222,10 +226,14 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       flatLimit: Int = 2048, wsuper: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol, flatLimit, wsuper)
+    // ONE materialized (id, unit) base feeds training AND the assignment
+    // pass — re-deriving it from the raw corpus would re-execute the
+    // caller's upstream plan and re-normalize every vector
+    val base = graft.core.Mat(
+      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
+    val cents = trainFromBase(base, nlist, iters, flatLimit, wsuper)
     val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
-    val corp = assignCells(
-      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc, wsuper)
+    val corp = assignCells(base, bc, wsuper)
       .withColumnRenamed("id", "vec_id").withColumnRenamed("u", "cv")
     val q = probeCells(
       queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")),
@@ -368,10 +376,11 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       flatLimit: Int = 2048, wsuper: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    val cents = trainIvfCentroids(corpus, nlist, iters, idCol, vecCol, flatLimit, wsuper)
+    val base = graft.core.Mat(
+      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
+    val cents = trainFromBase(base, nlist, iters, flatLimit, wsuper)
     val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
-    assignCells(
-      corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")), bc, wsuper)
+    assignCells(base, bc, wsuper)
       .withColumnRenamed("id", "vec_id").withColumnRenamed("u", "cv")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     import spark.implicits._
@@ -389,11 +398,13 @@ object Ann {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
     val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
-    val q = probeCells(
+    // materialized: the cell collect below AND searchAssigned both read
+    // it — unmaterialized, the probe pass would execute twice
+    val q = graft.core.Mat(probeCells(
       queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")),
       bc, nprobe, wsuper)
       .select(col("id").as("query_id"), col("u").as("qv"),
-        explode(col("probes")).as("cell"))
+        explode(col("probes")).as("cell")))
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
     val corp = spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(cells.toSeq: _*)) // partition-pruned scan
@@ -453,10 +464,11 @@ object Ann {
     val books = Array.tabulate(mSub)(s =>
       bookRows.filter(_.getInt(0) == s).map(_.getSeq[Float](2).toArray))
     val bpq = spark.sparkContext.broadcast(Pq.fromBooks(books))
-    val probes = probeCells(
+    // materialized: read by the cell collect AND the ADC cogroup
+    val probes = graft.core.Mat(probeCells(
       queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")),
       bc, nprobe, wsuper)
-      .select(col("id"), col("u"), explode(col("probes")).as("cell"))
+      .select(col("id"), col("u"), explode(col("probes")).as("cell")))
       .as[(Long, Array[Float], Int)]
     val cells = probes.map(_._3).distinct().collect()
     val pruned = spark.read.parquet(s"$path/corpus")

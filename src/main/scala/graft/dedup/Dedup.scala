@@ -206,7 +206,11 @@ object Dedup {
     import spark.implicits._
     val v = transform(col(vecCol), x => x.cast("double"))
     val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-    val unit = transform(v, x => x.cast("double") / greatest(norm, lit(1e-12)))
+    // norm bound to a lambda variable: evaluated once per row, not once
+    // per element (inlined it would be an O(D^2) full-array aggregate
+    // inside the per-element lambda)
+    val unit = element_at(transform(array(greatest(norm, lit(1e-12))),
+      nrm => transform(v, x => x / nrm)), 1)
     val prep = graft.core.Mat(df.select(col(idCol).as("id"), unit.as("u")))
     // deterministic pseudo-random hyperplanes, component j of plane p =
     // xxhash64(p, j) -> [-1, 1). PRECOMPUTED once on the driver and

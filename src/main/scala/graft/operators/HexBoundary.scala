@@ -107,9 +107,18 @@ object HexBoundary {
       c
     }
     val (shells, holes) = rings.partition(area2(_) > 0)
+    // nest each hole into the SMALLEST enclosing shell: with nested
+    // shell-hole-shell-hole structure (an island inside a hole), an
+    // inner hole is geometrically inside every outer shell too —
+    // attaching to all of them would duplicate the ring and punch the
+    // hole through the island that fills it. Shells of a boundary set
+    // never cross, so containment order == area order.
+    val attached = holes.flatMap { h =>
+      val enclosing = shells.filter(s => inside(h.head, s))
+      if (enclosing.isEmpty) None else Some((enclosing.minBy(area2), h))
+    }
     val grouped = shells.map { s =>
-      val hs = holes.filter(h => inside(h.head, s))
-      (s, hs)
+      (s, attached.collect { case (sh, h) if sh eq s => h })
     }
     def ringWkt(r: Vector[(Int, Int)]): String = {
       val pts = (r :+ r.head).map(toXY)
@@ -130,7 +139,12 @@ object HexBoundary {
     * (hexbin `density` output + boundary). */
   def densityReport(df: DataFrame, edge: Double = 0.0): DensityReport = {
     val hexes = HexBin(df, edge).cache()
-    val e = hexes.select("hex_edge").head().getDouble(0)
+    val first = hexes.select("hex_edge").take(1)
+    if (first.isEmpty) { // empty input: no hexes, empty boundary
+      hexes.unpersist()
+      return DensityReport("MULTIPOLYGON EMPTY", 0, 0, 0L, 0.0, 0.0)
+    }
+    val e = first(0).getDouble(0)
     val nHex = hexes.count()
     val nPts = hexes.agg(sum("density")).head().getLong(0)
     val area = nHex * 3.0 * math.sqrt(3.0) / 2.0 * e * e

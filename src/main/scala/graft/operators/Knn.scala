@@ -102,18 +102,6 @@ object KnnJoin {
         math.min(math.ceil(r.getLong(1).toDouble / cap), 64.0).toInt).toMap
   }
 
-  /** Estimate a cell edge targeting `target` candidates/cell. */
-  def estimateCellSize(cand: DataFrame, target: Double = 64.0): Double = {
-    val r = cand.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
-      min("z"), max("z")).head()
-    val n = math.max(r.getLong(0), 1L)
-    val ex = math.max(r.getDouble(2) - r.getDouble(1), 1e-9)
-    val ey = math.max(r.getDouble(4) - r.getDouble(3), 1e-9)
-    val ez = r.getDouble(6) - r.getDouble(5)
-    if (ez <= 1e-12) math.sqrt(ex * ey * target / n) // planar data -> 2D cells
-    else math.cbrt(ex * ey * ez * target / n)
-  }
-
   /** k nearest candidates for every query row.
     *
     * @param queries  needs (order_key, x, y, z)
@@ -159,9 +147,15 @@ object KnnJoin {
       min("z"), max("z")).head()
     dbg(s"candM materialized n=${ext.getLong(0)}")
     val hitType = "array<struct<d2:double,cid:bigint,v:double>>"
-    if (ext.getLong(0) == 0L) // no candidates at all
+    def release(): Unit = { // repeated knn calls must not leak cached blocks
+      candM.unpersist(false)
+      if (!selfJoin) queriesM.unpersist(false)
+    }
+    if (ext.getLong(0) == 0L) { // no candidates at all
+      release()
       return queries.select(col("order_key"),
         typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType).as("knn"))
+    }
     // coverAll must be query-aware: the examined cube is centered at the
     // QUERY cell, so finality needs ring*h to cover the distance from any
     // query to the farthest candidate — bounded by the UNION bbox extent
@@ -182,7 +176,7 @@ object KnnJoin {
       math.max(uext.getDouble(4) - uext.getDouble(3), uext.getDouble(6) - uext.getDouble(5))))
 
     // cell-size estimate straight from the already-collected extent row
-    // (the old estimateCellSize call was a second identical aggregate)
+    // (a separate estimator aggregate would be a second identical job)
     val h0raw =
       if (cellSize > 0) cellSize
       else {
@@ -472,6 +466,10 @@ object KnnJoin {
       }
     }
     dbg("loop done")
+    // every resolved part is a materialized (lazy-localCheckpoint, forced
+    // by its ring's pending-count action) frame — the result no longer
+    // reads the cached inputs, so their blocks can be dropped now
+    release()
     resolvedParts.reduce(_.unionByName(_))
       .withColumnRenamed("qid", "order_key")
   }
@@ -523,7 +521,7 @@ object NNDistance {
   def apply(df: DataFrame, k: Int, mode: String = "kth",
       outCol: String = "nn_distance", cellSize: Double = 0.0): DataFrame = {
     val knn = KnnJoin.knn(df.select("order_key", "x", "y", "z"), df, k + 1,
-      valueCol = "order_key", cellSize = cellSize)
+      valueCol = "order_key", cellSize = cellSize, selfJoin = true)
     val dists = knn.select(col("order_key"),
       slice(col("knn"), lit(2), greatest(size(col("knn")) - 1, lit(0))).as("nbrs"))
     val v = mode match {

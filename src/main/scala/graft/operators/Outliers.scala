@@ -15,7 +15,7 @@ object Outlier {
   def statistical(df: DataFrame, meanK: Int = 8, multiplier: Double = 2.0,
       noiseClass: Int = 7, remove: Boolean = false, cellSize: Double = 0.0): DataFrame = {
     val knn = KnnJoin.knn(df.select("order_key", "x", "y", "z"), df, meanK + 1,
-      valueCol = "order_key", cellSize = cellSize)
+      valueCol = "order_key", cellSize = cellSize, selfJoin = true)
     val nbrs = slice(col("knn"), lit(2), greatest(size(col("knn")) - 1, lit(0)))
     val meanDist = knn.select(col("order_key"),
       (aggregate(nbrs, lit(0.0), (acc, h) => acc + sqrt(h.getField("d2"))) /
@@ -136,7 +136,7 @@ object Mad {
 object Lof {
   def apply(df: DataFrame, minPts: Int = 10, cellSize: Double = 0.0): DataFrame = {
     val knn = KnnJoin.knn(df.select("order_key", "x", "y", "z"), df, minPts + 1,
-      valueCol = "order_key", cellSize = cellSize)
+      valueCol = "order_key", cellSize = cellSize, selfJoin = true)
     val nbrs = knn.select(col("order_key"),
       slice(col("knn"), lit(2), greatest(size(col("knn")) - 1, lit(0))).as("nbrs"))
       .withColumn("kdist", sqrt(try_element_at(col("nbrs"), size(col("nbrs"))).getField("d2")))
@@ -166,7 +166,7 @@ object Lof {
 object Reciprocity {
   def apply(df: DataFrame, k: Int = 8, cellSize: Double = 0.0): DataFrame = {
     val knn = KnnJoin.knn(df.select("order_key", "x", "y", "z"), df, k + 1,
-      valueCol = "order_key", cellSize = cellSize)
+      valueCol = "order_key", cellSize = cellSize, selfJoin = true)
     val edges = knn.select(col("order_key").as("src"),
         explode(slice(col("knn"), lit(2), greatest(size(col("knn")) - 1, lit(0)))).as("h"))
       .select(col("src"), col("h.cid").as("dst"))

@@ -111,7 +111,11 @@ object HexBin {
     val e =
       if (edge > 0) edge
       else {
-        val r = df.agg(min("x"), max("x"), min("y"), max("y"), count(lit(1))).head()
+        // null-safe extremes: empty input estimates over a unit box
+        // instead of NPE-ing, and yields an empty hex frame downstream
+        val r = df.agg(coalesce(min("x"), lit(0.0)), coalesce(max("x"), lit(1.0)),
+          coalesce(min("y"), lit(0.0)), coalesce(max("y"), lit(1.0)),
+          count(lit(1))).head()
         val area = math.max((r.getDouble(1) - r.getDouble(0)) *
           (r.getDouble(3) - r.getDouble(2)), 1e-9)
         // ~ one hex per 16 points on average
@@ -128,7 +132,9 @@ object HexBin {
     * equivalent coverage info derives from the occupied hex set). */
   def densityInfo(df: DataFrame, edge: Double = 0.0): (Long, Double) = {
     val hexes = apply(df, edge)
-    val e = hexes.select("hex_edge").head().getDouble(0)
+    val first = hexes.select("hex_edge").take(1)
+    if (first.isEmpty) return (0L, 0.0) // empty input: no occupied hexes
+    val e = first(0).getDouble(0)
     val n = hexes.count()
     (n, n * 3.0 * math.sqrt(3.0) / 2.0 * e * e) // hex area = 3*sqrt(3)/2 * edge^2
   }

@@ -18,10 +18,15 @@ class CheckpointRunner(spark: SparkSession, dir: String) {
 
   private def stagePath(i: Int, name: String) = s"$dir/stage=${i}_$name"
 
+  /** A stage is complete only once its metrics sidecar committed — the
+    * LAST write of the stage. Gating on data/_SUCCESS alone would let a
+    * crash between the data and metrics writes resume past a stage whose
+    * lineage sidecar never lands (the metrics would be missing forever);
+    * gating on metrics re-runs such a stage, overwriting both cleanly. */
   private def completed(i: Int, name: String): Boolean =
-    new org.apache.hadoop.fs.Path(stagePath(i, name) + "/data/_SUCCESS")
+    new org.apache.hadoop.fs.Path(stagePath(i, name) + "/metrics/_SUCCESS")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(stagePath(i, name) + "/data/_SUCCESS"))
+      .exists(new org.apache.hadoop.fs.Path(stagePath(i, name) + "/metrics/_SUCCESS"))
 
   /** Approximate serialized row width: fixed numeric core + string/span
     * payload lengths. */
@@ -52,8 +57,10 @@ class CheckpointRunner(spark: SparkSession, dir: String) {
         .groupBy(spark_partition_id().as("partition"))
         .agg(count(lit(1)).as("rows"),
           sum(byteCol(reread)).as("approx_bytes"),
-          (if (hasOrder) min("order_key") else lit(null)).as("min_order_key"),
-          (if (hasOrder) max("order_key") else lit(null)).as("max_order_key"))
+          (if (hasOrder) min("order_key")
+           else lit(null).cast("long")).as("min_order_key"), // typed null:
+          (if (hasOrder) max("order_key")                    // NullType cols
+           else lit(null).cast("long")).as("max_order_key")) // break parquet
         .withColumn("stage", lit(i)).withColumn("stage_name", lit(name))
         .withColumn("committed_at", current_timestamp())
       metrics.write.mode("overwrite").parquet(stagePath(i, name) + "/metrics")

@@ -19,14 +19,22 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 object ExactlyOnceSink {
 
   /** Idempotent per-batch write; returns true if this call wrote the
-    * batch, false if it was already committed (replay skipped). */
+    * batch, false if it was already committed (replay skipped).
+    *
+    * Markers resolve through the SAME Hadoop filesystem as the data —
+    * s3a://, hdfs:// and file: URIs all land next to their batches;
+    * java.nio paths would silently put markers on driver-local disk for
+    * any non-local target, voiding the replay-skip and losing the
+    * manifest on driver failover. */
   def writeBatch(batch: DataFrame, path: String, batchId: Long): Boolean = {
-    val marker = java.nio.file.Paths.get(path, "_commits", batchId.toString)
-    if (java.nio.file.Files.exists(marker)) return false
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_commits/$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false
     batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
-    java.nio.file.Files.createDirectories(marker.getParent)
-    try java.nio.file.Files.createFile(marker)
-    catch { case _: java.nio.file.FileAlreadyExistsException => }
+    fs.mkdirs(marker.getParent)
+    try fs.create(marker, false).close()
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => }
     true
   }
 

@@ -316,4 +316,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nHex == rep.occupiedHexes)
     assert(math.abs(area - rep.area) / area < 1e-9)
   }
+
+  test("hexbin boundary: nested island (shell-hole-shell-hole) attaches " +
+      "each hole to the SMALLEST enclosing shell, never duplicated") {
+    // annulus at hex-distance {4,5} + island annulus at distance {1}:
+    // 4 rings — outer shell, its hole, island shell, island's center hole
+    def hdist(q: Int, r: Int) = (math.abs(q) + math.abs(r) + math.abs(q + r)) / 2
+    val cells = (for (q <- -6 to 6; r <- -6 to 6;
+      d = hdist(q, r) if d == 4 || d == 5 || d == 1) yield (q, r)).toArray
+    val b = HexBoundary.fromCells(cells, edge = 2.0)
+    assert(b.rings == 4, s"$b")
+    // 2 polygons x (1 shell + 1 hole) -> paren count: 1 MULTIPOLYGON +
+    // 2 polygons + 4 rings = 7. Duplicating the inner hole into the
+    // outer shell (the all-enclosing-shells bug) would print 8.
+    assert(b.wkt.count(_ == '(') == 7, b.wkt.take(120))
+    // empty input stays total
+    assert(HexBoundary.fromCells(Array.empty, edge = 2.0).rings == 0)
+  }
+
+  test("densityReport and densityInfo degrade to empty on empty input") {
+    val empty = docs.filter(col("x") > 1e18)
+    val rep = HexBoundary.densityReport(empty, edge = 50.0)
+    assert(rep.boundaryWkt == "MULTIPOLYGON EMPTY" && rep.occupiedHexes == 0L
+      && rep.rings == 0 && rep.area == 0.0)
+    // auto-edge estimation path must survive empty input too
+    val rep2 = HexBoundary.densityReport(empty)
+    assert(rep2.occupiedHexes == 0L)
+    assert(HexBin.densityInfo(empty, edge = 50.0) == (0L, 0.0))
+  }
 }

@@ -166,6 +166,17 @@ class PipelineSpecSuite extends AnyFunSuite {
     // resume: stage outputs exist -> second run reloads, recomputes nothing
     val out2 = runner.run(docs.limit(0) /* ignored on resume */, stages)
     assert(out2.count() == n1)
+    // a stage WITHOUT order_key (aggregate/report shape): the lineage
+    // interval columns must be typed nulls — NullType breaks parquet
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val runner2 = new CheckpointRunner(spark, dir2)
+    val agg = runner2.run(docs, Seq(
+      "counts" -> (d => d.groupBy("classification").count())))
+    assert(agg.count() > 0)
+    val m2 = runner2.metrics()
+    assert(m2.filter(col("min_order_key").isNull).count() == m2.count())
+    assert(m2.schema("min_order_key").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 
   test("cloud metrics: delta/hausdorff/chamfer between shifted clouds (DeltaKernel/HausdorffKernel)") {
