@@ -59,6 +59,10 @@ object Dedup {
       bands: Int = 0, idCol: String = "doc_id", textCol: String = "text",
       maxBucket: Int = 100000): DataFrame = {
     val b = if (bands > 0) bands else autoBands(numHashes, threshold)
+    require(numHashes % b == 0,
+      s"bands ($b) must divide numHashes ($numHashes): a remainder would " +
+        "silently drop the tail hashes from banding (autoBands only " +
+        "returns divisors)")
     val rows = numHashes / b
     // Codegen'd one-pass signature (strings hashed once, permutations
     // derived from the 8-byte base hash) — bit-identical to the column
@@ -94,12 +98,17 @@ object Dedup {
     val withSigs = cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-    withSigs.withColumn("jaccard_est",
+    // materialize the (small) verified pair set, then release the
+    // signature cache — returning it lazily would pin the cached blocks
+    // for the session (the caller has no handle to free them)
+    val out = graft.core.Mat(withSigs.withColumn("jaccard_est",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
           .cast("double") / numHashes)
       .filter(col("jaccard_est") >= threshold)
-      .select("id_a", "id_b", "jaccard_est")
+      .select("id_a", "id_b", "jaccard_est"))
+    sig.unpersist(false)
+    out
   }
 
   /** Near-dup removal built on minhashLsh: drop the higher id of every
@@ -252,10 +261,13 @@ object Dedup {
     val cand = candIds
       .join(prep.select(col("id").as("id_a"), col("u").as("u_a")), Seq("id_a"))
       .join(prep.select(col("id").as("id_b"), col("u").as("u_b")), Seq("id_b"))
-    cand.withColumn("cosine",
+    // materialized verified pairs, then the bucket cache is released
+    val out = graft.core.Mat(cand.withColumn("cosine",
         aggregate(zip_with(col("u_a"), col("u_b"), (x, y) => x * y),
           lit(0.0), (a, x) => a + x))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .select("id_a", "id_b", "cosine"))
+    sig.unpersist(false)
+    out
   }
 }

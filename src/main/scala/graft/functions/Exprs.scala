@@ -44,8 +44,12 @@ object CellMath {
       v = (v | (v << 1)) & 0x5555555555555555L
       v
     }
-    // bias by 2^31 so negative cell coords still sort spatially
-    (spread((a.toLong + 0x80000000L)) << 1) | spread(b.toLong + 0x80000000L)
+    // bias by 2^31 so negative cell coords interleave as unsigned, then
+    // flip the top bit: the biased x MSB lands on bit 63 (the Long sign),
+    // and without the flip signed ordering would put every cell right of
+    // the origin BEFORE every cell left of it
+    ((spread((a.toLong + 0x80000000L)) << 1) |
+      spread(b.toLong + 0x80000000L)) ^ Long.MinValue
   }
 
   def cellId(x: Double, y: Double, ox: Double, oy: Double, len: Double,

@@ -45,8 +45,39 @@ object Eigen3 {
     var best = cands(0)
     if (n2(cands(1)) > n2(best)) best = cands(1)
     if (n2(cands(2)) > n2(best)) best = cands(2)
-    val nn = math.sqrt(math.max(n2(best), 1e-300))
-    var nx = best(0) / nn; var ny = best(1) / nn; var nz = best(2) / nn
+    var nx = 0.0; var ny = 0.0; var nz = 1.0
+    if (n2(best) > 1e-280) {
+      val nn = math.sqrt(n2(best))
+      nx = best(0) / nn; ny = best(1) / nn; nz = best(2) / nn
+    } else {
+      // degenerate: l3's eigenspace is a plane (collinear neighborhood,
+      // l2 == l3) so every row cross product of (A - l3 I) vanishes. The
+      // reference's SelfAdjointEigenSolver still returns a unit vector;
+      // match that contract: take the dominant direction (eigenvector of
+      // l1 from (A - l1 I)) and cross it with the least-aligned axis.
+      // Fully isotropic A (all eigenvalues equal) keeps the (0,0,1)
+      // default — any unit vector is a valid eigenvector there.
+      val s1 = Array(xx - l1, xy, xz)
+      val s2 = Array(xy, yy - l1, yz)
+      val s3 = Array(xz, yz, zz - l1)
+      val dc = Array(cross(s1, s2), cross(s1, s3), cross(s2, s3))
+      var d = dc(0)
+      if (n2(dc(1)) > n2(d)) d = dc(1)
+      if (n2(dc(2)) > n2(d)) d = dc(2)
+      if (n2(d) > 1e-280) {
+        val dn = math.sqrt(n2(d))
+        val dx = d(0) / dn; val dy = d(1) / dn; val dz = d(2) / dn
+        val (ex, ey, ez) =
+          if (math.abs(dx) <= math.abs(dy) && math.abs(dx) <= math.abs(dz))
+            (1.0, 0.0, 0.0)
+          else if (math.abs(dy) <= math.abs(dz)) (0.0, 1.0, 0.0)
+          else (0.0, 0.0, 1.0)
+        val cx = dy * ez - dz * ey; val cy = dz * ex - dx * ez
+        val cz = dx * ey - dy * ex
+        val cn = math.sqrt(cx * cx + cy * cy + cz * cz)
+        nx = cx / cn; ny = cy / cn; nz = cz / cn
+      }
+    }
     if (nz < 0) { nx = -nx; ny = -ny; nz = -nz } // PDAL orients normals up
     Array(l1, l2, l3, nx, ny, nz)
   }
@@ -117,8 +148,17 @@ object EigenFeatures {
     val withEig = mom.withColumn("__e", eig)
     val l1 = col("__e.l1"); val l2 = col("__e.l2"); val l3 = col("__e.l3")
     val sum3 = greatest(l1 + l2 + l3, lit(1e-300))
+    // reference parity for the raw eigenvalue outputs: computeCovariance
+    // divides by n-1 (pdal/private/MathUtils.cpp:191 — the avg-based
+    // moments here are the /n population form, corrected by n/(n-1)) and
+    // Eigenvalue0 is the SMALLEST (SelfAdjointEigenSolver ascending,
+    // EigenvaluesFilter.cpp:142). The scale-invariant ratio features
+    // keep the conventional descending l1 >= l2 >= l3 internally.
+    val corr = col("n").cast("double") /
+      greatest(col("n").cast("double") - 1.0, lit(1.0))
     val features = withEig.select(col("order_key"),
-      l1.as("eigenvalue0"), l2.as("eigenvalue1"), l3.as("eigenvalue2"),
+      (l3 * corr).as("eigenvalue0"), (l2 * corr).as("eigenvalue1"),
+      (l1 * corr).as("eigenvalue2"),
       col("__e.nx").as("normal_x"), col("__e.ny").as("normal_y"),
       col("__e.nz").as("normal_z"),
       ((l1 - l2) / greatest(l1, lit(1e-300))).as("linearity"),

@@ -25,6 +25,8 @@ object Splitter {
       val r = df.agg(
         min_by(col("x"), col("order_key")).as("ox"),
         min_by(col("y"), col("order_key")).as("oy")).head()
+      if (r.isNullAt(0)) // empty input: no first point, any origin works
+        return df.withColumn(tileCol, lit(0L))
       (r.getDouble(0), r.getDouble(1))
     }
     val main = F.cellId(col("x"), col("y"), ox, oy, length)
@@ -329,14 +331,20 @@ object Returns {
   }
 }
 
-/** filters.separatescanline analog (filters/SeparateScanLineFilter.cpp:44):
-  * new group at every EdgeOfFlightLine transition — sessionization via a
-  * running sum over the order key. */
+/** filters.separatescanline analog (filters/SeparateScanLineFilter.cpp:74):
+  * the LAS edge flag marks the LAST point of a scan line — the reference
+  * appends the point to the current view BEFORE checking the flag, so an
+  * edge point stays with its own line. That makes the group key the
+  * EXCLUSIVE prefix sum of edge flags (edges strictly before this row),
+  * grouped `groupsOf` lines per view. */
 object SeparateScanLine {
   def apply(df: DataFrame, edgeCol: String = "edge_of_flight_line",
-      groupsOf: Int = 1, viewCol: String = "view_id"): DataFrame =
-    // distributed prefix sum (range partitions + per-partition offsets)
-    Order.globalPrefixSum(df, when(col(edgeCol) === 1, 1L).otherwise(0L), "__scan")
-      .withColumn(viewCol, (col("__scan") / groupsOf).cast("long"))
+      groupsOf: Int = 1, viewCol: String = "view_id"): DataFrame = {
+    val edge = when(col(edgeCol) === 1, 1L).otherwise(0L)
+    // distributed prefix sum (range partitions + per-partition offsets);
+    // globalPrefixSum is inclusive -> subtract the row's own flag
+    Order.globalPrefixSum(df, edge, "__scan")
+      .withColumn(viewCol, ((col("__scan") - edge) / groupsOf).cast("long"))
       .drop("__scan")
+  }
 }

@@ -24,7 +24,9 @@ object Voxel {
     val r = df.agg(min_by(col("x"), col("order_key")),
       min_by(col("y"), col("order_key")),
       min_by(col("z"), col("order_key"))).head()
-    (r.getDouble(0) - cell / 2, r.getDouble(1) - cell / 2, r.getDouble(2) - cell / 2)
+    if (r.isNullAt(0)) (0.0, 0.0, 0.0) // empty input: any origin works
+    else (r.getDouble(0) - cell / 2, r.getDouble(1) - cell / 2,
+      r.getDouble(2) - cell / 2)
   }
 
   /** filters.voxeldownsize (filters/VoxelDownsizeFilter.cpp:44): keep the
@@ -190,20 +192,32 @@ object Fps {
     var pts = df.select("order_key", "x", "y", "z")
       .withColumn("__mind", lit(Double.MaxValue))
       .transform(d => graft.core.Mat(d))
-    val first = pts.orderBy("order_key").select("order_key", "x", "y", "z").head()
+    val firstArr = pts.orderBy("order_key")
+      .select("order_key", "x", "y", "z").take(1)
+    if (firstArr.isEmpty) return df // empty input
+    val first = firstArr(0)
     var chosen = List(first.getLong(0))
     var (cx, cy, cz) = (first.getDouble(1), first.getDouble(2), first.getDouble(3))
+    var lastId = first.getLong(0)
     var i = 1
-    while (i < count) {
+    var exhausted = false
+    while (i < count && !exhausted) {
       val d2 = (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy) +
         (col("z") - cz) * (col("z") - cz)
-      pts = pts.withColumn("__mind", least(col("__mind"), d2))
+      // drop the just-chosen point from the working set (a growing
+      // chosen-id IN-list would re-plan O(count) literals per round)
+      pts = pts.filter(col("order_key") =!= lastId)
+        .withColumn("__mind", least(col("__mind"), d2))
         .transform(d => graft.core.Mat(d))
-      val next = pts.filter(!col("order_key").isInCollection(chosen))
-        .orderBy(col("__mind").desc, col("order_key").asc).head()
-      chosen = next.getLong(0) :: chosen
-      cx = next.getDouble(1); cy = next.getDouble(2); cz = next.getDouble(3)
-      i += 1
+      val nextArr = pts.orderBy(col("__mind").desc, col("order_key").asc).take(1)
+      if (nextArr.isEmpty) exhausted = true // count > |points|: keep all
+      else {
+        val next = nextArr(0)
+        lastId = next.getLong(0)
+        chosen = lastId :: chosen
+        cx = next.getDouble(1); cy = next.getDouble(2); cz = next.getDouble(3)
+        i += 1
+      }
     }
     df.filter(col("order_key").isInCollection(chosen))
   }

@@ -183,6 +183,8 @@ object PipelineBuilder {
         Divider(in, optStr(o, "mode").getOrElse("partition") == "round_robin",
           optLong(o, "count").map(_.toInt), optLong(o, "capacity"))
       case "filters.groupby" => GroupBy(in, optStr(o, "dimension").get)
+      case "filters.separatescanline" =>
+        SeparateScanLine(in, groupsOf = optLong(o, "groupby").getOrElse(1L).toInt)
       case "filters.merge" => Merge(ins)
       case "filters.returns" =>
         Returns(in, optStr(o, "groups").getOrElse("first,last").split(',').map(_.trim).toSeq)

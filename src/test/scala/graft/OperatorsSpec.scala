@@ -334,6 +334,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(HexBoundary.fromCells(Array.empty, edge = 2.0).rings == 0)
   }
 
+  test("separatescanline: edge point stays with its own line " +
+      "(SeparateScanLineFilter.cpp:74 append-then-check), groupby groups") {
+    import spark.implicits._
+    val edges = Seq(0, 1, 0, 0, 1, 1, 0) // lines: [0,1], [2,3,4], [5], [6]
+    val df = edges.zipWithIndex
+      .map { case (e, i) => (i.toLong, e) }
+      .toDF("order_key", "edge_of_flight_line")
+    // reference loop replica: append point, THEN on edge bump the line
+    def ref(groupBy: Int): Map[Long, Long] = {
+      var view = 0L; var lineNum = 1
+      edges.zipWithIndex.map { case (e, i) =>
+        val assigned = i.toLong -> view
+        if (e == 1) { lineNum += 1
+          if (lineNum > groupBy) { view += 1; lineNum = 1 } }
+        assigned
+      }.toMap
+    }
+    for (g <- Seq(1, 2)) {
+      val got = SeparateScanLine(df, groupsOf = g)
+        .select("order_key", "view_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref(g), s"groupsOf=$g: $got vs ${ref(g)}")
+    }
+  }
+
+  test("fps: count past pool size keeps all points; empty input survives") {
+    import spark.implicits._
+    val five = Seq((0L, 0.0, 0.0, 0.0), (1L, 1.0, 0.0, 0.0), (2L, 2.0, 0.0, 0.0),
+      (3L, 3.0, 0.0, 0.0), (4L, 9.0, 0.0, 0.0)).toDF("order_key", "x", "y", "z")
+    assert(Fps(five, count = 100).count() == 5)
+    assert(Fps(five.filter(lit(false)), count = 3).count() == 0)
+    // farthest-first order still holds: first + farthest chosen at count=2
+    val two = Fps(five, count = 2).select("order_key").collect()
+      .map(_.getLong(0)).toSet
+    assert(two == Set(0L, 4L))
+  }
+
+  test("splitter and voxel origin paths survive empty input") {
+    val none = docs.filter(lit(false))
+    assert(Splitter(none).count() == 0)
+    assert(Voxel.downsize(none, cell = 10.0).count() == 0)
+  }
+
+  test("eigen degenerate neighborhoods still produce unit normals " +
+      "(collinear -> perpendicular to the line; reference returns a unit " +
+      "eigenvector always)") {
+    // collinear along x: cov = diag(v, 0, 0); normal must be unit, ⊥ x
+    val r = Eigen3.decompose(4.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val (nx, ny, nz) = (r(3), r(4), r(5))
+    assert(math.abs(nx * nx + ny * ny + nz * nz - 1.0) < 1e-12)
+    assert(math.abs(nx) < 1e-12) // orthogonal to the line direction
+    // isotropic / all-identical: any unit vector; default is +z
+    val iso = Eigen3.decompose(0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    assert(iso(3) == 0.0 && iso(4) == 0.0 && iso(5) == 1.0)
+    // non-degenerate planar case unchanged: z-normal plane
+    val pl = Eigen3.decompose(2.0, 0.0, 0.0, 3.0, 0.0, 1e-9)
+    assert(math.abs(pl(5) - 1.0) < 1e-6)
+  }
+
+  test("morton codes: signed ordering is spatial across the origin " +
+      "(cells left of the origin sort before cells right of it)") {
+    import graft.functions.CellMath
+    val left = CellMath.interleave(-1, 0)
+    val right = CellMath.interleave(0, 0)
+    val farRight = CellMath.interleave(1 << 10, 1 << 10)
+    assert(left < right && right < farRight)
+  }
+
   test("densityReport and densityInfo degrade to empty on empty input") {
     val empty = docs.filter(col("x") > 1e18)
     val rep = HexBoundary.densityReport(empty, edge = 50.0)
