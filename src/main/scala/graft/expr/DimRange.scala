@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * inclusive, parens exclusive, `!` negates, missing bound = ±infinity.
   * List semantics per DimRange.cpp:143 (pointPasses): OR within the same
   * dimension, AND across dimensions (list sorted by dimension).
-  * Value semantics per :125 (valuePasses), including NaN always failing.
+  * Value semantics per :125 (valuePasses): NaN folds into `fail` BEFORE
+  * negation (so a negated range keeps NaN rows, exactly as the
+  * reference's `if (m_negate) fail = !fail` does).
   */
 final case class DimRange(
     name: String,
@@ -76,6 +78,10 @@ object DimRange {
       case ')' => false
       case _ => err("missing ')' or ']'")
     }
+    pos += 1
+    while (pos < r.length && r(pos).isWhitespace) pos += 1
+    if (pos != r.length) // reference: DimRange.cpp:169 throws here too —
+      err("invalid characters following valid range") // silent drop loses constraints
     DimRange(name, lb, ub, ilb, iub, negate)
   }
 

@@ -134,14 +134,34 @@ object ExpressionFilter {
 
 /** Per-stage `where`/`where_merge` (pdal/Stage.cpp:61-76 splitView):
   * the stage applies only to rows passing `where`; skipped rows bypass it
-  * and are merged back (`where_merge=true`/auto) or dropped (false). */
+  * and are merged back (`where_merge=true`/auto) or dropped (false).
+  *
+  * Merge order matches the reference (StageRunner.cpp:63-80): the
+  * skipped view is APPENDED after the stage output, so the merged frame
+  * is re-keyed keeps-then-skips. Without the re-key, stages that
+  * renumber order_key (sort/randomize/mortonorder) would collide with
+  * the bypass rows' original keys. */
 object Where {
   def apply(df: org.apache.spark.sql.DataFrame, where: String,
       stage: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       merge: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
     val cond = ExprLang.compile(where)
     val kept = stage(df.filter(cond))
-    if (merge) kept.unionByName(df.filter(!cond || cond.isNull), allowMissingColumns = true)
-    else kept
+    if (!merge) kept
+    else {
+      val skips = df.filter(!cond || cond.isNull)
+      if (!kept.columns.contains("order_key"))
+        kept.unionByName(skips, allowMissingColumns = true)
+      else {
+        val tagged = kept.withColumn("__wpart", lit(0))
+          .unionByName(skips.withColumn("__wpart", lit(1)),
+            allowMissingColumns = true)
+        graft.operators.Order.globalRankBy(tagged,
+            Seq(col("__wpart").asc, col("order_key").asc), "__wkey")
+          .drop("order_key", "__wpart")
+          .withColumnRenamed("__wkey", "order_key")
+      }
+    }
   }
 }

@@ -30,17 +30,23 @@ object MongoExpr {
 
   private def compileObject(obj: JObject): Column =
     obj.obj.map {
+      // empty conjunction/disjunction identities: {} and {"$and": []}
+      // match everything, {"$or": []} nothing (Mongo match-all semantics
+      // for the empty document)
       case ("$and", JArray(xs)) =>
-        xs.map(x => compileObject(x.asInstanceOf[JObject])).reduce(_ && _)
+        xs.map(x => compileObject(x.asInstanceOf[JObject]))
+          .reduceOption(_ && _).getOrElse(lit(true))
       case ("$or", JArray(xs)) =>
-        xs.map(x => compileObject(x.asInstanceOf[JObject])).reduce(_ || _)
+        xs.map(x => compileObject(x.asInstanceOf[JObject]))
+          .reduceOption(_ || _).getOrElse(lit(false))
       case ("$nor", JArray(xs)) =>
-        !xs.map(x => compileObject(x.asInstanceOf[JObject])).reduce(_ || _)
+        !xs.map(x => compileObject(x.asInstanceOf[JObject]))
+          .reduceOption(_ || _).getOrElse(lit(false))
       case ("$not", x: JObject) => !compileObject(x)
       case (dim, JObject(ops)) if ops.nonEmpty && ops.head._1.startsWith("$") =>
         ops.map { case (op, v) => fieldOp(dim, op, v) }.reduce(_ && _)
       case (dim, value) => col(dim) === lit0(value) // implicit $eq
-    }.reduce(_ && _)
+    }.reduceOption(_ && _).getOrElse(lit(true))
 
   private def fieldOp(dim: String, op: String, v: JValue): Column = op match {
     case "$eq" => col(dim) === lit0(v)
@@ -55,7 +61,10 @@ object MongoExpr {
       v.asInstanceOf[JArray].arr.map(jvRaw))
     case "$mod" =>
       val Seq(d, r) = v.asInstanceOf[JArray].arr.map(jvRaw).map(_.toString.toDouble)
-      pmod(col(dim).cast("double"), lit(d)) === lit(r)
+      // Mongo/C++ truncated modulo (sign of the dividend) — pmod's
+      // always-non-negative result matches the wrong remainders for
+      // negative field values
+      (col(dim).cast("double") % lit(d)) === lit(r)
     case "$not" => !fieldOps(dim, v.asInstanceOf[JObject])
     case other => throw new IllegalArgumentException(s"unsupported op $other")
   }

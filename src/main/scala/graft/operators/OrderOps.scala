@@ -66,27 +66,35 @@ object Order {
         org.apache.spark.sql.types.StructField("__off",
           org.apache.spark.sql.types.LongType))))
     val w = Window.partitionBy(col("__pid"), col(groupCol)).orderBy(sortCols: _*)
-    ranged.join(broadcast(offDf), Seq("__pid", groupCol))
+    // null-safe group equality: a plain equi-join would silently drop
+    // every row whose group value is null
+    val off2 = offDf.withColumnRenamed("__pid", "__opid")
+      .withColumnRenamed(groupCol, "__ogrp")
+    ranged.join(broadcast(off2),
+        col("__pid") === col("__opid") && col(groupCol) <=> col("__ogrp"))
       .withColumn(outCol, row_number().over(w).cast("long") - 1 + col("__off"))
-      .drop("__pid", "__off")
+      .drop("__pid", "__opid", "__ogrp", "__off")
   }
 
-  /** Inclusive running sum of `valueCol` in global `order_key` order:
-    * range-repartition, per-partition running sum, plus per-partition
-    * total offsets (one collected row per partition). */
+  /** Inclusive running sum of the INTEGRAL `valueCol` in global
+    * `order_key` order: range-repartition, per-partition running sum,
+    * plus per-partition total offsets (one collected row per partition).
+    * The value is cast to long (null -> 0) — a generic double running
+    * sum would need different offset typing. */
   def globalPrefixSum(df: DataFrame, valueCol: Column, outCol: String): DataFrame = {
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val ranged = graft.core.Mat(df.withColumn("__v", valueCol)
-      .repartitionByRange(parts, col("order_key"))
-      .withColumn("__pid", spark_partition_id()))
+    val ranged = graft.core.Mat(
+      df.withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
+        .repartitionByRange(parts, col("order_key"))
+        .withColumn("__pid", spark_partition_id()))
     val sums = ranged.groupBy("__pid").agg(sum("__v").as("s")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val maxPid = if (sums.isEmpty) 0 else sums.keys.max
     val offsets = (0 to maxPid).scanLeft(0L)((acc, pid) => acc + sums.getOrElse(pid, 0L))
     val offCol = element_at(array(offsets.take(maxPid + 1).map(lit): _*), col("__pid") + 1)
     val w = Window.partitionBy("__pid").orderBy("order_key")
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged.withColumn(outCol, sum("__v").over(w) + offCol)
+    ranged.withColumn(outCol, coalesce(sum("__v").over(w), lit(0L)) + offCol)
       .drop("__pid", "__v")
   }
 }
@@ -157,13 +165,33 @@ object Randomize {
 }
 
 /** filters.mortonorder (filters/MortonOrderFilter.cpp:46): reorder by
-  * Z-order curve over quantized (x, y); `reverse` inverts the curve. */
+  * Z-order curve over quantized (x, y). `reverse` is the reference's
+  * BIT-REVERSED Morton code (MortonOrderFilter.cpp:103 reverse_morton) —
+  * a progressive-sampling order that scatters spatial neighbors, NOT the
+  * descending Z-order. */
 object MortonOrder {
+  /** result = ((v >> s) & m) | ((v & m) << s) cascade — 64-bit bit
+    * reversal as pure column ops (stays in whole-stage codegen). */
+  private def rev64(c0: Column): Column = {
+    def sw(v: Column, sh: Int, m: Long): Column =
+      shiftrightunsigned(v, sh).bitwiseAND(lit(m))
+        .bitwiseOR(shiftleft(v.bitwiseAND(lit(m)), sh))
+    var v = c0
+    v = sw(v, 1, 0x5555555555555555L)
+    v = sw(v, 2, 0x3333333333333333L)
+    v = sw(v, 4, 0x0F0F0F0F0F0F0F0FL)
+    v = sw(v, 8, 0x00FF00FF00FF00FFL)
+    v = sw(v, 16, 0x0000FFFF0000FFFFL)
+    shiftrightunsigned(v, 32).bitwiseOR(shiftleft(v, 32))
+  }
+
   def apply(df: DataFrame, reverse: Boolean = false, cellSize: Double = 0.01): DataFrame = {
-    val mn = df.agg(min("x"), min("y")).head()
+    val mnArr = df.agg(min("x"), min("y")).take(1)
+    if (mnArr.isEmpty || mnArr(0).isNullAt(0)) return df // empty input
+    val mn = mnArr(0)
     val (ox, oy) = (mn.getDouble(0), mn.getDouble(1))
     val code = graft.functions.F.cellId(col("x"), col("y"), ox, oy, cellSize, morton = true)
-    val hashed = df.withColumn("__m", if (reverse) -code else code)
+    val hashed = df.withColumn("__m", if (reverse) rev64(code) else code)
     Order.globalRankBy(hashed, Seq(col("__m").asc, col("order_key").asc), "__newkey")
       .drop("__m").drop("order_key").withColumnRenamed("__newkey", "order_key")
   }

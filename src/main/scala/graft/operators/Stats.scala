@@ -49,6 +49,8 @@ object Stats {
 
   def summary(df: DataFrame, dim: String, advanced: Boolean = true): Summary = {
     val r = df.agg(summaryCols(dim).head, summaryCols(dim).tail: _*).head()
+    if (r.getLong(0) == 0L) // empty input: all-zero summary, no null unboxing
+      return Summary(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     val base = Summary(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
       r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), 0.0, 0.0)
     if (!advanced) base
@@ -70,7 +72,8 @@ object Stats {
   /** bbox metadata (StatsFilter::extractMetadata bbox). */
   def bbox(df: DataFrame): (Double, Double, Double, Double, Double, Double) = {
     val r = df.agg(min("x"), min("y"), min("z"), max("x"), max("y"), max("z")).head()
-    (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+    if (r.isNullAt(0)) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0) // empty input
+    else (r.getDouble(0), r.getDouble(1), r.getDouble(2),
       r.getDouble(3), r.getDouble(4), r.getDouble(5))
   }
 }
@@ -131,11 +134,13 @@ object HexBin {
     * total area (the reference emits a smoothed boundary polygon; the
     * equivalent coverage info derives from the occupied hex set). */
   def densityInfo(df: DataFrame, edge: Double = 0.0): (Long, Double) = {
-    val hexes = apply(df, edge)
-    val first = hexes.select("hex_edge").take(1)
-    if (first.isEmpty) return (0L, 0.0) // empty input: no occupied hexes
-    val e = first(0).getDouble(0)
-    val n = hexes.count()
-    (n, n * 3.0 * math.sqrt(3.0) / 2.0 * e * e) // hex area = 3*sqrt(3)/2 * edge^2
+    val hexes = apply(df, edge).cache() // take(1) + count() read it twice
+    try {
+      val first = hexes.select("hex_edge").take(1)
+      if (first.isEmpty) return (0L, 0.0) // empty input: no occupied hexes
+      val e = first(0).getDouble(0)
+      val n = hexes.count()
+      (n, n * 3.0 * math.sqrt(3.0) / 2.0 * e * e) // hex area = 3*sqrt(3)/2 * edge^2
+    } finally hexes.unpersist()
   }
 }
