@@ -100,6 +100,7 @@ object Rasterize {
   * when polygons are few; for large sets use Crop.polygons + window). */
 object Overlay {
   def apply(df: DataFrame, polygons: Seq[(String, Any)], dim: String): DataFrame = {
+    require(polygons.nonEmpty, "overlay needs at least one polygon")
     val cascade = polygons.foldLeft[Column](null) { case (acc, (wkt, value)) =>
       val p = F.pnpContains(new PnpGrid(Wkt.parse(wkt)), col("x"), col("y"))
       val v = lit(value)

@@ -11,18 +11,21 @@ object Transformation {
   def apply(df: DataFrame, m: Seq[Double]): DataFrame = {
     require(m.length == 16, "expects a 4x4 row-major matrix")
     val x = col("x"); val y = col("y"); val z = col("z")
-    df.withColumn("__nx", lit(m(0)) * x + lit(m(1)) * y + lit(m(2)) * z + lit(m(3)))
+    val out = df
+      .withColumn("__nx", lit(m(0)) * x + lit(m(1)) * y + lit(m(2)) * z + lit(m(3)))
       .withColumn("__ny", lit(m(4)) * x + lit(m(5)) * y + lit(m(6)) * z + lit(m(7)))
       .withColumn("__nz", lit(m(8)) * x + lit(m(9)) * y + lit(m(10)) * z + lit(m(11)))
       .withColumn("x", col("__nx")).withColumn("y", col("__ny"))
       .withColumn("z", col("__nz")).drop("__nx", "__ny", "__nz")
+    Srs.preserve(df, out) // an affine transform does not change the CRS
   }
 }
 
 /** filters.scaling analog (pdal/Scaling.cpp): scale/offset quantization. */
 object Scaling {
   def quantize(df: DataFrame, dim: String, scale: Double, offset: Double): DataFrame =
-    df.withColumn(dim, round((col(dim) - offset) / scale) * scale + offset)
+    Srs.preserve(df,
+      df.withColumn(dim, round((col(dim) - offset) / scale) * scale + offset))
 }
 
 /** filters.reprojection analog (filters/ReprojectionFilter.cpp:48) for the
@@ -36,15 +39,15 @@ object Reprojection {
   private val E2 = (2 - 1 / F_INV) / F_INV // first eccentricity^2
   private val K0 = 0.9996
 
-  def wgs84ToWebMercator(df: DataFrame): DataFrame = df
+  def wgs84ToWebMercator(df: DataFrame): DataFrame = Srs.tag(df
     .withColumn("__x", lit(R) * radians(col("x")))
     .withColumn("y", lit(R) * log(tan(lit(math.Pi / 4) + radians(col("y")) / 2)))
-    .withColumn("x", col("__x")).drop("__x")
+    .withColumn("x", col("__x")).drop("__x"), "EPSG:3857")
 
-  def webMercatorToWgs84(df: DataFrame): DataFrame = df
+  def webMercatorToWgs84(df: DataFrame): DataFrame = Srs.tag(df
     .withColumn("__lon", degrees(col("x") / R))
     .withColumn("y", degrees(lit(2.0) * atan(exp(col("y") / R)) - lit(math.Pi / 2)))
-    .withColumn("x", col("__lon")).drop("__lon")
+    .withColumn("x", col("__lon")).drop("__lon"), "EPSG:4326")
 
   /** UTM forward (lon/lat degrees -> easting/northing), fixed zone.
     * Kruger series to n^4 — standard public formulation. */
@@ -68,8 +71,9 @@ object Reprojection {
       + (lit(5.0) - t2 + lit(9.0) * c + lit(4.0) * c * c) * pow(a, 4) / 24
       + (lit(61.0) - lit(58.0) * t2 + t2 * t2 + lit(600.0) * c - lit(330.0 * ep2)) * pow(a, 6) / 720))
     val north = if (southern) north0 + 10000000.0 else north0
-    df.withColumn("__e", east).withColumn("y", north)
-      .withColumn("x", col("__e")).drop("__e")
+    Srs.tag(df.withColumn("__e", east).withColumn("y", north)
+      .withColumn("x", col("__e")).drop("__e"),
+      f"EPSG:${if (southern) 327 else 326}%d$zone%02d")
   }
 
   /** UTM inverse (easting/northing -> lon/lat degrees), fixed zone —
@@ -99,9 +103,9 @@ object Reprojection {
     val lon = (d0 - (lit(1.0) + lit(2.0) * t1 + c1) * pow(d0, 3) / 6
       + (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1
         + lit(8.0 * ep2) + lit(24.0) * t1 * t1) * pow(d0, 5) / 120) / cos(phi1)
-    df.withColumn("__lon", lit(lon0.toDouble) + degrees(lon))
+    Srs.tag(df.withColumn("__lon", lit(lon0.toDouble) + degrees(lon))
       .withColumn("y", degrees(lat))
-      .withColumn("x", col("__lon")).drop("__lon")
+      .withColumn("x", col("__lon")).drop("__lon"), "EPSG:4326")
   }
 }
 
@@ -151,9 +155,21 @@ object GpsTimeConvert {
       .drop("__pid", "__wb")
   }
 
-  def gt2gws(df: DataFrame, wrap: Boolean): DataFrame =
-    if (wrap) df.withColumn("gps_time", pmod(col("gps_time"), lit(WEEK)))
-    else df
+  /** Reference semantics (GpsTimeConvert.cpp:216-236): subtract the FIRST
+    * point's containing-week start — the GPS epoch is a Sunday and GPS
+    * weeks are exactly 604800 s, so the calendar week start equals
+    * floor(t/WEEK)*WEEK — then optionally wrap each value into [0, WEEK).
+    * (With wrap the week-multiple shift vanishes under pmod, so wrap=true
+    * output is unchanged by the shift; wrap=false was previously a
+    * silent no-op.) */
+  def gt2gws(df: DataFrame, wrap: Boolean): DataFrame = {
+    val firstArr = df.orderBy("order_key").select("gps_time").take(1)
+    if (firstArr.isEmpty) return df // empty input
+    val weekStart = math.floor(firstArr(0).getDouble(0) / WEEK) * WEEK
+    val shifted = df.withColumn("gps_time", col("gps_time") - weekStart)
+    if (wrap) shifted.withColumn("gps_time", pmod(col("gps_time"), lit(WEEK)))
+    else shifted
+  }
 
   def gt2gst(df: DataFrame): DataFrame =
     df.withColumn("gps_time", col("gps_time") - GST_OFFSET)
@@ -191,6 +207,13 @@ object Srs {
   def of(df: DataFrame): Option[String] =
     df.schema.find(_.name == "x")
       .filter(_.metadata.contains("srs")).map(_.metadata.getString("srs"))
+
+  /** Carry `from`'s CRS tag onto `to` — withColumn("x", ...) rebuilds the
+    * attribute with empty metadata, so every CRS-preserving transform
+    * must re-tag explicitly or the documented contract ("surviving
+    * projections") breaks. */
+  def preserve(from: DataFrame, to: DataFrame): DataFrame =
+    of(from).map(tag(to, _)).getOrElse(to)
 
   /** override_srs forces the tag; default_srs fills only when absent. */
   def applyReaderOptions(df: DataFrame, overrideSrs: Option[String],

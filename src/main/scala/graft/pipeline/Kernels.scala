@@ -48,10 +48,15 @@ object TranslateKernel {
     val filters = filtersJson.map(_.trim).filter(_.nonEmpty)
       .map(f => f.stripPrefix("[").stripSuffix("]")).filter(_.nonEmpty)
       .map(body => s"$body,").getOrElse("")
+    // paths must be JSON-encoded: raw interpolation breaks on
+    // backslashes/quotes (e.g. Windows paths -> illegal \d escapes)
+    def js(s: String) =
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JString(s)))
     val json =
-      s"""{"pipeline":[{"type":"readers.parquet","filename":"$in"},
+      s"""{"pipeline":[{"type":"readers.parquet","filename":${js(in)}},
           $filters
-          {"type":"writers.parquet","filename":"$out"}]}"""
+          {"type":"writers.parquet","filename":${js(out)}}]}"""
     PipelineBuilder.run(spark, json)
   }
 }

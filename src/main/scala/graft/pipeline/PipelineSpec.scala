@@ -61,7 +61,11 @@ object PipelineSpec {
     o.get(k).collect { case JInt(i) => i.toLong; case JDouble(d) => d.toLong
                        case JString(s) => s.toLong }
   def optBool(o: Map[String, JValue], k: String): Option[Boolean] =
-    o.get(k).collect { case JBool(b) => b; case JString(s) => s.toBoolean }
+    // non-boolean strings (PDAL's where_merge:"auto") fall through to
+    // the stage default instead of crashing toBoolean
+    o.get(k).collect { case JBool(b) => b
+      case JString(s) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
+        s.toBoolean }
 }
 
 /** Builds and executes the stage graph over DataFrames. Readers produce
@@ -97,6 +101,10 @@ object PipelineBuilder {
               d +: ins.tail), merge)
         case _ => applyStage(spark, spec, ins)
       }
+      // PDAL rejects duplicate tags; a silent LinkedHashMap update would
+      // keep the FIRST insertion position and corrupt implicit chaining
+      require(!built.contains(spec.tag),
+        s"duplicate stage tag '${spec.tag}'")
       built(spec.tag) = out
     }
     built.last._2
@@ -148,9 +156,13 @@ object PipelineBuilder {
         (optStr(o, "polygon"), optStr(o, "bounds")) match {
           case (Some(wkt), _) => Crop.polygon(in, wkt, outside)
           case (_, Some(b)) =>
-            val ((mnx, mny, mnz), (mxx, mxy, mxz)) = parseBounds(b)
-            if (mnz == 0 && mxz == 0) Crop.box2d(in, mnx, mny, mxx, mxy, outside)
-            else Crop.box3d(in, mnx, mny, mnz, mxx, mxy, mxz, outside)
+            // 2D vs 3D by ARITY, not by z==[0,0] (a real z-range of
+            // exactly [0,0] must still filter on z)
+            val nums = boundsNums(b)
+            if (nums.length == 4)
+              Crop.box2d(in, nums(0), nums(2), nums(1), nums(3), outside)
+            else Crop.box3d(in, nums(0), nums(2), nums(4),
+              nums(1), nums(3), nums(5), outside)
           case _ => throw new IllegalArgumentException("crop needs bounds|polygon")
         }
       case "filters.range" => graft.expr.RangeFilter(in, optStr(o, "limits").get)
@@ -244,7 +256,8 @@ object PipelineBuilder {
           .getOrElse(Seq("x", "y", "z")))
       case "filters.info" => Info(in)
       case "filters.colorinterp" => ColorInterp(in,
-        optStr(o, "dimension").getOrElse("z"))
+        optStr(o, "dimension").getOrElse("z"),
+        minValue = optDouble(o, "minimum"), maxValue = optDouble(o, "maximum"))
       case "filters.geomdistance" => GeomDistance(in, optStr(o, "geometry").get)
       case "filters.overlay" =>
         Overlay(in, Seq((optStr(o, "polygon").get,
@@ -263,7 +276,14 @@ object PipelineBuilder {
       case "writers.raster" | "writers.faceraster" | "writers.gdal" =>
         val res = optDouble(o, "resolution").getOrElse(1.0)
         val nodata = optDouble(o, "nodata").getOrElse(-9999.0)
-        val band = optStr(o, "output_type").getOrElse("mean")
+        // PDAL output_type values: min|max|mean|idw|count|stdev|all —
+        // 'stdev' maps to our stddev column, 'all' fans out one single-
+        // band .asc per statistic (the format is single-band)
+        val bands = optStr(o, "output_type").getOrElse("mean").toLowerCase match {
+          case "all" => Seq("min", "max", "mean", "idw", "count", "stddev")
+          case "stdev" => Seq("stddev")
+          case b => Seq(b)
+        }
         val origin = (for (x <- optDouble(o, "origin_x");
           y <- optDouble(o, "origin_y")) yield (x, y)).getOrElse {
           val r = in.agg(min("x"), min("y")).head()
@@ -271,8 +291,18 @@ object PipelineBuilder {
         }
         val grid = Rasterize(in, res, optStr(o, "dimension").getOrElse("z"),
           optDouble(o, "radius").getOrElse(0.0), Some(origin))
-        graft.sources.AscWriter.writeAsc(grid, optStr(o, "filename").get,
-          band, nodata, res, origin)
+        val fn = optStr(o, "filename").get
+        if (bands.length == 1)
+          graft.sources.AscWriter.writeAsc(grid, fn, bands.head, nodata, res, origin)
+        else {
+          val cached = grid.cache()
+          try bands.foreach { b =>
+            val bfn = // out.asc -> out.min.asc etc.
+              if (fn.contains('.')) fn.patch(fn.lastIndexOf('.'), s".$b", 0)
+              else s"$fn.$b"
+            graft.sources.AscWriter.writeAsc(cached, bfn, b, nodata, res, origin)
+          } finally cached.unpersist()
+        }
         in
       case "writers.auto" | "writers.parquet" | "writers.las" =>
         val path = optStr(o, "filename").get
@@ -289,12 +319,18 @@ object PipelineBuilder {
   }
 
   /** PDAL bounds grammar "([minx,maxx],[miny,maxy],[minz,maxz])". */
-  def parseBounds(s: String): ((Double, Double, Double), (Double, Double, Double)) = {
+  def boundsNums(s: String): Array[Double] = {
     val nums = "-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?".r.findAllIn(s).map(_.toDouble).toArray
+    if (nums.length != 4 && nums.length != 6)
+      throw new IllegalArgumentException(s"bad bounds '$s' (${nums.length} numbers)")
+    nums
+  }
+
+  def parseBounds(s: String): ((Double, Double, Double), (Double, Double, Double)) = {
+    val nums = boundsNums(s)
     nums.length match {
       case 4 => ((nums(0), nums(2), 0.0), (nums(1), nums(3), 0.0))
-      case 6 => ((nums(0), nums(2), nums(4)), (nums(1), nums(3), nums(5)))
-      case n => throw new IllegalArgumentException(s"bad bounds '$s' ($n numbers)")
+      case _ => ((nums(0), nums(2), nums(4)), (nums(1), nums(3), nums(5)))
     }
   }
 }

@@ -126,6 +126,49 @@ class PipelineSpecSuite extends AnyFunSuite {
     assert(out.agg(max("gps_time")).head().getDouble(0) == 5.0 - 1e9)
   }
 
+  test("gt2gws unwrapped subtracts the first point's week start " +
+      "(GpsTimeConvert.cpp:216-236) — was a silent no-op without wrap") {
+    import spark.implicits._
+    val week = 604800.0
+    val df = Seq((0L, 3 * week + 100.0), (1L, 3 * week + 200.0))
+      .toDF("order_key", "gps_time")
+    val out = graft.operators.GpsTimeConvert.convert(df, "gt", "gws")
+      .orderBy("order_key").select("gps_time").collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(100.0, 200.0))
+    // a second week present without wrap keeps running week seconds
+    val df2 = Seq((0L, 3 * week + 100.0), (1L, 4 * week + 50.0))
+      .toDF("order_key", "gps_time")
+    val out2 = graft.operators.GpsTimeConvert.convert(df2, "gt", "gws")
+      .orderBy("order_key").select("gps_time").collect().map(_.getDouble(0))
+    assert(out2.toSeq == Seq(100.0, week + 50.0))
+  }
+
+  test("SRS tag survives affine transform/quantize; reprojection retags " +
+      "to the target CRS") {
+    import spark.implicits._
+    val df = graft.operators.Srs.tag(
+      Seq((0L, 1.0, 2.0, 3.0)).toDF("order_key", "x", "y", "z"), "EPSG:32610")
+    val t = graft.operators.Transformation(df,
+      Seq(1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1))
+    assert(graft.operators.Srs.of(t).contains("EPSG:32610"))
+    val q = graft.operators.Scaling.quantize(df, "x", 0.01, 0.0)
+    assert(graft.operators.Srs.of(q).contains("EPSG:32610"))
+    val wgs = Seq((0L, -122.0, 45.0, 0.0)).toDF("order_key", "x", "y", "z")
+    val utm = graft.operators.Reprojection.wgs84ToUtm(wgs, zone = 10)
+    assert(graft.operators.Srs.of(utm).contains("EPSG:32610"))
+    val back = graft.operators.Reprojection.utmToWgs84(utm, zone = 10)
+    assert(graft.operators.Srs.of(back).contains("EPSG:4326"))
+  }
+
+  test("crop bounds arity: a 3D z-range of exactly [0,0] still filters z") {
+    val out = PipelineBuilder.run(spark,
+      """{"pipeline":[
+         {"type":"readers.faux","mode":"ramp","count":11,
+          "bounds":"([0,10],[0,10],[0,10])"},
+         {"type":"filters.crop","bounds":"([0,10],[0,10],[0,0])"}]}""")
+    assert(out.count() == 1) // only the z == 0 ramp point
+  }
+
   test("translate + tindex kernels (TranslateKernel.cpp:77, TIndexKernel.cpp:72)") {
     val dir = java.nio.file.Files.createTempDirectory("tk").toString
     graft.core.Synth.docs(spark, 300, seed = 61,
