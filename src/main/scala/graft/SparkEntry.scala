@@ -281,13 +281,17 @@ object SparkEntry {
           (round(col("sphericity"), 3) + lit(0.0)).as("sp"))
     }),
     "q37_density_boundary" -> ((s, d) => {
-      // hexbin boundary polygon (kernels.density primary output):
-      // ring/vertex/area metadata; the polygon tracing itself is
-      // driver-side over the occupied-hex set -> rows-only
+      // hexbin boundary polygon (kernels.density primary output). The
+      // tracing is driver-side over the occupied-hex set, but its
+      // metadata is SQL-checkable: every ring of n vertices has n edges,
+      // so total vertices == boundary-edge count == sum over occupied
+      // hexes of (6 - occupied neighbors); area == occupied * hex area.
+      // (Ring count stays ScalaTest-only — component counting isn't
+      // expressible without recursion over the engine-traced rings.)
       val r = HexBoundary.densityReport(pts(s, d), edge = 400.0)
       import s.implicits._
-      Seq((r.rings, r.vertices, r.occupiedHexes,
-        math.round(r.area))).toDF("rings", "vertices", "occupied", "area_rnd")
+      Seq((r.vertices, r.occupiedHexes,
+        math.round(r.area))).toDF("vertices", "occupied", "area_rnd")
     }),
     "q38_optimal_neighborhood" -> ((s, d) => {
       // eigenentropy-minimizing neighborhood size (optimal_radius is
@@ -675,6 +679,41 @@ object SparkEntry {
             ROUND((l2 - l3) / GREATEST(l1, 1e-300), 3) + 0.0 AS pl,
             ROUND(l3 / GREATEST(l1, 1e-300), 3) + 0.0 AS sp
           FROM lam2""",
+    // boundary metadata without tracing: vertices == boundary-edge count
+    // (each traced ring of n vertices has n edges; rings consume every
+    // boundary edge exactly once, pinch vertices included) == sum over
+    // occupied hexes of (6 - occupied axial neighbors); area is
+    // occupied * hex area with the same left-assoc IEEE multiply chain.
+    "q37_density_boundary" ->
+      s"""WITH h AS (SELECT
+            (sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / 400.0 AS q,
+            (2.0 / 3.0 * y) / 400.0 AS r FROM ($ptsSql)),
+          c AS (SELECT q, r, -q - r AS s,
+            FLOOR(q + 0.5) AS rq, FLOOR(r + 0.5) AS rr, FLOOR(-q - r + 0.5) AS rs
+            FROM h),
+          f AS (SELECT
+            CASE WHEN ABS(rq - q) > ABS(rr - r) AND ABS(rq - q) > ABS(rs - s)
+                 THEN -rr - rs ELSE rq END AS fq,
+            CASE WHEN NOT (ABS(rq - q) > ABS(rr - r) AND ABS(rq - q) > ABS(rs - s))
+                  AND ABS(rr - r) > ABS(rs - s)
+                 THEN -rq - rs ELSE rr END AS fr
+            FROM c),
+          hex AS (SELECT CAST(fq AS BIGINT) AS hq, CAST(fr AS BIGINT) AS hr
+            FROM f GROUP BY 1, 2),
+          nbr AS (SELECT a.hq, a.hr,
+            (SELECT COUNT(*) FROM hex b WHERE
+               (b.hq = a.hq + 1 AND b.hr = a.hr) OR
+               (b.hq = a.hq - 1 AND b.hr = a.hr) OR
+               (b.hq = a.hq AND b.hr = a.hr + 1) OR
+               (b.hq = a.hq AND b.hr = a.hr - 1) OR
+               (b.hq = a.hq + 1 AND b.hr = a.hr - 1) OR
+               (b.hq = a.hq - 1 AND b.hr = a.hr + 1)) AS nn
+            FROM hex a)
+          SELECT CAST(SUM(6 - nn) AS INT) AS vertices,
+            COUNT(*) AS occupied,
+            CAST(ROUND(COUNT(*) * 3.0 * SQRT(3.0) / 2.0 * 400.0 * 400.0)
+              AS BIGINT) AS area_rnd
+          FROM nbr""",
     // per-k prefix covariances via an expanding window, Smith eigen,
     // eigenentropy argmin (ties -> smallest k). optimal_radius compares
     // exactly: same d2 arithmetic and IEEE sqrt on both engines.
@@ -814,6 +853,87 @@ object SparkEntry {
           SELECT dq.qid AS order_key,
             ROUND(dquery / GREATEST(dquery + db, 1e-300), 3) + 0.0 AS pf
           FROM dq JOIN dbar ON dq.qid = dbar.qid""",
+    // Welzl's recursion isn't SQL-expressible, but its RESULT is: the
+    // minimal enclosing ball of a finite set is determined by an
+    // affinely independent support of <= 4 boundary points, so brute
+    // force enumerates every 2/3/4-subset's boundary ball (midpoint /
+    // circumcircle-in-plane / circumsphere via Cramer — the engine's own
+    // constructions, Miniball.scala), keeps balls containing all 8
+    // neighbors (relative 1e-9 slack ≫ float noise, ≪ the 3-decimal
+    // rounding), and takes the min radius. Same k=8 (d2, cid)-ordered
+    // neighborhood as q39.
+    "q40_miniball" ->
+      s"""WITH p AS ($pts3Sql),
+          q AS (SELECT order_key, x, y, z FROM p WHERE order_key < 2000),
+          prs AS (SELECT a.order_key AS qid, b.order_key AS cid,
+            b.x AS px, b.y AS py, b.z AS pz,
+            (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS d2
+            FROM q a JOIN q b ON true),
+          rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d2, cid) AS rnk FROM prs),
+          nbr AS (SELECT qid, rnk, px, py, pz FROM rkd WHERE rnk BETWEEN 2 AND 9),
+          b2 AS (SELECT n1.qid, (n1.px+n2.px)/2 AS cx, (n1.py+n2.py)/2 AS cy,
+            (n1.pz+n2.pz)/2 AS cz,
+            ((n1.px-n2.px)*(n1.px-n2.px) + (n1.py-n2.py)*(n1.py-n2.py)
+             + (n1.pz-n2.pz)*(n1.pz-n2.pz)) / 4.0 AS r2
+            FROM nbr n1 JOIN nbr n2 ON n1.qid = n2.qid AND n1.rnk < n2.rnk),
+          t0 AS (SELECT n1.qid, n1.px AS ax, n1.py AS ay, n1.pz AS az,
+            n2.px - n1.px AS abx, n2.py - n1.py AS aby, n2.pz - n1.pz AS abz,
+            n3.px - n1.px AS acx, n3.py - n1.py AS acy, n3.pz - n1.pz AS acz
+            FROM nbr n1 JOIN nbr n2 ON n1.qid = n2.qid AND n1.rnk < n2.rnk
+            JOIN nbr n3 ON n2.qid = n3.qid AND n2.rnk < n3.rnk),
+          t1 AS (SELECT *, abx*abx + aby*aby + abz*abz AS ab2,
+            acx*acx + acy*acy + acz*acz AS ac2,
+            aby*acz - abz*acy AS nx, abz*acx - abx*acz AS ny,
+            abx*acy - aby*acx AS nz FROM t0),
+          t2 AS (SELECT *,
+            (ab2*(acy*nz - acz*ny) + ac2*(ny*abz - nz*aby))
+              / (2*(nx*nx + ny*ny + nz*nz)) AS ox,
+            (ab2*(acz*nx - acx*nz) + ac2*(nz*abx - nx*abz))
+              / (2*(nx*nx + ny*ny + nz*nz)) AS oy,
+            (ab2*(acx*ny - acy*nx) + ac2*(nx*aby - ny*abx))
+              / (2*(nx*nx + ny*ny + nz*nz)) AS oz
+            FROM t1 WHERE nx*nx + ny*ny + nz*nz > 1e-30),
+          b3 AS (SELECT qid, ax + ox AS cx, ay + oy AS cy, az + oz AS cz,
+            ox*ox + oy*oy + oz*oz AS r2 FROM t2),
+          f0 AS (SELECT n1.qid, n1.px AS ax, n1.py AS ay, n1.pz AS az,
+            n2.px - n1.px AS m11, n2.py - n1.py AS m12, n2.pz - n1.pz AS m13,
+            n3.px - n1.px AS m21, n3.py - n1.py AS m22, n3.pz - n1.pz AS m23,
+            n4.px - n1.px AS m31, n4.py - n1.py AS m32, n4.pz - n1.pz AS m33
+            FROM nbr n1 JOIN nbr n2 ON n1.qid = n2.qid AND n1.rnk < n2.rnk
+            JOIN nbr n3 ON n2.qid = n3.qid AND n2.rnk < n3.rnk
+            JOIN nbr n4 ON n3.qid = n4.qid AND n3.rnk < n4.rnk),
+          f1 AS (SELECT *, (m11*m11 + m12*m12 + m13*m13)/2 AS h1,
+            (m21*m21 + m22*m22 + m23*m23)/2 AS h2,
+            (m31*m31 + m32*m32 + m33*m33)/2 AS h3,
+            m11*(m22*m33 - m23*m32) - m12*(m21*m33 - m23*m31)
+              + m13*(m21*m32 - m22*m31) AS det FROM f0),
+          f2 AS (SELECT *,
+            (h1*(m22*m33 - m23*m32) - m12*(h2*m33 - m23*h3)
+              + m13*(h2*m32 - m22*h3)) / det AS ox,
+            (m11*(h2*m33 - m23*h3) - h1*(m21*m33 - m23*m31)
+              + m13*(m21*h3 - h2*m31)) / det AS oy,
+            (m11*(m22*h3 - h2*m32) - m12*(m21*h3 - h2*m31)
+              + h1*(m21*m32 - m22*m31)) / det AS oz
+            FROM f1 WHERE ABS(det) > 1e-30),
+          b4 AS (SELECT qid, ax + ox AS cx, ay + oy AS cy, az + oz AS cz,
+            ox*ox + oy*oy + oz*oz AS r2 FROM f2),
+          balls AS (SELECT * FROM b2 UNION ALL SELECT * FROM b3
+            UNION ALL SELECT * FROM b4),
+          valid AS (SELECT bl.* FROM balls bl WHERE NOT EXISTS (
+            SELECT 1 FROM nbr n WHERE n.qid = bl.qid AND
+              (n.px-bl.cx)*(n.px-bl.cx) + (n.py-bl.cy)*(n.py-bl.cy)
+              + (n.pz-bl.cz)*(n.pz-bl.cz) > bl.r2 * (1 + 1e-9))),
+          best AS (SELECT qid, cx, cy, cz, r2, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY r2, cx, cy, cz) AS rn FROM valid),
+          dd AS (SELECT q.order_key,
+            SQRT((q.x-b.cx)*(q.x-b.cx) + (q.y-b.cy)*(q.y-b.cy)
+              + (q.z-b.cz)*(q.z-b.cz)) AS dq, SQRT(b.r2) AS r
+            FROM q JOIN best b ON b.qid = q.order_key AND b.rn = 1)
+          SELECT order_key,
+            ROUND(CASE WHEN dq + 2*r/SQRT(3.0) <= 0 THEN 0.0
+              ELSE dq / (dq + 2*r/SQRT(3.0)) END, 3) + 0.0 AS mb
+          FROM dd""",
     // shingle construction parity: Spark slice(tokens, i+1, 3) for
     // i in 0..max(len-3,0)  ==  DuckDB words[i:least(i+2,len)] for
     // i in 1..greatest(len-3,0)+1 (whole list when len < 3)
