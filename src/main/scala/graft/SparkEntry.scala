@@ -405,6 +405,61 @@ object SparkEntry {
         .join(nrm.select(col("doc_id").as("id_b"), col("nt").as("nb")), Seq("id_b"))
         .filter(col("na") === col("nb"))
         .select("id_a", "id_b")
+    }),
+    "q47_hag_nn" -> ((s, d) => {
+      // filters.hag_nn: every 5th point is ground; IDW over the 3
+      // nearest ground points in 2D (ties pinned on (d2, order_key))
+      val p = pts3(s, d).withColumn("classification",
+        when(col("order_key") % 5 === 0, lit(2)).otherwise(lit(1)))
+      HagNn(p, count = 3)
+        .select(col("order_key"),
+          (round(col("height_above_ground"), 6) + lit(0.0)).as("hag"))
+    }),
+    "q48_zsmooth" -> ((s, d) =>
+      Zsmooth(pts3(s, d), radius = 300.0, medianPercent = 50.0)
+        .select(col("order_key"),
+          (round(col("z_smooth"), 6) + lit(0.0)).as("zsm"))),
+    "q49_pmf" -> ((s, d) => {
+      // filters.pmf in its one-window regime (max_window_size = 3 stops
+      // the schedule after the first opening): min-surface -> nearest
+      // inpaint -> 1-step diamond erode+dilate -> height threshold, all
+      // SQL-expressible. Coordinates scaled to a ~21x21-cell grid.
+      val p = pts3(s, d).select(col("order_key"),
+        (col("x") / 500.0).as("x"), (col("y") / 500.0).as("y"), col("z"))
+      Pmf(p, cellSize = 1.0, initialDistance = 50.0, maxDistance = 50.0,
+          maxWindowSize = 3.0, slope = 1.0, returns = Seq.empty)
+        .select(col("order_key"), col("classification"))
+    }),
+    "q50_skewness" -> ((s, d) => {
+      // filters.skewnessbalancing: integer-valued z keeps the centered
+      // power sums FP-exact in any summation order, so the engine's
+      // range-partitioned prefix sums and the oracle's window sums
+      // produce bit-identical running skewness
+      val p = t(s, d, "events").select(col("event_id").as("order_key"),
+        ((col("event_id") * 13) % 1000).cast("double").as("z"))
+      SkewnessBalancing(p).select(col("order_key"), col("classification"))
+    }),
+    "q51_hag_dem" -> ((s, d) => {
+      // filters.hag_dem: DEM raster built as the per-cell min-z table;
+      // integer-valued z makes z - dem exact, no rounding needed
+      val p = pts3(s, d).withColumn("classification",
+        when(col("order_key") % 7 === 0, lit(2)).otherwise(lit(1)))
+      val raster = p.groupBy(floor(col("x") / 500.0).cast("long").as("cell_x"),
+          floor(col("y") / 500.0).cast("long").as("cell_y"))
+        .agg(min("z").as("band1"))
+      HagDem(p, raster, RasterGrid(0, 0, 500.0))
+        .select(col("order_key"), col("height_above_ground").as("hag"))
+    }),
+    "q52_smrf" -> ((s, d) => {
+      // filters.smrf end-to-end (progressive opening radii 1..2, low
+      // mask, provisional DEM, slope-adaptive threshold); the iterative
+      // 8-neighbor inpaint chain is not practically SQL-expressible ->
+      // rows-only here, semantics golden-tested in GroundSpec
+      val p = pts3(s, d).select(col("order_key"),
+        (col("x") / 500.0).as("x"), (col("y") / 500.0).as("y"), col("z"))
+      Smrf(p, cell = 1.0, slope = 30.0, scalar = 1.25, threshold = 50.0,
+          window = 2.0, returns = Seq.empty)
+        .select(col("order_key"), col("classification"))
     })
   )
 
@@ -1014,6 +1069,135 @@ object SparkEntry {
             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
             FROM allv)
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM n a JOIN n b ON a.nt = b.nt AND a.doc_id < b.doc_id"""
+          FROM n a JOIN n b ON a.nt = b.nt AND a.doc_id < b.doc_id""",
+    "q47_hag_nn" ->
+      s"""WITH p AS ($pts3Sql),
+          pc AS (SELECT *, CASE WHEN order_key % 5 = 0 THEN 2 ELSE 1 END AS cls
+                 FROM p),
+          g AS (SELECT * FROM pc WHERE cls = 2),
+          ng AS (SELECT * FROM pc WHERE cls <> 2),
+          pairs AS (SELECT ng.order_key AS qid, ng.z AS z0, g.z AS gz,
+            g.order_key AS cid,
+            (ng.x - g.x) * (ng.x - g.x) + (ng.y - g.y) * (ng.y - g.y) AS d2
+            FROM ng CROSS JOIN g),
+          ranked AS (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY qid ORDER BY d2, cid) AS rn FROM pairs),
+          hits AS (SELECT * FROM ranked WHERE rn <= 3),
+          agg AS (SELECT qid, MIN(z0) AS z0, COUNT(*) AS k,
+            MIN(CASE WHEN rn = 1 THEN d2 END) AS d2_1,
+            MIN(CASE WHEN rn = 1 THEN gz END) AS gz_1,
+            SUM(1.0 / d2) AS wsum, SUM(gz / d2) AS zsum
+            FROM hits GROUP BY qid)
+          SELECT qid AS order_key,
+            ROUND(z0 - (CASE WHEN d2_1 = 0 OR k = 1 THEN gz_1
+              WHEN wsum > 0 THEN zsum / wsum ELSE z0 END), 6) + 0.0 AS hag
+          FROM agg
+          UNION ALL SELECT order_key, 0.0 AS hag FROM g""",
+    "q48_zsmooth" ->
+      s"""WITH p AS ($pts3Sql),
+          n AS (SELECT a.order_key AS k2, list(b.z ORDER BY b.z) AS zs
+            FROM p a JOIN p b ON b.order_key <> a.order_key
+              AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                <= 300.0 * 300.0
+            GROUP BY a.order_key)
+          SELECT p.order_key,
+            ROUND(CASE WHEN zs IS NULL OR len(zs) = 0 THEN p.z
+              WHEN len(zs) = 1 THEN zs[1]
+              ELSE zs[CAST(FLOOR(0.5 * (len(zs) - 1)) AS INT) + 1]
+                     * (1.0 - (0.5 * (len(zs) - 1)
+                        - FLOOR(0.5 * (len(zs) - 1))))
+                 + zs[CAST(FLOOR(0.5 * (len(zs) - 1)) AS INT) + 2]
+                     * (0.5 * (len(zs) - 1) - FLOOR(0.5 * (len(zs) - 1)))
+              END, 6) + 0.0 AS zsm
+          FROM p LEFT JOIN n ON n.k2 = p.order_key""",
+    "q49_pmf" ->
+      s"""WITH p AS (SELECT order_key, x / 500.0 AS x, y / 500.0 AS y, z
+            FROM ($pts3Sql)),
+          ext AS (SELECT MIN(x) AS mnx, MIN(y) AS mny,
+            CAST(FLOOR((MAX(x) - MIN(x)) / 1.0 + 1) AS INT) AS cols,
+            CAST(FLOOR((MAX(y) - MIN(y)) / 1.0 + 1) AS INT) AS rws FROM p),
+          pc AS (SELECT order_key, z,
+            CAST(FLOOR((x - (SELECT mnx FROM ext)) / 1.0) AS INT) AS c,
+            CAST(FLOOR((y - (SELECT mny FROM ext)) / 1.0) AS INT) AS r FROM p),
+          zmin AS (SELECT c, r, MIN(z) AS z FROM pc GROUP BY c, r),
+          grid AS (SELECT gc.c, gr.r FROM
+            (SELECT CAST(range AS INT) AS c FROM range(1024)
+             WHERE range < (SELECT cols FROM ext)) gc CROSS JOIN
+            (SELECT CAST(range AS INT) AS r FROM range(1024)
+             WHERE range < (SELECT rws FROM ext)) gr),
+          dense AS (SELECT g.c, g.r, m.z FROM grid g
+            LEFT JOIN zmin m USING (c, r)),
+          fillsrc AS (SELECT c, r, z FROM dense WHERE z IS NOT NULL),
+          filled AS (SELECT h.c, h.r,
+            (SELECT f.z FROM fillsrc f ORDER BY
+              (((SELECT mnx FROM ext) + (h.c + 0.5))
+                 - ((SELECT mnx FROM ext) + (f.c + 0.5)))
+              * (((SELECT mnx FROM ext) + (h.c + 0.5))
+                 - ((SELECT mnx FROM ext) + (f.c + 0.5)))
+              + (((SELECT mny FROM ext) + (h.r + 0.5))
+                 - ((SELECT mny FROM ext) + (f.r + 0.5)))
+              * (((SELECT mny FROM ext) + (h.r + 0.5))
+                 - ((SELECT mny FROM ext) + (f.r + 0.5))),
+              CAST(f.c AS BIGINT) * (SELECT rws FROM ext) + f.r
+             LIMIT 1) AS z
+            FROM dense h WHERE h.z IS NULL),
+          surf0 AS (SELECT * FROM fillsrc UNION ALL SELECT * FROM filled),
+          off AS (SELECT * FROM (VALUES (0, 0), (1, 0), (-1, 0), (0, 1),
+            (0, -1)) o(dc, dr)),
+          er AS (SELECT s.c, s.r, MIN(n.z) AS z FROM surf0 s
+            CROSS JOIN off o
+            JOIN surf0 n ON n.c = s.c + o.dc AND n.r = s.r + o.dr
+            GROUP BY s.c, s.r),
+          di AS (SELECT s.c, s.r, MAX(n.z) AS z FROM er s
+            CROSS JOIN off o
+            JOIN er n ON n.c = s.c + o.dc AND n.r = s.r + o.dr
+            GROUP BY s.c, s.r)
+          SELECT pc.order_key,
+            CASE WHEN d.z IS NULL THEN 1
+                 WHEN pc.z - d.z < 50.0 THEN 2 ELSE 1 END AS classification
+          FROM pc LEFT JOIN di d USING (c, r)""",
+    "q50_skewness" ->
+      """WITH p AS (SELECT event_id AS order_key,
+            CAST((event_id * 13) % 1000 AS DOUBLE) AS z FROM events),
+          ctr AS (SELECT (MIN(z) + MAX(z)) / 2 AS ctr FROM p),
+          s AS (SELECT order_key, z, z - (SELECT ctr FROM ctr) AS w FROM p),
+          pre AS (SELECT order_key, z, w,
+            CAST(ROW_NUMBER() OVER ord AS DOUBLE) AS n,
+            SUM(w) OVER cum AS s1, SUM(w * w) OVER cum AS s2,
+            SUM(w * w * w) OVER cum AS s3
+            FROM s WINDOW ord AS (ORDER BY z, order_key),
+            cum AS (ORDER BY z, order_key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          sk AS (SELECT *,
+            CASE WHEN (s2 * n - s1 * s1) > 0 THEN
+              SQRT(n) * (s3 - 3.0 * s1 * s2 / n + 2.0 * s1 * s1 * s1 / (n * n))
+                / POW(s2 - s1 * s1 / n, 1.5) END AS skew,
+            CASE WHEN ((s2 - w * w) * (n - 1) - (s1 - w) * (s1 - w)) > 0 THEN
+              SQRT(n - 1) * ((s3 - w * w * w)
+                - 3.0 * (s1 - w) * (s2 - w * w) / (n - 1)
+                + 2.0 * (s1 - w) * (s1 - w) * (s1 - w) / ((n - 1) * (n - 1)))
+                / POW((s2 - w * w) - (s1 - w) * (s1 - w) / (n - 1), 1.5)
+              END AS pskew
+            FROM pre),
+          m AS (SELECT MAX(CASE WHEN skew > 0 AND pskew <= 0 THEN n END)
+              AS lastT,
+            MAX(CASE WHEN n = (SELECT COUNT(*) FROM p) THEN skew END)
+              AS finalSkew FROM sk)
+          SELECT order_key, CASE
+            WHEN (SELECT lastT FROM m) IS NULL THEN
+              (CASE WHEN (SELECT finalSkew FROM m) <= 0 THEN 2 ELSE 1 END)
+            WHEN n < (SELECT lastT FROM m) THEN 2 ELSE 1 END AS classification
+          FROM sk""",
+    "q51_hag_dem" ->
+      s"""WITH p AS (SELECT *, CASE WHEN order_key % 7 = 0 THEN 2 ELSE 1 END
+            AS cls FROM ($pts3Sql)),
+          r AS (SELECT CAST(FLOOR(x / 500.0) AS BIGINT) AS cx,
+            CAST(FLOOR(y / 500.0) AS BIGINT) AS cy, MIN(z) AS dem
+            FROM p GROUP BY 1, 2)
+          SELECT p.order_key,
+            CASE WHEN p.cls = 2 THEN 0.0
+                 ELSE COALESCE(p.z - r.dem, 0.0) END AS hag
+          FROM p LEFT JOIN r ON CAST(FLOOR(p.x / 500.0) AS BIGINT) = r.cx
+            AND CAST(FLOOR(p.y / 500.0) AS BIGINT) = r.cy"""
   )
 }

@@ -97,6 +97,44 @@ object Order {
     ranged.withColumn(outCol, coalesce(sum("__v").over(w), lit(0L)) + offCol)
       .drop("__pid", "__v")
   }
+
+  /** Inclusive running sums of several DOUBLE value columns in a global
+    * sort order, same range-partition + per-partition-offset shape as
+    * globalPrefixSum. Floating-point caveat: within a partition the sum
+    * is sequential in sort order; across partitions the per-partition
+    * totals are added as offsets — associativity differences vs a fully
+    * sequential scan are possible for ill-conditioned data (exact when
+    * the values are integer multiples of a power of two well inside the
+    * 53-bit mantissa, as the skewness-balancing driver query arranges). */
+  def globalPrefixSumsD(df: DataFrame, sortCols: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val withVals = values.zipWithIndex.foldLeft(df) { case (d, ((v, _), i)) =>
+      d.withColumn(s"__v$i", coalesce(v.cast("double"), lit(0.0)))
+    }
+    val ranged = graft.core.Mat(withVals.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val sums = ranged.groupBy("__pid")
+      .agg(values.indices.map(i => sum(s"__v$i").as(s"s$i")).head,
+        values.indices.map(i => sum(s"__v$i").as(s"s$i")).tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> values.indices.map(i =>
+        if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1)).toArray).toMap
+    val maxPid = if (sums.isEmpty) 0 else sums.keys.max
+    val zero = Array.fill(values.size)(0.0)
+    val offsets = (0 to maxPid).scanLeft(zero) { (acc, pid) =>
+      val s = sums.getOrElse(pid, zero)
+      acc.zip(s).map { case (a, b) => a + b }
+    }
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val out = values.zipWithIndex.foldLeft(ranged) { case (d, ((_, name), i)) =>
+      val offCol = element_at(
+        array(offsets.take(maxPid + 1).map(o => lit(o(i))): _*), col("__pid") + 1)
+      d.withColumn(name, coalesce(sum(s"__v$i").over(w), lit(0.0)) + offCol)
+    }
+    out.drop("__pid").drop(values.indices.map(i => s"__v$i"): _*)
+  }
 }
 
 /** filters.sort analog (filters/SortFilter.cpp:42): stable sort by one

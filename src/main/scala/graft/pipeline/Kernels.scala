@@ -61,6 +61,38 @@ object TranslateKernel {
   }
 }
 
+/** `pdal ground` (kernels/GroundKernel.cpp:75,113-148): reset
+  * classification to 0, optionally strip outliers, run filters.smrf with
+  * the kernel's window/threshold/slope/cell/cut/scalar switches, and —
+  * with `extract` — keep only the ground returns (Classification[2:2]). */
+object GroundKernel {
+  def run(spark: SparkSession, in: DataFrame, maxWindowSize: Double = 18.0,
+      threshold: Double = 0.5, slope: Double = 0.15, cellSize: Double = 1.0,
+      cut: Double = 0.0, scalar: Double = 1.25, extract: Boolean = false,
+      removeOutliers: Boolean = false,
+      returns: Seq[String] = Seq("last", "only")): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val reset = in.withColumn("classification", lit(0))
+    val cleaned = if (removeOutliers)
+      graft.operators.Outlier.statistical(reset, meanK = 8, multiplier = 3.0,
+        remove = true)
+    else reset
+    val classified = graft.operators.Smrf(cleaned, cell = cellSize,
+      slope = slope, scalar = scalar, threshold = threshold,
+      window = maxWindowSize, cut = cut, returns = returns)
+    if (extract) classified.filter(col("classification") === 2) else classified
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local()
+    val in = spark.read.parquet(args(0))
+    val out = run(spark, in, extract = args.lift(2).contains("--extract"))
+    out.write.mode("overwrite").parquet(args(1))
+    println(s"[ground] rows=${spark.read.parquet(args(1)).count()}")
+    spark.stop()
+  }
+}
+
 /** `pdal tindex create/merge` (kernels/TIndexKernel.cpp:72): a tile
   * index is a small table (path, bbox, count) over many point files;
   * `merge` reads back only the files whose bbox intersects the query

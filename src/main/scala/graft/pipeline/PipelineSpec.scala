@@ -262,6 +262,35 @@ object PipelineBuilder {
       case "filters.overlay" =>
         Overlay(in, Seq((optStr(o, "polygon").get,
           optDouble(o, "value").getOrElse(1.0))), optStr(o, "dimension").get)
+      case "filters.pmf" => Pmf(in,
+        cellSize = optDouble(o, "cell_size").getOrElse(1.0),
+        exponential = optBool(o, "exponential").getOrElse(true),
+        initialDistance = optDouble(o, "initial_distance").getOrElse(0.15),
+        maxDistance = optDouble(o, "max_distance").getOrElse(2.5),
+        maxWindowSize = optDouble(o, "max_window_size").getOrElse(33.0),
+        slope = optDouble(o, "slope").getOrElse(1.0),
+        returns = optStr(o, "returns").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq(Returns.Last, Returns.Only)),
+        ignore = optStr(o, "ignore"))
+      case "filters.smrf" => Smrf(in,
+        cell = optDouble(o, "cell").getOrElse(1.0),
+        slope = optDouble(o, "slope").getOrElse(0.15),
+        scalar = optDouble(o, "scalar").getOrElse(1.25),
+        threshold = optDouble(o, "threshold").getOrElse(0.5),
+        window = optDouble(o, "window").getOrElse(18.0),
+        cut = optDouble(o, "cut").getOrElse(0.0),
+        returns = optStr(o, "returns").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq(Returns.Last, Returns.Only)),
+        ignore = optStr(o, "ignore"))
+      case "filters.hag_nn" => HagNn(in,
+        count = optLong(o, "count").getOrElse(1L).toInt,
+        maxDistance = optDouble(o, "max_distance").getOrElse(0.0),
+        allowExtrapolation = optBool(o, "allow_extrapolation").getOrElse(true))
+      case "filters.zsmooth" => Zsmooth(in,
+        radius = optDouble(o, "radius").getOrElse(1.0),
+        medianPercent = optDouble(o, "medianpercent").getOrElse(50.0),
+        outDim = optStr(o, "dim").getOrElse("z_smooth"))
+      case "filters.skewnessbalancing" => SkewnessBalancing(in)
       case "filters.streamcallback" =>
         CallbackRegistry(optStr(o, "name").get)(in)
       case "filters.shell" =>
