@@ -450,6 +450,22 @@ object SparkEntry {
       HagDem(p, raster, RasterGrid(0, 0, 500.0))
         .select(col("order_key"), col("height_above_ground").as("hag"))
     }),
+    "q53_icp" -> ((s, d) => {
+      // filters.icp: moving = fixed under a known small rigid motion
+      // (2 deg about z + (40, -25, 10)); ICP must register it back.
+      // Iterative NN + eigen solve is not SQL-expressible -> rows-only;
+      // transform recovery is asserted in IcpSpec.
+      val fixed = pts3(s, d).filter(col("order_key") % 20 === 0)
+      val th = math.toRadians(2.0)
+      val (c0, s0) = (math.cos(th), math.sin(th))
+      val movingAway = fixed.select(col("order_key"),
+        (lit(c0) * col("x") - lit(s0) * col("y") + 40.0).as("x"),
+        (lit(s0) * col("x") + lit(c0) * col("y") - 25.0).as("y"),
+        (col("z") + 10.0).as("z"))
+      val res = Icp(fixed, movingAway, maxIter = 10, cellSize = 500.0)
+      res.df.select(col("order_key"),
+        round(col("x"), 1).as("rx"), round(col("y"), 1).as("ry"))
+    }),
     "q52_smrf" -> ((s, d) => {
       // filters.smrf end-to-end (progressive opening radii 1..2, low
       // mask, provisional DEM, slope-adaptive threshold); the iterative

@@ -291,6 +291,16 @@ object PipelineBuilder {
         medianPercent = optDouble(o, "medianpercent").getOrElse(50.0),
         outDim = optStr(o, "dim").getOrElse("z_smooth"))
       case "filters.skewnessbalancing" => SkewnessBalancing(in)
+      case "filters.icp" =>
+        require(ins.size == 2,
+          "filters.icp must have two point view inputs, no more, no less")
+        Icp(ins(0), ins(1),
+          maxIter = optLong(o, "max_iter").getOrElse(100L).toInt,
+          rotationThreshold = optDouble(o, "rt").getOrElse(0.99999),
+          translationThreshold = optDouble(o, "tt").getOrElse(3e-4 * 3e-4),
+          mseAbs = optDouble(o, "mse_abs").getOrElse(1e-12),
+          maxSimilar = optLong(o, "max_similar").getOrElse(0L).toInt,
+          maxDistance = optDouble(o, "max_distance").getOrElse(0.0)).df
       case "filters.streamcallback" =>
         CallbackRegistry(optStr(o, "name").get)(in)
       case "filters.shell" =>
