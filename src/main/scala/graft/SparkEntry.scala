@@ -466,6 +466,47 @@ object SparkEntry {
       res.df.select(col("order_key"),
         round(col("x"), 1).as("rx"), round(col("y"), 1).as("ry"))
     }),
+    "q54_hag_delaunay" -> ((s, d) => {
+      // filters.hag_delaunay in a deterministic regime: ground is a
+      // complete 21x21 grid (spacing 100) on the exact plane
+      // z = 100 + 0.25x - 0.125y; queries sit >= 100 inside the grid
+      // with +0.25 lattice offset (no coincident-xy path), and with
+      // count=16 the containing cell's 4 corners are always among the
+      // neighbors, so the query is inside its local triangulation and
+      // ANY Delaunay triangle of plane samples interpolates the plane
+      // -> hag = z - plane(x, y), plain SQL. Plane values have <= 5
+      // fractional decimal digits, so round(6) absorbs barycentric FP.
+      val ev = t(s, d, "events").select(col("event_id"))
+      val g = ev.filter(col("event_id").between(1, 441)).select(
+          col("event_id").as("order_key"),
+          (((col("event_id") - 1) % 21) * 100).cast("double").as("x"),
+          (floor((col("event_id") - 1) / 21) * 100).cast("double").as("y"))
+        .withColumn("z", lit(100.0) + col("x") * 0.25 - col("y") * 0.125)
+        .withColumn("classification", lit(2))
+      val q = ev.filter(col("event_id") > 441).select(
+          col("event_id").as("order_key"),
+          (((col("event_id") * 7919) % 1700).cast("double") + 100.25).as("x"),
+          (((col("event_id") * 104729) % 1700).cast("double") + 100.25).as("y"),
+          ((col("event_id") * 131) % 1000).cast("double").as("z"))
+        .withColumn("classification", lit(1))
+      HagDelaunay(g.unionByName(q), count = 16)
+        .select(col("order_key"),
+          (round(col("height_above_ground"), 6) + lit(0.0)).as("hag"))
+    }),
+    "q55_delaunay" -> ((s, d) => {
+      // filters.delaunay in a deterministic regime: two rows y=0/y=1,
+      // the top row shifted +0.5 (sheared lattice). The Delaunay
+      // triangulation is UNIQUE (no cocircular empty-circle quads: the
+      // only concyclic 4-subsets have a 5th point strictly inside), so
+      // the face table is enumerable in SQL: up (b_i, b_{i+1}, t_i) and
+      // down (b_{i+1}, t_{i+1}, t_i) triangles, canonically rotated.
+      val pts = t(s, d, "events").filter(col("event_id").between(1, 1000))
+        .select(col("event_id").as("order_key"),
+          (floor((col("event_id") - 1) / 2).cast("double") +
+            when((col("event_id") - 1) % 2 === 1, 0.5).otherwise(0.0)).as("x"),
+          ((col("event_id") - 1) % 2).cast("double").as("y"))
+      DelaunayMesh(pts)
+    }),
     "q52_smrf" -> ((s, d) => {
       // filters.smrf end-to-end (progressive opening radii 1..2, low
       // mask, provisional DEM, slope-adaptive threshold); the iterative
@@ -1214,6 +1255,28 @@ object SparkEntry {
             CASE WHEN p.cls = 2 THEN 0.0
                  ELSE COALESCE(p.z - r.dem, 0.0) END AS hag
           FROM p LEFT JOIN r ON CAST(FLOOR(p.x / 500.0) AS BIGINT) = r.cx
-            AND CAST(FLOOR(p.y / 500.0) AS BIGINT) = r.cy"""
+            AND CAST(FLOOR(p.y / 500.0) AS BIGINT) = r.cy""",
+    // planar-ground regime: any Delaunay triangle of exact plane samples
+    // interpolates the plane, so hag = z - (100 + 0.25x - 0.125y)
+    "q54_hag_delaunay" ->
+      """WITH g AS (SELECT event_id AS order_key FROM events
+            WHERE event_id BETWEEN 1 AND 441),
+          q AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 1700 AS DOUBLE) + 100.25 AS x,
+            CAST((event_id * 104729) % 1700 AS DOUBLE) + 100.25 AS y,
+            CAST((event_id * 131) % 1000 AS DOUBLE) AS z
+            FROM events WHERE event_id > 441)
+          SELECT order_key,
+            ROUND(z - (100.0 + 0.25 * x - 0.125 * y), 6) + 0.0 AS hag FROM q
+          UNION ALL SELECT order_key, 0.0 AS hag FROM g""",
+    // sheared two-row lattice: the unique Delaunay face set is the
+    // up/down triangle enumeration, canonically rotated (min key first,
+    // CCW preserved): up (2i+1, 2i+3, 2i+2), down (2i+2, 2i+3, 2i+4)
+    "q55_delaunay" ->
+      """WITH i AS (SELECT (event_id - 1) // 2 AS i FROM events
+            WHERE event_id BETWEEN 1 AND 998 AND (event_id - 1) % 2 = 0)
+          SELECT 2 * i + 1 AS a, 2 * i + 3 AS b, 2 * i + 2 AS c FROM i
+          UNION ALL
+          SELECT 2 * i + 2 AS a, 2 * i + 3 AS b, 2 * i + 4 AS c FROM i"""
   )
 }

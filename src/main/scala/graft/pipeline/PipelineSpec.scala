@@ -286,6 +286,10 @@ object PipelineBuilder {
         count = optLong(o, "count").getOrElse(1L).toInt,
         maxDistance = optDouble(o, "max_distance").getOrElse(0.0),
         allowExtrapolation = optBool(o, "allow_extrapolation").getOrElse(true))
+      case "filters.hag_delaunay" => HagDelaunay(in,
+        count = optLong(o, "count").getOrElse(10L).toInt,
+        allowExtrapolation = optBool(o, "allow_extrapolation").getOrElse(true))
+      case "filters.delaunay" => DelaunayMesh(in)
       case "filters.zsmooth" => Zsmooth(in,
         radius = optDouble(o, "radius").getOrElse(1.0),
         medianPercent = optDouble(o, "medianpercent").getOrElse(50.0),

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DelaunayCore, DelaunayMesh, HagDelaunay}
+
+/** Delaunay family: the Bowyer-Watson core, the distributed certified
+  * tile triangulation (filters.delaunay analog,
+  * filters/DelaunayFilter.cpp:61-94), and Delaunay-interpolated height
+  * above ground (filters/HagDelaunayFilter.cpp:149-222). */
+class DelaunaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def randomPoints(n: Int, seed: Long): (Array[Double], Array[Double]) = {
+    val rnd = new scala.util.Random(seed)
+    (Array.fill(n)(rnd.nextDouble() * 1000),
+      Array.fill(n)(rnd.nextDouble() * 800))
+  }
+
+  /** Empty-circumcircle property: no input point strictly inside any
+    * triangle's circumcircle (relative slack for FP predicates). */
+  private def assertDelaunay(px: Array[Double], py: Array[Double],
+      tris: Array[Int]): Unit = {
+    var i = 0
+    while (i < tris.length) {
+      val (a, b, c) = (tris(i), tris(i + 1), tris(i + 2))
+      val cc = DelaunayCore.circumcircle(px(a), py(a), px(b), py(b), px(c), py(c))
+      assert(cc != null, s"degenerate triangle ($a,$b,$c) emitted")
+      val slack = 1e-9 * cc(2)
+      for (p <- px.indices if p != a && p != b && p != c) {
+        val d2 = (px(p) - cc(0)) * (px(p) - cc(0)) + (py(p) - cc(1)) * (py(p) - cc(1))
+        assert(d2 >= cc(2) - slack,
+          s"point $p strictly inside circumcircle of ($a,$b,$c): d2=$d2 r2=${cc(2)}")
+      }
+      i += 3
+    }
+  }
+
+  private def hullSize(px: Array[Double], py: Array[Double]): Int = {
+    // Andrew's monotone chain, collinear points dropped (strict turns)
+    val pts = px.indices.map(i => (px(i), py(i))).sortBy(identity).toArray
+    def half(ps: Seq[(Double, Double)]): List[(Double, Double)] = {
+      var st = List.empty[(Double, Double)]
+      for (p <- ps) {
+        while (st.size >= 2 && {
+          val (b, a) = (st.head, st.tail.head)
+          (b._1 - a._1) * (p._2 - a._2) - (b._2 - a._2) * (p._1 - a._1) <= 0
+        }) st = st.tail
+        st = p :: st
+      }
+      st
+    }
+    half(pts.toSeq).size + half(pts.reverse.toSeq).size - 2
+  }
+
+  test("core: empty circumcircle + Euler count on random points") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val (px, py) = randomPoints(250, seed)
+      val tris = DelaunayCore.triangulate(px, py)
+      assertDelaunay(px, py, tris)
+      // triangles = 2n - 2 - h for a triangulation of the convex hull
+      val h = hullSize(px, py)
+      assert(tris.length / 3 == 2 * 250 - 2 - h,
+        s"seed=$seed: got ${tris.length / 3} triangles, hull $h")
+    }
+  }
+
+  test("core: grid input (massive cocircular ties) is a valid triangulation") {
+    val m = 14
+    val px = Array.tabulate(m * m)(i => (i % m).toDouble)
+    val py = Array.tabulate(m * m)(i => (i / m).toDouble)
+    val tris = DelaunayCore.triangulate(px, py)
+    // a triangulation of the full (m-1)^2 square grid: 2 triangles per cell
+    assert(tris.length / 3 == 2 * (m - 1) * (m - 1))
+    // total area = grid area; every triangle has area 1/2 on the lattice
+    var area = 0.0
+    var i = 0
+    while (i < tris.length) {
+      val (a, b, c) = (tris(i), tris(i + 1), tris(i + 2))
+      area += math.abs((px(b) - px(a)) * (py(c) - py(a)) -
+        (py(b) - py(a)) * (px(c) - px(a))) / 2
+      i += 3
+    }
+    assert(math.abs(area - (m - 1.0) * (m - 1.0)) < 1e-9)
+  }
+
+  test("core: duplicates collapse, collinear yields no triangles") {
+    val px = Array(0.0, 1.0, 0.0, 1.0, 0.5)
+    val py = Array(0.0, 1.0, 0.0, 1.0, 0.5) // all on y=x, with a duplicate
+    assert(DelaunayCore.triangulate(px, py).isEmpty)
+    val (qx, qy) = (Array(0.0, 4.0, 2.0, 0.0), Array(0.0, 0.0, 3.0, 0.0))
+    val tris = DelaunayCore.triangulate(qx, qy)
+    assert(tris.length == 3) // duplicate of vertex 0 skipped -> one triangle
+  }
+
+  test("mesh: distributed tiles+escalation == single-task triangulation") {
+    import spark.implicits._
+    val (px, py) = randomPoints(400, 13L)
+    val df = px.indices.map(i => (i.toLong, px(i), py(i))).toDF("order_key", "x", "y")
+    val local = DelaunayMesh(df, targetPerTile = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // force a 4x4 tile grid and halo escalation on sparse corners
+    val dist = DelaunayMesh(df, targetPerTile = 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val missing = local.toSet -- dist.toSet
+    val extra = dist.toSet -- local.toSet
+    assert(local.nonEmpty && missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.take(10)} extra=${extra.take(10)} " +
+        s"nLocal=${local.length} nDist=${dist.length}")
+    // and the single-task result is itself Delaunay
+    val triIdx = local.flatMap(t => Seq(t._1.toInt, t._2.toInt, t._3.toInt)).toArray
+    assertDelaunay(px, py, triIdx)
+  }
+
+  test("hag_delaunay: planar ground is reproduced exactly inside the hull") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // ground = jittered grid on the plane z = 3 + 0.25x - 0.5y
+    val ground = (for (i <- 0 until 20; j <- 0 until 20) yield {
+      val x = i * 10.0 + rnd.nextDouble(); val y = j * 10.0 + rnd.nextDouble()
+      (1000L + i * 20 + j, x, y, 3 + 0.25 * x - 0.5 * y, 2)
+    }).toSeq
+    // queries strictly interior
+    val queries = (0 until 150).map { q =>
+      val x = 20 + rnd.nextDouble() * 150; val y = 20 + rnd.nextDouble() * 150
+      (q.toLong, x, y, 50.0 + q, 1)
+    }
+    val df = (ground ++ queries).toDF("order_key", "x", "y", "z", "classification")
+    val out = HagDelaunay(df, count = 10).select("order_key", "x", "y", "z",
+      "height_above_ground").collect()
+    for (r <- out) {
+      val (k, x, y, z, hag) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+      if (k >= 1000L) assert(hag == 0.0)
+      else {
+        // interior query: any Delaunay triangle of plane samples
+        // interpolates the plane; nearest-z fallback would be off by
+        // O(plane slope * spacing) and fail this bound
+        val want = z - (3 + 0.25 * x - 0.5 * y)
+        assert(math.abs(hag - want) < 1e-9, s"key=$k hag=$hag want=$want")
+      }
+    }
+  }
+
+  test("hag_delaunay: coincident-xy fast path, extrapolation off, constant ground") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 0.0, 0.0, 7.0, 2), (1L, 10.0, 0.0, 7.0, 2), (2L, 0.0, 10.0, 7.0, 2),
+      (3L, 10.0, 10.0, 7.0, 2),
+      (10L, 0.0, 0.0, 12.0, 1),   // coincident with ground key 0
+      (11L, 5.0, 5.0, 9.0, 1),    // interior
+      (12L, 50.0, 50.0, 20.0, 1)  // far outside the ground bbox
+    ).toDF("order_key", "x", "y", "z", "classification")
+    val on = HagDelaunay(df, count = 3).select("order_key", "height_above_ground")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(on(10L) == 5.0) // 12 - 7 via the coincident fast path
+    assert(math.abs(on(11L) - 2.0) < 1e-12)
+    assert(on(12L) == 13.0) // outside triangulation -> nearest ground z
+    val off = HagDelaunay(df, count = 3, allowExtrapolation = false)
+      .select("order_key", "height_above_ground")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(off(12L) == 0.0) // keeps own z -> HAG 0 (reference :205-211)
+    assert(off(11L) == on(11L)) // in-bounds unaffected
+  }
+
+  test("hag_delaunay == brute-force local reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, rnd.nextDouble() * 500, rnd.nextDouble() * 500,
+        rnd.nextDouble() * 100, if (i % 4 == 0) 2 else 1)
+    }
+    val df = rows.toDF("order_key", "x", "y", "z", "classification")
+    val got = HagDelaunay(df, count = 10).select("order_key", "height_above_ground")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val g = rows.filter(_._5 == 2)
+    val (mnx, mxx) = (g.map(_._2).min, g.map(_._2).max)
+    val (mny, mxy) = (g.map(_._3).min, g.map(_._3).max)
+    for ((k, x0, y0, z0, cls) <- rows) {
+      val want = if (cls == 2) 0.0 else {
+        val nb = g.map(p => ((p._2 - x0) * (p._2 - x0) + (p._3 - y0) * (p._3 - y0),
+          p._1, p._2, p._3, p._4)).sortBy(t => (t._1, t._2)).take(10)
+        val z1 =
+          if (nb.head._3 == x0 && nb.head._4 == y0 || nb.size == 1) nb.head._5
+          else {
+            val px = nb.map(_._3).toArray; val py = nb.map(_._4).toArray
+            val pz = nb.map(_._5).toArray
+            val tris = DelaunayCore.triangulate(px, py)
+            var z = Double.PositiveInfinity
+            var i = 0
+            while (i < tris.length && z.isInfinity) {
+              val (a, b, c) = (tris(i), tris(i + 1), tris(i + 2))
+              z = DelaunayCore.barycentricInterp(px(a), py(a), pz(a),
+                px(b), py(b), pz(b), px(c), py(c), pz(c), x0, y0)
+              i += 3
+            }
+            if (z.isInfinity) nb.head._5 else z
+          }
+        z0 - z1
+      }
+      assert(got(k) == want, s"key=$k got=${got(k)} want=$want")
+    }
+  }
+}
