@@ -45,6 +45,16 @@ object SparkEntry {
       ((col("event_id") * 104729) % 10000).cast("double").as("y"),
       ((col("event_id") * 131) % 1000).cast("double").as("z"))
 
+  /** Sheared two-row lattice (q55/q56 regime): bottom row y=0 at x=i
+    * (odd event_ids), top row y=1 shifted +0.5 (even event_ids) — the
+    * Delaunay triangulation of this set is unique. */
+  private def latticePts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").filter(col("event_id").between(1, 1000))
+      .select(col("event_id").as("order_key"),
+        (floor((col("event_id") - 1) / 2).cast("double") +
+          when((col("event_id") - 1) % 2 === 1, 0.5).otherwise(0.0)).as("x"),
+        ((col("event_id") - 1) % 2).cast("double").as("y"))
+
   private val pts3Sql =
     """SELECT event_id AS order_key,
        CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
@@ -500,12 +510,19 @@ object SparkEntry {
       // only concyclic 4-subsets have a 5th point strictly inside), so
       // the face table is enumerable in SQL: up (b_i, b_{i+1}, t_i) and
       // down (b_{i+1}, t_{i+1}, t_i) triangles, canonically rotated.
-      val pts = t(s, d, "events").filter(col("event_id").between(1, 1000))
-        .select(col("event_id").as("order_key"),
-          (floor((col("event_id") - 1) / 2).cast("double") +
-            when((col("event_id") - 1) % 2 === 1, 0.5).otherwise(0.0)).as("x"),
-          ((col("event_id") - 1) % 2).cast("double").as("y"))
-      DelaunayMesh(pts)
+      DelaunayMesh(latticePts(s, d))
+    }),
+    "q56_faceraster" -> ((s, d) => {
+      // filters.faceraster over the q55 lattice TIN: every quantity in
+      // the bbox-loop + barycentric chain is a dyadic rational (grid
+      // positions are multiples of 0.25, detT = 1, l's are multiples of
+      // 0.125, z integer), so engine and DuckDB agree bit-for-bit
+      val pts = latticePts(s, d)
+        .withColumn("z", ((col("order_key") * 131) % 7).cast("double"))
+      FaceRaster(pts, DelaunayMesh(pts), edgeLength = 0.5,
+          origin = Some((0.0, 0.0)), widthHeight = Some((1000L, 2L)))
+        .select(col("cell_x"), col("cell_y"),
+          (round(col("band1"), 6) + lit(0.0)).as("band1"))
     }),
     "q52_smrf" -> ((s, d) => {
       // filters.smrf end-to-end (progressive opening radii 1..2, low
@@ -1277,6 +1294,51 @@ object SparkEntry {
             WHERE event_id BETWEEN 1 AND 998 AND (event_id - 1) % 2 = 0)
           SELECT 2 * i + 1 AS a, 2 * i + 3 AS b, 2 * i + 2 AS c FROM i
           UNION ALL
-          SELECT 2 * i + 2 AS a, 2 * i + 3 AS b, 2 * i + 4 AS c FROM i"""
+          SELECT 2 * i + 2 AS a, 2 * i + 3 AS b, 2 * i + 4 AS c FROM i""",
+    // faceraster over the lattice TIN: the reference's clamped bbox loop
+    // + barycentric interp replicated in SQL; every value is dyadic so
+    // the comparison is bit-exact
+    "q56_faceraster" ->
+      """WITH p AS (SELECT event_id AS k,
+            CAST((event_id - 1) // 2 AS DOUBLE)
+              + CASE WHEN (event_id - 1) % 2 = 1 THEN 0.5 ELSE 0.0 END AS x,
+            CAST((event_id - 1) % 2 AS DOUBLE) AS y,
+            CAST((event_id * 131) % 7 AS DOUBLE) AS z
+            FROM events WHERE event_id BETWEEN 1 AND 1000),
+          i AS (SELECT (event_id - 1) // 2 AS i FROM events
+            WHERE event_id BETWEEN 1 AND 998 AND (event_id - 1) % 2 = 0),
+          f0 AS (SELECT 2 * i + 1 AS a, 2 * i + 3 AS b, 2 * i + 2 AS c FROM i
+            UNION ALL
+            SELECT 2 * i + 2 AS a, 2 * i + 3 AS b, 2 * i + 4 AS c FROM i),
+          f AS (SELECT pa.x AS xa, pa.y AS ya, pa.z AS za,
+              pb.x AS xb, pb.y AS yb, pb.z AS zb,
+              pc.x AS xc, pc.y AS yc, pc.z AS zc
+            FROM f0 JOIN p pa ON pa.k = f0.a JOIN p pb ON pb.k = f0.b
+              JOIN p pc ON pc.k = f0.c),
+          fb AS (SELECT *,
+            GREATEST(0, LEAST(1000, CAST(FLOOR(
+              (LEAST(xa, xb, xc) + 0.25 - 0.0000005 - 0.0) / 0.5) AS BIGINT))) AS ax,
+            GREATEST(0, LEAST(1000, CAST(FLOOR(
+              (GREATEST(xa, xb, xc) + 0.25 - 0.0) / 0.5) AS BIGINT))) AS bx,
+            GREATEST(0, LEAST(2, CAST(FLOOR(
+              (LEAST(ya, yb, yc) + 0.25 - 0.0000005 - 0.0) / 0.5) AS BIGINT))) AS ay,
+            GREATEST(0, LEAST(2, CAST(FLOOR(
+              (GREATEST(ya, yb, yc) + 0.25 - 0.0) / 0.5) AS BIGINT))) AS by
+            FROM f),
+          cx AS (SELECT fb.*, unnest(generate_series(ax, bx - 1)) AS xi
+            FROM fb WHERE bx > ax),
+          cy AS (SELECT cx.*, unnest(generate_series(ay, by - 1)) AS yi
+            FROM cx WHERE by > ay),
+          e AS (SELECT *, (xi + 0.5) * 0.5 + 0.0 AS px,
+              (yi + 0.5) * 0.5 + 0.0 AS py,
+              (yb - yc) * (xa - xc) + (xc - xb) * (ya - yc) AS dt FROM cy),
+          l AS (SELECT *,
+              ((yb - yc) * (px - xc) + (xc - xb) * (py - yc)) / dt AS l1,
+              ((yc - ya) * (px - xc) + (xa - xc) * (py - yc)) / dt AS l2
+            FROM e WHERE dt <> 0.0)
+          SELECT xi AS cell_x, yi AS cell_y,
+            ROUND(l1 * za + l2 * zb + (1 - l1 - l2) * zc, 6) + 0.0 AS band1
+          FROM l WHERE l1 >= 0 AND l1 <= 1 AND l2 >= 0 AND l2 <= 1
+            AND l1 + l2 <= 1"""
   )
 }

@@ -110,3 +110,76 @@ object Overlay {
     df.withColumn(dim, coalesce(cascade.cast(dt), col(dim)))
   }
 }
+
+/** filters.faceraster analog (filters/FaceRasterFilter.cpp:84-151):
+  * rasterize a TIN — each raster cell whose center lies inside a mesh
+  * face (edge-inclusive) takes the barycentric interpolation of the
+  * face's vertex z at the cell center (pdal/private/MathUtils.cpp:
+  * 407-443, = DelaunayCore.barycentricInterp). Cells covered by no face
+  * are absent from the output (nodata at write time). Cell conventions
+  * are the reference's (pdal/private/Raster.hpp:152-163): cell =
+  * floor((p - origin) / edge), center = origin + (i + .5) * edge;
+  * per-face candidate cells are the reference's clamped half-edge bbox
+  * loop, auto-limits its computed origin/size (:88-95).
+  *
+  * Scale: three slim equi-joins (mesh -> vertex coords), one per-face
+  * explode over the candidate cell rectangle — the same fanout as the
+  * reference's loop, bounded by face-bbox/edge² — then barycentric
+  * arithmetic as pure codegen'd columns and ONE groupBy(cell) to pick a
+  * winner where edge-adjacent faces both claim a center (values there
+  * agree up to FP; the reference's mesh-iteration last-face-wins
+  * becomes max_by(canonical face key): deterministic and
+  * partitioning-independent). No driver loop, no UDF. */
+object FaceRaster {
+  def apply(pts: DataFrame, mesh: DataFrame, edgeLength: Double,
+      origin: Option[(Double, Double)] = None,
+      widthHeight: Option[(Long, Long)] = None): DataFrame = {
+    require(origin.isDefined == widthHeight.isDefined,
+      "Must specify all or none of 'origin_x', 'origin_y', 'width' and 'height'.")
+    val half = edgeLength / 2
+    val edgeBit = edgeLength * 1e-6
+    val (ox, oy, w, h) = (origin, widthHeight) match {
+      case (Some((x0, y0)), Some((ww, hh))) => (x0, y0, ww, hh)
+      case _ =>
+        val b = pts.agg(min("x"), max("x"), min("y"), max("y")).head()
+        val x0 = b.getDouble(0) - half; val y0 = b.getDouble(2) - half
+        (x0, y0, ((b.getDouble(1) - x0) / edgeLength).toLong + 1L,
+          ((b.getDouble(3) - y0) / edgeLength).toLong + 1L)
+    }
+    def v(n: String) = pts.select(col("order_key").as(n),
+      col("x").as("x" + n), col("y").as("y" + n), col("z").as("z" + n))
+    val f = mesh.join(v("a"), "a").join(v("b"), "b").join(v("c"), "c")
+    def clampX(c: Column) = greatest(lit(0L), least(lit(w), c))
+    def clampY(c: Column) = greatest(lit(0L), least(lit(h), c))
+    val xmn = least(col("xa"), col("xb"), col("xc"))
+    val xmx = greatest(col("xa"), col("xb"), col("xc"))
+    val ymn = least(col("ya"), col("yb"), col("yc"))
+    val ymx = greatest(col("ya"), col("yb"), col("yc"))
+    val ax = clampX(floor((xmn + half - edgeBit - ox) / edgeLength).cast("long"))
+    val bx = clampX(floor((xmx + half - ox) / edgeLength).cast("long"))
+    val ay = clampY(floor((ymn + half - edgeBit - oy) / edgeLength).cast("long"))
+    val by = clampY(floor((ymx + half - oy) / edgeLength).cast("long"))
+    val cells = f
+      .withColumn("__xi", explode(when(bx > ax, sequence(ax, bx - 1))))
+      .withColumn("__yi", explode(when(by > ay, sequence(ay, by - 1))))
+    val x = (col("__xi") + lit(0.5)) * edgeLength + ox
+    val y = (col("__yi") + lit(0.5)) * edgeLength + oy
+    // barycentricInterp replicated as columns (inclusive-edge contain)
+    val detT = (col("yb") - col("yc")) * (col("xa") - col("xc")) +
+      (col("xc") - col("xb")) * (col("ya") - col("yc"))
+    val l1 = ((col("yb") - col("yc")) * (x - col("xc")) +
+      (col("xc") - col("xb")) * (y - col("yc"))) / detT
+    val l2 = ((col("yc") - col("ya")) * (x - col("xc")) +
+      (col("xa") - col("xc")) * (y - col("yc"))) / detT
+    cells
+      .withColumn("__l1", l1).withColumn("__l2", l2)
+      .filter(detT =!= 0.0 &&
+        col("__l1") >= 0 && col("__l1") <= 1 &&
+        col("__l2") >= 0 && col("__l2") <= 1 &&
+        col("__l1") + col("__l2") <= 1)
+      .withColumn("__v", col("__l1") * col("za") + col("__l2") * col("zb") +
+        (lit(1.0) - col("__l1") - col("__l2")) * col("zc"))
+      .groupBy(col("__xi").as("cell_x"), col("__yi").as("cell_y"))
+      .agg(max_by(col("__v"), struct(col("a"), col("b"), col("c"))).as("band1"))
+  }
+}

@@ -290,6 +290,27 @@ object PipelineBuilder {
         count = optLong(o, "count").getOrElse(10L).toInt,
         allowExtrapolation = optBool(o, "allow_extrapolation").getOrElse(true))
       case "filters.delaunay" => DelaunayMesh(in)
+      case "filters.faceraster" =>
+        // PDAL rasterizes the mesh attached by a prior filters.delaunay;
+        // stages here pass DataFrames, so the TIN is (re)built from the
+        // incoming points and rasterized in one stage. Output is the
+        // raster table (cell_x, cell_y, band1) plus constant grid-limit
+        // columns (__edge/__ox/__oy — the reference's RasterLimits riding
+        // on the view) so a downstream writers.raster emits the right
+        // georeferencing without re-specifying it.
+        val edge = optDouble(o, "edge_length").getOrElse(1.0)
+        val lim = (for (x <- optDouble(o, "origin_x"); y <- optDouble(o, "origin_y");
+            w <- optLong(o, "width"); h <- optLong(o, "height"))
+          yield (x, y, w, h)).getOrElse {
+            val b = in.agg(min("x"), max("x"), min("y"), max("y")).head()
+            val x0 = b.getDouble(0) - edge / 2; val y0 = b.getDouble(2) - edge / 2
+            (x0, y0, ((b.getDouble(1) - x0) / edge).toLong + 1L,
+              ((b.getDouble(3) - y0) / edge).toLong + 1L)
+          }
+        FaceRaster(in, DelaunayMesh(in), edge,
+            origin = Some((lim._1, lim._2)), widthHeight = Some((lim._3, lim._4)))
+          .withColumn("__edge", lit(edge))
+          .withColumn("__ox", lit(lim._1)).withColumn("__oy", lit(lim._2))
       case "filters.zsmooth" => Zsmooth(in,
         radius = optDouble(o, "radius").getOrElse(1.0),
         medianPercent = optDouble(o, "medianpercent").getOrElse(50.0),
@@ -315,6 +336,25 @@ object PipelineBuilder {
           optStr(o, "attr_dims").map(_.split(',').map(_.trim).toSeq).getOrElse(Nil),
           optStr(o, "measure_dim"),
           optLong(o, "multicount").getOrElse(1L).toInt)
+        in
+      case "writers.raster" | "writers.faceraster" | "writers.gdal"
+          if in.columns.contains("cell_x") =>
+        // input is already a raster table (e.g. from filters.faceraster):
+        // write it as-is, like the reference's writers.raster consuming
+        // the view's attached raster (io/RasterWriter.cpp:66-79); grid
+        // limits ride on the __edge/__ox/__oy constant columns
+        val lim = if (in.columns.contains("__edge"))
+          Some(in.select("__edge", "__ox", "__oy").head()) else None
+        graft.sources.AscWriter.writeAsc(
+          in.drop("__edge", "__ox", "__oy"), optStr(o, "filename").get,
+          optStr(o, "band").getOrElse("band1"),
+          optDouble(o, "nodata").getOrElse(-9999.0),
+          optDouble(o, "resolution")
+            .orElse(lim.map(_.getDouble(0))).getOrElse(1.0),
+          (optDouble(o, "origin_x")
+            .orElse(lim.map(_.getDouble(1))).getOrElse(0.0),
+           optDouble(o, "origin_y")
+            .orElse(lim.map(_.getDouble(2))).getOrElse(0.0)))
         in
       case "writers.raster" | "writers.faceraster" | "writers.gdal" =>
         val res = optDouble(o, "resolution").getOrElse(1.0)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{DelaunayCore, DelaunayMesh, HagDelaunay}
+import graft.operators.{DelaunayCore, DelaunayMesh, FaceRaster, HagDelaunay}
 
 /** Delaunay family: the Bowyer-Watson core, the distributed certified
   * tile triangulation (filters.delaunay analog,
@@ -161,6 +161,65 @@ class DelaunaySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(off(12L) == 0.0) // keeps own z -> HAG 0 (reference :205-211)
     assert(off(11L) == on(11L)) // in-bounds unaffected
+  }
+
+  test("faceraster == local port of the reference raster loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val n = 300
+    val px = Array.fill(n)(rnd.nextDouble() * 100)
+    val py = Array.fill(n)(rnd.nextDouble() * 80)
+    val pz = Array.fill(n)(rnd.nextDouble() * 50)
+    val df = (0 until n).map(i => (i.toLong, px(i), py(i), pz(i)))
+      .toDF("order_key", "x", "y", "z")
+    val mesh = DelaunayMesh(df)
+    val edge = 2.5
+    val got = FaceRaster(df, mesh, edge)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // local port of FaceRasterFilter.cpp:84-151 (computed limits,
+    // half-edge bbox loop, last-face-wins) over the same mesh rows
+    val half = edge / 2; val eb = edge * 1e-6
+    val ox = px.min - half; val oy = py.min - half
+    val w = ((px.max - ox) / edge).toLong + 1; val h = ((py.max - oy) / edge).toLong + 1
+    val faces = mesh.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+      r.getLong(2).toInt))
+    val want = scala.collection.mutable.Map[(Long, Long), Double]()
+    for ((a, b, c) <- faces) { // canonical order == engine's max_by order
+      val (xmn, xmx) = (Seq(px(a), px(b), px(c)).min, Seq(px(a), px(b), px(c)).max)
+      val (ymn, ymx) = (Seq(py(a), py(b), py(c)).min, Seq(py(a), py(b), py(c)).max)
+      def cl(v: Long, hi: Long) = math.max(0L, math.min(hi, v))
+      val ax = cl(math.floor((xmn + half - eb - ox) / edge).toLong, w)
+      val bx = cl(math.floor((xmx + half - ox) / edge).toLong, w)
+      val ay = cl(math.floor((ymn + half - eb - oy) / edge).toLong, h)
+      val by = cl(math.floor((ymx + half - oy) / edge).toLong, h)
+      for (xi <- ax until bx; yi <- ay until by) {
+        val x = ox + (xi + 0.5) * edge; val y = oy + (yi + 0.5) * edge
+        val v = DelaunayCore.barycentricInterp(px(a), py(a), pz(a),
+          px(b), py(b), pz(b), px(c), py(c), pz(c), x, y)
+        if (!v.isInfinity) want((xi, yi)) = v
+      }
+    }
+    assert(got.keySet == want.keySet,
+      s"cells differ: extra=${(got.keySet -- want.keySet).take(5)} " +
+        s"missing=${(want.keySet -- got.keySet).take(5)}")
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"cell $k")
+    assert(got.nonEmpty)
+  }
+
+  test("faceraster: planar TIN reproduces the plane at cell centers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val pts = (0 until 200).map { i =>
+      val x = rnd.nextDouble() * 60; val y = rnd.nextDouble() * 60
+      (i.toLong, x, y, 2.0 + 0.5 * x - 0.25 * y)
+    }.toDF("order_key", "x", "y", "z")
+    val out = FaceRaster(pts, DelaunayMesh(pts), edgeLength = 1.0,
+      origin = Some((0.0, 0.0)), widthHeight = Some((60L, 60L))).collect()
+    assert(out.length > 2000) // most interior cells covered
+    for (r <- out) {
+      val x = (r.getLong(0) + 0.5) * 1.0; val y = (r.getLong(1) + 0.5) * 1.0
+      assert(math.abs(r.getDouble(2) - (2.0 + 0.5 * x - 0.25 * y)) < 1e-9)
+    }
   }
 
   test("hag_delaunay == brute-force local reference on random data") {
