@@ -524,6 +524,41 @@ object SparkEntry {
         .select(col("cell_x"), col("cell_y"),
           (round(col("band1"), 6) + lit(0.0)).as("band1"))
     }),
+    "q57_csf" -> ((s, d) => {
+      // filters.csf in a margin-robust regime: flat ground covering a
+      // complete 21x21 cell grid except 16 isolated single-cell "roof"
+      // returns 50 up. Ground clamps the cloth at the surface in 2
+      // iterations; each roof particle hovers within ~0.04 of ground
+      // level held by its 16 clamped neighbors, so the classification
+      // is exactly roof -> 1 (|cloth - (-50)| ~ 50 >> 0.5) and ground
+      // -> 2 (|0 - 0| = 0), independent of exact cloth positions.
+      val ev = t(s, d, "events").filter(col("event_id").between(1, 441))
+      val p = ev.select(col("event_id").as("order_key"),
+          ((col("event_id") - 1) % 21).cast("double").as("x"),
+          floor((col("event_id") - 1) / 21).cast("double").as("y"))
+        .withColumn("z",
+          when((col("x") % 5 === 2) && (col("y") % 5 === 2), 50.0)
+            .otherwise(0.0))
+      Csf(p, iterations = 200).select(col("order_key"), col("classification"))
+    }),
+    "q58_litree" -> ((s, d) => {
+      // filters.litree in a provable regime: 16 collinear "crowns" 150
+      // apart (> the 130 dominance radius -> one round, contexts pure),
+      // each 21 points at increasing gaps p_k = 0.02k^2 with strictly
+      // decreasing hag. In key order every interior point's nearest-Pi
+      // gap (0.02(2k-1)) stays below its distance to the dummy point
+      // n0 = the outermost point (0.02(400-k^2)), so Pi = the first 20
+      // points exactly; n0 itself stays unsegmented. cluster_id = tree
+      // rank by height = t + 1.
+      val ev = t(s, d, "events").filter(col("event_id").between(1, 336))
+      val p = ev.select(col("event_id").as("order_key"),
+        (floor((col("event_id") - 1) / 21) * 150.0 +
+          pow((col("event_id") - 1) % 21, 2) * 0.02).as("x"),
+        lit(0.0).as("y"),
+        (lit(20.0) - floor((col("event_id") - 1) / 21) * 0.5 -
+          ((col("event_id") - 1) % 21) * 0.1).as("height_above_ground"))
+      LiTree(p).select(col("order_key"), col("cluster_id"))
+    }),
     "q52_smrf" -> ((s, d) => {
       // filters.smrf end-to-end (progressive opening radii 1..2, low
       // mask, provisional DEM, slope-adaptive threshold); the iterative
@@ -1339,6 +1374,21 @@ object SparkEntry {
           SELECT xi AS cell_x, yi AS cell_y,
             ROUND(l1 * za + l2 * zb + (1 - l1 - l2) * zc, 6) + 0.0 AS band1
           FROM l WHERE l1 >= 0 AND l1 <= 1 AND l2 >= 0 AND l2 <= 1
-            AND l1 + l2 <= 1"""
+            AND l1 + l2 <= 1""",
+    // csf margin-robust regime: classification is determined by scene
+    // construction (roof cells 1, ground 2), not by exact cloth FP
+    "q57_csf" ->
+      """SELECT event_id AS order_key,
+            CASE WHEN ((event_id - 1) % 21) % 5 = 2
+                  AND (((event_id - 1) // 21)) % 5 = 2
+                 THEN 1 ELSE 2 END AS classification
+          FROM events WHERE event_id BETWEEN 1 AND 441""",
+    // litree provable regime: Pi = first 20 points of each crown, the
+    // outermost point is the Ni dummy; ids rank trees by height
+    "q58_litree" ->
+      """SELECT event_id AS order_key,
+            CASE WHEN (event_id - 1) % 21 = 20 THEN 0
+                 ELSE (event_id - 1) // 21 + 1 END AS cluster_id
+          FROM events WHERE event_id BETWEEN 1 AND 336"""
   )
 }

@@ -316,6 +316,16 @@ object PipelineBuilder {
         medianPercent = optDouble(o, "medianpercent").getOrElse(50.0),
         outDim = optStr(o, "dim").getOrElse("z_smooth"))
       case "filters.skewnessbalancing" => SkewnessBalancing(in)
+      case "filters.csf" => Csf(in,
+        smooth = optBool(o, "smooth").getOrElse(true),
+        step = optDouble(o, "step").getOrElse(0.65),
+        threshold = optDouble(o, "threshold").getOrElse(0.5),
+        resolution = optDouble(o, "resolution").getOrElse(1.0),
+        rigidness = optLong(o, "rigidness").getOrElse(3L).toInt,
+        iterations = optLong(o, "iterations").getOrElse(500L).toInt,
+        returns = optStr(o, "returns").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq(Returns.Last, Returns.Only)),
+        ignore = optStr(o, "ignore"))
       case "filters.icp" =>
         require(ins.size == 2,
           "filters.icp must have two point view inputs, no more, no less")
@@ -326,6 +336,10 @@ object PipelineBuilder {
           mseAbs = optDouble(o, "mse_abs").getOrElse(1e-12),
           maxSimilar = optLong(o, "max_similar").getOrElse(0L).toInt,
           maxDistance = optDouble(o, "max_distance").getOrElse(0.0)).df
+      case "filters.litree" => LiTree(in,
+        minPoints = optLong(o, "min_points").getOrElse(10L).toInt,
+        minHag = optDouble(o, "min_height").getOrElse(3.0),
+        dummyRadius = optDouble(o, "radius").getOrElse(100.0))
       case "filters.streamcallback" =>
         CallbackRegistry(optStr(o, "name").get)(in)
       case "filters.shell" =>
