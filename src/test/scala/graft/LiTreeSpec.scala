@@ -71,10 +71,20 @@ class LiTreeSpec extends AnyFunSuite {
     val df = (a ++ b ++ veg).toDF("order_key", "x", "y", "height_above_ground")
     val got = LiTree(df).select("order_key", "cluster_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val aIds = a.map(p => got(p._1)).toSet
-    val bIds = b.map(p => got(p._1)).toSet
-    assert(aIds == Set(1L), s"tree A ids: $aIds")
-    assert(bIds == Set(2L), s"tree B ids: $bIds")
+    // exact vs the sequential reference port — on ISOLATED crowns the
+    // dummy point n0 is the crown's own farthest return, and a chunk of
+    // the crown near it legitimately drains to Ni (Li's algorithm at
+    // dummyRadius >> crown spacing); the engine must reproduce that
+    val want = liTreeLocal((a ++ b ++ veg).toArray, 10, 3.0, 100.0)
+    for ((k, _, _, _) <- a ++ b ++ veg)
+      assert(got(k) == want.getOrElse(k, 0L), s"key=$k")
+    val aIds = a.map(p => got(p._1))
+    val bIds = b.map(p => got(p._1))
+    assert(aIds.toSet.subsetOf(Set(0L, 1L)) && aIds.count(_ == 1L) > a.size * 0.5,
+      s"tree A ids: ${aIds.toSet}, |1|=${aIds.count(_ == 1L)}/${a.size}")
+    assert(bIds.toSet.subsetOf(Set(0L, 2L)) && bIds.count(_ == 2L) > b.size * 0.5,
+      s"tree B ids: ${bIds.toSet}, |2|=${bIds.count(_ == 2L)}/${b.size}")
+    assert(got(a.maxBy(_._4)._1) == 1L && got(b.maxBy(_._4)._1) == 2L) // seeds
     assert(veg.forall(p => got(p._1) == 0L))
   }
 
