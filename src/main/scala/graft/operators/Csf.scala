@@ -130,11 +130,33 @@ object Csf {
       .withColumn("pos", lit(top)).withColumn("old", lit(top))
       .withColumn("movable", lit(true))
 
-    // ---- simulate
-    val settled = simulate(spark, grid, w, h, step, rigidness, iterations,
-      blockIters, tileSize, localCells)
-    val smoothed = if (smooth) movableFilter(spark, settled, w, h, localCells)
-      else settled
+    // ---- simulate (+ slope post-processing fused in the local path:
+    // one collect / one rebuild instead of two round trips)
+    val smoothed = if (w.toLong * h <= localCells) {
+      val st = ClothSim.GridState(w, h)
+      grid.select("gx", "gy", "hv", "pos", "old", "movable").collect().foreach { r =>
+        val i = r.getInt(1) * w + r.getInt(0)
+        st.hv(i) = r.getDouble(2); st.pos(i) = r.getDouble(3)
+        st.old(i) = r.getDouble(4); st.movable(i) = r.getBoolean(5)
+      }
+      var used = 0; var stop = false
+      while (used < iterations && !stop) {
+        val k = math.min(blockIters, iterations - used)
+        val diffs = ClothSim.run(st, w, h, 0, 0, w, h, 0, 0, k, rigidness, step)
+        if (diffs.exists(d => d != 0 && d < 0.005)) stop = true
+        if (!st.movable.exists(identity)) stop = true
+        used += k
+      }
+      if (smooth) ClothSim.movableFilterLocal(st, w, h)
+      val rows = (0 until w * h).map { i =>
+        (i % w, i / w, st.hv(i), st.pos(i), st.old(i), st.movable(i))
+      }
+      spark.createDataFrame(rows).toDF("gx", "gy", "hv", "pos", "old", "movable")
+    } else {
+      val settled = simulate(spark, grid, w, h, step, rigidness, iterations,
+        blockIters, tileSize, localCells)
+      if (smooth) movableFilter(spark, settled, w, h, localCells) else settled
+    }
 
     // ---- classify (c2cdist.cpp:21-60): bilinear cloth height at each
     // point (truncating corner cell, fractional weights), |fxy - ch| <
@@ -175,32 +197,14 @@ object Csf {
     out
   }
 
-  /** Run `iterations` cloth steps: one driver pass when the grid fits
-    * `localCells`, else tile+halo rounds of `blockIters` steps. */
+  /** Run `iterations` cloth steps as tile+halo rounds of `blockIters`
+    * steps (the local fast path lives in apply, fused with the smooth
+    * pass). */
   private def simulate(spark: SparkSession, grid0: DataFrame, w: Int, h: Int,
       step: Double, rigid: Int, iterations: Int, blockIters: Int,
       tileSize: Int, localCells: Long): DataFrame = {
     import spark.implicits._
-    if (w.toLong * h <= localCells) {
-      val st = ClothSim.GridState(w, h)
-      grid0.select("gx", "gy", "hv", "pos", "old", "movable").collect().foreach { r =>
-        val i = r.getInt(1) * w + r.getInt(0)
-        st.hv(i) = r.getDouble(2); st.pos(i) = r.getDouble(3)
-        st.old(i) = r.getDouble(4); st.movable(i) = r.getBoolean(5)
-      }
-      var used = 0; var stop = false
-      while (used < iterations && !stop) {
-        val k = math.min(blockIters, iterations - used)
-        val diffs = ClothSim.run(st, w, h, 0, 0, w, h, 0, 0, k, rigid, step)
-        if (diffs.exists(d => d != 0 && d < 0.005)) stop = true
-        if (!st.movable.exists(identity)) stop = true
-        used += k
-      }
-      val rows = (0 until w * h).map { i =>
-        (i % w, i / w, st.hv(i), st.pos(i), st.old(i), st.movable(i))
-      }
-      spark.createDataFrame(rows).toDF("gx", "gy", "hv", "pos", "old", "movable")
-    } else {
+    locally {
       var cur = Mat(grid0)
       var used = 0; var stop = false
       while (used < iterations && !stop) {
@@ -287,19 +291,7 @@ object Csf {
   private def movableFilter(spark: SparkSession, settled: DataFrame,
       w: Int, h: Int, localCells: Long): DataFrame = {
     import spark.implicits._
-    if (w.toLong * h <= localCells) {
-      val st = ClothSim.GridState(w, h)
-      settled.select("gx", "gy", "hv", "pos", "old", "movable").collect().foreach { r =>
-        val i = r.getInt(1) * w + r.getInt(0)
-        st.hv(i) = r.getDouble(2); st.pos(i) = r.getDouble(3)
-        st.old(i) = r.getDouble(4); st.movable(i) = r.getBoolean(5)
-      }
-      ClothSim.movableFilterLocal(st, w, h)
-      val rows = (0 until w * h).map { i =>
-        (i % w, i / w, st.hv(i), st.pos(i), st.old(i), st.movable(i))
-      }
-      spark.createDataFrame(rows).toDF("gx", "gy", "hv", "pos", "old", "movable")
-    } else {
+    locally {
       // component sizes: per-tile union-find over the movable mask,
       // border adjacencies merged on the driver (two-phase CC)
       val t = 4096
