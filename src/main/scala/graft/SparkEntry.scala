@@ -461,20 +461,26 @@ object SparkEntry {
         .select(col("order_key"), col("height_above_ground").as("hag"))
     }),
     "q53_icp" -> ((s, d) => {
-      // filters.icp: moving = fixed under a known small rigid motion
-      // (2 deg about z + (40, -25, 10)); ICP must register it back.
-      // Iterative NN + eigen solve is not SQL-expressible -> rows-only;
-      // transform recovery is asserted in IcpSpec.
+      // filters.icp: moving = fixed under a small rigid motion chosen
+      // INSIDE the NN-correspondence basin (0.1 deg about z + (8, -5,
+      // 4): max displacement ~25 units, well under the ~140-unit point
+      // spacing, so nearest-neighbor correspondences are exact from
+      // iteration 1 and ICP converges to the identity registration to
+      // ~1e-6). Fixed coords are integers, so round(*, 1) makes the
+      // registered output EQUAL the fixed coordinates — a plain SQL
+      // oracle. (Transform recovery at tight tolerances is further
+      // asserted in IcpSpec.)
       val fixed = pts3(s, d).filter(col("order_key") % 20 === 0)
-      val th = math.toRadians(2.0)
+      val th = math.toRadians(0.1)
       val (c0, s0) = (math.cos(th), math.sin(th))
       val movingAway = fixed.select(col("order_key"),
-        (lit(c0) * col("x") - lit(s0) * col("y") + 40.0).as("x"),
-        (lit(s0) * col("x") + lit(c0) * col("y") - 25.0).as("y"),
-        (col("z") + 10.0).as("z"))
+        (lit(c0) * col("x") - lit(s0) * col("y") + 8.0).as("x"),
+        (lit(s0) * col("x") + lit(c0) * col("y") - 5.0).as("y"),
+        (col("z") + 4.0).as("z"))
       val res = Icp(fixed, movingAway, maxIter = 10, cellSize = 500.0)
       res.df.select(col("order_key"),
-        round(col("x"), 1).as("rx"), round(col("y"), 1).as("ry"))
+        (round(col("x"), 1) + lit(0.0)).as("rx"),
+        (round(col("y"), 1) + lit(0.0)).as("ry"))
     }),
     "q54_hag_delaunay" -> ((s, d) => {
       // filters.hag_delaunay in a deterministic regime: ground is a
@@ -560,13 +566,25 @@ object SparkEntry {
       LiTree(p).select(col("order_key"), col("cluster_id"))
     }),
     "q52_smrf" -> ((s, d) => {
-      // filters.smrf end-to-end (progressive opening radii 1..2, low
-      // mask, provisional DEM, slope-adaptive threshold); the iterative
-      // 8-neighbor inpaint chain is not practically SQL-expressible ->
-      // rows-only here, semantics golden-tested in GroundSpec
-      val p = pts3(s, d).select(col("order_key"),
-        (col("x") / 500.0).as("x"), (col("y") / 500.0).as("y"), col("z"))
-      Smrf(p, cell = 1.0, slope = 30.0, scalar = 1.25, threshold = 50.0,
+      // filters.smrf end-to-end (low mask, progressive opening 1..2,
+      // provisional DEM inpaint, slope-adaptive threshold) in a provable
+      // regime: flat ground over a complete 21x21 cell grid with 16
+      // isolated 50-high roof cells. The opening removes each isolated
+      // peak at window 1 (50 >> slope*cell) so roof cells are voided;
+      // the 8-NN inpaint then averages SURVIVING cells which are all
+      // exactly 0 — the mean is 0 whichever 8 the tie order picks — so
+      // ZIpro == 0 everywhere, the gradient is 0, and classification is
+      // exactly roof -> 1, ground -> 2 (margins 50 vs threshold 0.5).
+      // Realistic-terrain behavior is covered by GroundSpec's planted
+      // scenes.
+      val ev = t(s, d, "events").filter(col("event_id").between(1, 441))
+      val p = ev.select(col("event_id").as("order_key"),
+          ((col("event_id") - 1) % 21).cast("double").as("x"),
+          floor((col("event_id") - 1) / 21).cast("double").as("y"))
+        .withColumn("z",
+          when((col("x") % 5 === 2) && (col("y") % 5 === 2), 50.0)
+            .otherwise(0.0))
+      Smrf(p, cell = 1.0, slope = 1.0, scalar = 1.25, threshold = 0.5,
           window = 2.0, returns = Seq.empty)
         .select(col("order_key"), col("classification"))
     })
@@ -1383,6 +1401,20 @@ object SparkEntry {
                   AND (((event_id - 1) // 21)) % 5 = 2
                  THEN 1 ELSE 2 END AS classification
           FROM events WHERE event_id BETWEEN 1 AND 441""",
+    // smrf provable regime: same scene as q57 (ZIpro == 0 everywhere by
+    // the all-zero-survivors inpaint argument)
+    "q52_smrf" ->
+      """SELECT event_id AS order_key,
+            CASE WHEN ((event_id - 1) % 21) % 5 = 2
+                  AND (((event_id - 1) // 21)) % 5 = 2
+                 THEN 1 ELSE 2 END AS classification
+          FROM events WHERE event_id BETWEEN 1 AND 441""",
+    // icp convergent regime: exact NN correspondences from iteration 1,
+    // registration recovers the integer fixed coordinates within round(1)
+    "q53_icp" ->
+      s"""WITH p AS ($pts3Sql)
+          SELECT order_key, ROUND(x, 1) + 0.0 AS rx, ROUND(y, 1) + 0.0 AS ry
+          FROM p WHERE order_key % 20 = 0""",
     // litree provable regime: Pi = first 20 points of each crown, the
     // outermost point is the Ni dummy; ids rank trees by height
     "q58_litree" ->
