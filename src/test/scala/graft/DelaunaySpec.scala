@@ -112,6 +112,26 @@ class DelaunaySpec extends AnyFunSuite {
     assertDelaunay(px, py, triIdx)
   }
 
+  test("mesh: tiled path on the degenerate sheared lattice (q55 scene) still exact") {
+    import spark.implicits._
+    // two shifted rows: slender triangles with huge circumdisks force
+    // halo escalation (possibly to fullCover) in every tile; the unique
+    // Delaunay triangulation must still come out exactly
+    val n = 120
+    val df = (1 to n).map { e =>
+      val i = (e - 1) / 2
+      (e.toLong, i + (if ((e - 1) % 2 == 1) 0.5 else 0.0), ((e - 1) % 2).toDouble)
+    }.toDF("order_key", "x", "y")
+    val got = DelaunayMesh(df, targetPerTile = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val m = n / 2
+    val want = (0 until m - 1).flatMap { i =>
+      Seq((2L * i + 1, 2L * i + 3, 2L * i + 2), (2L * i + 2, 2L * i + 3, 2L * i + 4))
+    }.toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("hag_delaunay: planar ground is reproduced exactly inside the hull") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
