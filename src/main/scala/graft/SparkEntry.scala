@@ -55,6 +55,24 @@ object SparkEntry {
           when((col("event_id") - 1) % 2 === 1, 0.5).otherwise(0.0)).as("x"),
         ((col("event_id") - 1) % 2).cast("double").as("y"))
 
+  /** q52/q57 shared scene: flat ground on a complete 21x21 cell grid,
+    * 16 isolated single-cell roofs 50 up (i,j == 2 mod 5). */
+  private def roofScene(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").filter(col("event_id").between(1, 441))
+      .select(col("event_id").as("order_key"),
+        ((col("event_id") - 1) % 21).cast("double").as("x"),
+        floor((col("event_id") - 1) / 21).cast("double").as("y"))
+      .withColumn("z",
+        when((col("x") % 5 === 2) && (col("y") % 5 === 2), 50.0)
+          .otherwise(0.0))
+
+  private val roofSceneOracle =
+    """SELECT event_id AS order_key,
+          CASE WHEN ((event_id - 1) % 21) % 5 = 2
+                AND (((event_id - 1) // 21)) % 5 = 2
+               THEN 1 ELSE 2 END AS classification
+        FROM events WHERE event_id BETWEEN 1 AND 441"""
+
   private val pts3Sql =
     """SELECT event_id AS order_key,
        CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
@@ -538,14 +556,8 @@ object SparkEntry {
       // level held by its 16 clamped neighbors, so the classification
       // is exactly roof -> 1 (|cloth - (-50)| ~ 50 >> 0.5) and ground
       // -> 2 (|0 - 0| = 0), independent of exact cloth positions.
-      val ev = t(s, d, "events").filter(col("event_id").between(1, 441))
-      val p = ev.select(col("event_id").as("order_key"),
-          ((col("event_id") - 1) % 21).cast("double").as("x"),
-          floor((col("event_id") - 1) / 21).cast("double").as("y"))
-        .withColumn("z",
-          when((col("x") % 5 === 2) && (col("y") % 5 === 2), 50.0)
-            .otherwise(0.0))
-      Csf(p, iterations = 200).select(col("order_key"), col("classification"))
+      Csf(roofScene(s, d), iterations = 200)
+        .select(col("order_key"), col("classification"))
     }),
     "q58_litree" -> ((s, d) => {
       // filters.litree in a provable regime: 16 collinear "crowns" 150
@@ -577,14 +589,7 @@ object SparkEntry {
       // exactly roof -> 1, ground -> 2 (margins 50 vs threshold 0.5).
       // Realistic-terrain behavior is covered by GroundSpec's planted
       // scenes.
-      val ev = t(s, d, "events").filter(col("event_id").between(1, 441))
-      val p = ev.select(col("event_id").as("order_key"),
-          ((col("event_id") - 1) % 21).cast("double").as("x"),
-          floor((col("event_id") - 1) / 21).cast("double").as("y"))
-        .withColumn("z",
-          when((col("x") % 5 === 2) && (col("y") % 5 === 2), 50.0)
-            .otherwise(0.0))
-      Smrf(p, cell = 1.0, slope = 1.0, scalar = 1.25, threshold = 0.5,
+      Smrf(roofScene(s, d), cell = 1.0, slope = 1.0, scalar = 1.25, threshold = 0.5,
           window = 2.0, returns = Seq.empty)
         .select(col("order_key"), col("classification"))
     })
@@ -1395,20 +1400,10 @@ object SparkEntry {
             AND l1 + l2 <= 1""",
     // csf margin-robust regime: classification is determined by scene
     // construction (roof cells 1, ground 2), not by exact cloth FP
-    "q57_csf" ->
-      """SELECT event_id AS order_key,
-            CASE WHEN ((event_id - 1) % 21) % 5 = 2
-                  AND (((event_id - 1) // 21)) % 5 = 2
-                 THEN 1 ELSE 2 END AS classification
-          FROM events WHERE event_id BETWEEN 1 AND 441""",
+    "q57_csf" -> roofSceneOracle,
     // smrf provable regime: same scene as q57 (ZIpro == 0 everywhere by
     // the all-zero-survivors inpaint argument)
-    "q52_smrf" ->
-      """SELECT event_id AS order_key,
-            CASE WHEN ((event_id - 1) % 21) % 5 = 2
-                  AND (((event_id - 1) // 21)) % 5 = 2
-                 THEN 1 ELSE 2 END AS classification
-          FROM events WHERE event_id BETWEEN 1 AND 441""",
+    "q52_smrf" -> roofSceneOracle,
     // icp convergent regime: exact NN correspondences from iteration 1,
     // registration recovers the integer fixed coordinates within round(1)
     "q53_icp" ->

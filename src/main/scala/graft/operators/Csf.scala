@@ -55,8 +55,9 @@ object Csf {
     val spark = df.sparkSession
     import spark.implicits._
     val (inliers0, passthrough) = GroundSeg.segment(df, returns, ignore)
-    val inliers = Mat(inliers0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), eager = false)
+    val inliersP = inliers0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inliers = Mat(inliersP, eager = false)
     val cl = inliers.select(col("order_key"), col("x"), col("y").as("cy"),
       (-col("z")).as("ch"))
     val b = cl.agg(count(lit(1)), min("x"), max("x"), min("cy"), max("cy"),
@@ -92,16 +93,23 @@ object Csf {
       .select((col("id") % w).cast("int").as("gx"),
         (col("id") / w).cast("int").as("gy"))
       .join(occ, Seq("gx", "gy"), "left")
+    // all four scans as RUNNING frames (unboundedPreceding..-1): Spark
+    // evaluates those in O(n) per partition, while a
+    // (1, unboundedFollowing) frame re-scans the suffix per row —
+    // O(n^2) on a 50k-cell grid row; "first non-null ahead" is the same
+    // value as "last non-null behind" under the reversed ordering
     val wRow = Window.partitionBy("gy").orderBy("gx")
+    val wRowD = Window.partitionBy("gy").orderBy(col("gx").desc)
     val wCol = Window.partitionBy("gx").orderBy("gy")
-    val fillRight = first(col("hv0"), ignoreNulls = true)
-      .over(wRow.rowsBetween(1, Window.unboundedFollowing))
+    val wColD = Window.partitionBy("gx").orderBy(col("gy").desc)
+    val fillRight = last(col("hv0"), ignoreNulls = true)
+      .over(wRowD.rowsBetween(Window.unboundedPreceding, -1))
     val fillLeft = last(col("hv0"), ignoreNulls = true)
       .over(wRow.rowsBetween(Window.unboundedPreceding, -1))
     val fillDown = last(col("hv0"), ignoreNulls = true)
       .over(wCol.rowsBetween(Window.unboundedPreceding, -1))
-    val fillUp = first(col("hv0"), ignoreNulls = true)
-      .over(wCol.rowsBetween(1, Window.unboundedFollowing))
+    val fillUp = last(col("hv0"), ignoreNulls = true)
+      .over(wColD.rowsBetween(Window.unboundedPreceding, -1))
     val gridScan = grid0.withColumn("hv",
       coalesce(col("hv0"), fillRight, fillLeft, fillDown, fillUp))
     // cells whose entire row AND column are empty (reference: BFS to the
@@ -155,7 +163,7 @@ object Csf {
     } else {
       val settled = simulate(spark, grid, w, h, step, rigidness, iterations,
         blockIters, tileSize, localCells)
-      if (smooth) movableFilter(spark, settled, w, h, localCells) else settled
+      if (smooth) movableFilter(spark, settled, w, h, tileSize) else settled
     }
 
     // ---- classify (c2cdist.cpp:21-60): bilinear cloth height at each
@@ -193,7 +201,9 @@ object Csf {
         when(abs(col("__fxy") - (-col("z"))) < threshold, 2).otherwise(1))
       .drop("__k", "__fxy")
     val out = classified.unionByName(passthrough)
-    inliers.unpersist(false)
+    // unpersist the DataFrame that was actually persisted — the Mat
+    // wrapper has a different plan and would match no cache entry
+    inliersP.unpersist(false)
     out
   }
 
@@ -289,12 +299,12 @@ object Csf {
     * runs as per-tile fixpoints with frozen halo-1 edges, iterated until
     * no tile changes. */
   private def movableFilter(spark: SparkSession, settled: DataFrame,
-      w: Int, h: Int, localCells: Long): DataFrame = {
+      w: Int, h: Int, tileSize: Int): DataFrame = {
     import spark.implicits._
     locally {
       // component sizes: per-tile union-find over the movable mask,
       // border adjacencies merged on the driver (two-phase CC)
-      val t = 4096
+      val t = tileSize
       val cells = settled.select(col("gx"), col("gy"), col("movable"))
         .filter(col("movable"))
         .withColumn("__tx", (col("gx") / t).cast("int"))

@@ -77,9 +77,10 @@ object LiTree {
 
     val accepted = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
     val assignments = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var done = false
+    var done = ui.limit(2).count() <= 1 // reference: while (Ui.size() > 1)
     var round = 0
-    while (!done && round < 10000) {
+    val maxRounds = 10000
+    while (!done && round < maxRounds) {
       round += 1
       // dominant seeds: strict (hag, -order_key) maximum within domR
       val seeds = cellJoin(ui, domR, domR * domR,
@@ -140,7 +141,10 @@ object LiTree {
       if (seedInfo.isEmpty) done = true
       else {
         accepted ++= seedInfo.filter(_._3).map(s => (s._1, s._2, 0L))
-        assignments += treeRows.filter(col("__ok")).select("__pk", "__sk")
+        // materialize the slim per-round assignment before releasing
+        // treeRows, or the final join would recompute every round's
+        // gather+classify from the checkpointed snapshots
+        assignments += Mat(treeRows.filter(col("__ok")).select("__pk", "__sk"))
         val next = Mat(ui.join(treeRows.select(col("__pk")),
           col("order_key") === col("__pk"), "left_anti"))
         treeRows.unpersist(false)
@@ -148,6 +152,9 @@ object LiTree {
         if (ui.limit(2).count() <= 1) done = true
       }
     }
+    require(done, s"litree: $maxRounds dominance rounds exhausted with points " +
+      "remaining (pathological monotone height gradient) — raise the bound or " +
+      "pre-tile the input")
     // number accepted trees in the reference's processing order
     val order = accepted.sortBy(s => (-s._2, s._1)).zipWithIndex
       .map { case ((sk, _, _), i) => (sk, (i + 1).toLong) }.toMap

@@ -298,7 +298,11 @@ object PipelineBuilder {
         // columns (__edge/__ox/__oy — the reference's RasterLimits riding
         // on the view) so a downstream writers.raster emits the right
         // georeferencing without re-specifying it.
-        val edge = optDouble(o, "edge_length").getOrElse(1.0)
+        // the reference accepts both names: RasterLimits registers
+        // "resolution" (Raster.hpp:57), FaceRasterFilter adds the
+        // "edge_length" alias (FaceRasterFilter.cpp:70)
+        val edge = optDouble(o, "edge_length")
+          .orElse(optDouble(o, "resolution")).getOrElse(1.0)
         val lim = (for (x <- optDouble(o, "origin_x"); y <- optDouble(o, "origin_y");
             w <- optLong(o, "width"); h <- optLong(o, "height"))
           yield (x, y, w, h)).getOrElse {
