@@ -592,6 +592,51 @@ object SparkEntry {
       Smrf(roofScene(s, d), cell = 1.0, slope = 1.0, scalar = 1.25, threshold = 0.5,
           window = 2.0, returns = Seq.empty)
         .select(col("order_key"), col("classification"))
+    }),
+    "q59_poisson" -> ((s, d) => {
+      import s.implicits._
+      // filters.poisson on a Fibonacci sphere (R=30) with exact outward
+      // normals. The oracle checks provable invariants of the extracted
+      // level set rather than FP-dependent coordinates: marching
+      // tetrahedra on a generic grid field yields a CLOSED ORIENTED
+      // 2-manifold (every undirected edge on exactly 2 faces, every
+      // directed edge used exactly once), sphere topology gives Euler
+      // characteristic V - E + F = 2, and a well-sampled sphere keeps
+      // every vertex within 1.5 grid cells of the true radius
+      // (PoissonSpec proves the same invariants with margin).
+      val n = 1000
+      val ga = math.Pi * (3.0 - math.sqrt(5.0))
+      val ev = t(s, d, "events").filter(col("event_id").between(0, n - 1))
+      val zu = lit(1.0) - (col("event_id") * 2.0 + 1.0) / n
+      val ru = sqrt(greatest(lit(0.0), lit(1.0) - zu * zu))
+      val th = col("event_id") * ga
+      val pts = ev.select(col("event_id").as("order_key"),
+        (lit(100.0) + lit(30.0) * ru * cos(th)).as("x"),
+        (lit(200.0) + lit(30.0) * ru * sin(th)).as("y"),
+        (lit(50.0) + lit(30.0) * zu).as("z"),
+        (ru * cos(th)).as("normal_x"), (ru * sin(th)).as("normal_y"),
+        zu.as("normal_z"))
+      val res = Poisson(pts, depth = 5, outputNormals = false)
+      val faces = res.faces.persist()
+      val dirEdges = faces.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("c").as("v")),
+          struct(col("c").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val und = dirEdges.select(least(col("u"), col("v")).as("p"),
+          greatest(col("u"), col("v")).as("q"))
+        .groupBy("p", "q").agg(count(lit(1)).as("cnt")).persist()
+      val nonman = und.filter(col("cnt") =!= 2).count()
+      val dirDup = dirEdges.groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") =!= 1).count()
+      val v = res.vertices.count(); val e = und.count(); val f = faces.count()
+      val hs = 1.25 * 60.0 / 32.0
+      val outTol = res.vertices.filter(abs(sqrt(
+          pow(col("x") - 100.0, 2) + pow(col("y") - 200.0, 2) +
+          pow(col("z") - 50.0, 2)) - 30.0) >= 1.5 * hs).count()
+      und.unpersist(false); faces.unpersist(false)
+      Seq((v - e + f, nonman, dirDup, outTol)).toDF("euler",
+        "nonmanifold_edges", "orientation_violations", "out_of_tolerance")
     })
   )
 
@@ -1416,6 +1461,15 @@ object SparkEntry {
       """SELECT event_id AS order_key,
             CASE WHEN (event_id - 1) % 21 = 20 THEN 0
                  ELSE (event_id - 1) // 21 + 1 END AS cluster_id
-          FROM events WHERE event_id BETWEEN 1 AND 336"""
+          FROM events WHERE event_id BETWEEN 1 AND 336""",
+    // poisson provable-invariant regime: marching tetrahedra over a
+    // generic grid field is a closed oriented 2-manifold; the
+    // reconstructed sphere has Euler characteristic 2 and every vertex
+    // within 1.5 cells of the true radius (see q59 comment + PoissonSpec)
+    "q59_poisson" ->
+      """SELECT CAST(2 AS BIGINT) AS euler,
+            CAST(0 AS BIGINT) AS nonmanifold_edges,
+            CAST(0 AS BIGINT) AS orientation_violations,
+            CAST(0 AS BIGINT) AS out_of_tolerance"""
   )
 }

@@ -344,6 +344,15 @@ object PipelineBuilder {
         minPoints = optLong(o, "min_points").getOrElse(10L).toInt,
         minHag = optDouble(o, "min_height").getOrElse(3.0),
         dummyRadius = optDouble(o, "radius").getOrElse(100.0))
+      case "filters.poisson" =>
+        // reference replaces the view with the reconstructed mesh's
+        // vertices and attaches the mesh (PoissonFilter.cpp:283-316);
+        // stages here pass DataFrames, so the vertex view flows on by
+        // default and emit=faces selects the triangle mesh instead
+        val pr = Poisson(in,
+          depth = optLong(o, "depth").getOrElse(8L).toInt,
+          density = optBool(o, "density").getOrElse(false))
+        if (optStr(o, "emit").contains("faces")) pr.faces else pr.vertices
       case "filters.streamcallback" =>
         CallbackRegistry(optStr(o, "name").get)(in)
       case "filters.shell" =>
