@@ -637,6 +637,18 @@ object SparkEntry {
       und.unpersist(false); faces.unpersist(false)
       Seq((v - e + f, nonman, dirDup, outTol)).toDF("euler",
         "nonmanifold_edges", "orientation_violations", "out_of_tolerance")
+    }),
+    "q60_greedyprojection" -> ((s, d) => {
+      // filters.greedyprojection on the q55 sheared lattice with explicit
+      // +z normals: every gate passes (corner angles 53.1/63.4 deg in
+      // [min,max], all edges <= 1.118 < radius, coplanar normals), the
+      // local projections are the identity on xy, and the lattice's DT is
+      // unique — so the Gopi consensus mesh equals the q55 face
+      // enumeration exactly, orientation CCW from the +z normals.
+      GreedyProjection(latticePts(s, d).withColumn("z", lit(0.0))
+          .withColumn("normal_x", lit(0.0)).withColumn("normal_y", lit(0.0))
+          .withColumn("normal_z", lit(1.0)),
+        radius = 1.2, multiplier = 1.2)
     })
   )
 
@@ -1470,6 +1482,15 @@ object SparkEntry {
       """SELECT CAST(2 AS BIGINT) AS euler,
             CAST(0 AS BIGINT) AS nonmanifold_edges,
             CAST(0 AS BIGINT) AS orientation_violations,
-            CAST(0 AS BIGINT) AS out_of_tolerance"""
+            CAST(0 AS BIGINT) AS out_of_tolerance""",
+    // greedyprojection in the q55 unique-DT regime: the consensus mesh
+    // equals the global Delaunay enumeration, same canonical rotation
+    // (min key first, CCW under the +z normals)
+    "q60_greedyprojection" ->
+      """WITH i AS (SELECT (event_id - 1) // 2 AS i FROM events
+            WHERE event_id BETWEEN 1 AND 998 AND (event_id - 1) % 2 = 0)
+          SELECT 2 * i + 1 AS a, 2 * i + 3 AS b, 2 * i + 2 AS c FROM i
+          UNION ALL
+          SELECT 2 * i + 2 AS a, 2 * i + 3 AS b, 2 * i + 4 AS c FROM i"""
   )
 }

@@ -344,6 +344,15 @@ object PipelineBuilder {
         minPoints = optLong(o, "min_points").getOrElse(10L).toInt,
         minHag = optDouble(o, "min_height").getOrElse(3.0),
         dummyRadius = optDouble(o, "radius").getOrElse(100.0))
+      case "filters.greedyprojection" =>
+        // like filters.delaunay, the mesh is the stage output here
+        GreedyProjection(in,
+          radius = optDouble(o, "radius").get,
+          multiplier = optDouble(o, "multiplier").get,
+          numNeighbors = optLong(o, "num_neighbors").getOrElse(100L).toInt,
+          minAngle = optDouble(o, "min_angle").getOrElse(math.Pi / 18),
+          maxAngle = optDouble(o, "max_angle").getOrElse(2 * math.Pi / 3),
+          epsAngle = optDouble(o, "eps_angle").getOrElse(math.Pi / 4))
       case "filters.poisson" =>
         // reference replaces the view with the reconstructed mesh's
         // vertices and attaches the mesh (PoissonFilter.cpp:283-316);
