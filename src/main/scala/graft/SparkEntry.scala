@@ -645,10 +645,15 @@ object SparkEntry {
       // local projections are the identity on xy, and the lattice's DT is
       // unique — so the Gopi consensus mesh equals the q55 face
       // enumeration exactly, orientation CCW from the +z normals.
+      // num_neighbors=8 suffices: every point has exactly <= 4 neighbors
+      // inside the 1.2 gate radius (next nearest are at 1.8+), and the
+      // consensus mesh depends only on the gate-surviving set — k merely
+      // has to cover it, and a small k avoids wide kNN ring escalation
+      // over the 500x1 anisotropic extent.
       GreedyProjection(latticePts(s, d).withColumn("z", lit(0.0))
           .withColumn("normal_x", lit(0.0)).withColumn("normal_y", lit(0.0))
           .withColumn("normal_z", lit(1.0)),
-        radius = 1.2, multiplier = 1.2)
+        radius = 1.2, multiplier = 1.2, numNeighbors = 8, cellSize = 1.2)
     })
   )
 
