@@ -654,7 +654,17 @@ object SparkEntry {
           .withColumn("normal_x", lit(0.0)).withColumn("normal_y", lit(0.0))
           .withColumn("normal_z", lit(1.0)),
         radius = 1.2, multiplier = 1.2, numNeighbors = 8, cellSize = 1.2)
-    })
+    }),
+    "q61_projpipeline" -> ((s, d) =>
+      // filters.projpipeline in a pure-arithmetic regime (axisswap +
+      // unitconvert + affine compile to the same IEEE ops DuckDB runs);
+      // the utm/cart/helmert steps are covered by ProjPipelineSpec
+      // roundtrips — their series aren't ANSI-SQL-expressible.
+      ProjPipeline(pts(s, d),
+        "+proj=pipeline +step +proj=axisswap +order=2,1 " +
+        "+step +proj=unitconvert +xy_in=m +xy_out=km " +
+        "+step +proj=affine +s11=2 +xoff=10 +s22=0.5 +yoff=-5")
+        .select(col("order_key"), col("x").as("px"), col("y").as("py")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1496,6 +1506,14 @@ object SparkEntry {
             WHERE event_id BETWEEN 1 AND 998 AND (event_id - 1) % 2 = 0)
           SELECT 2 * i + 1 AS a, 2 * i + 3 AS b, 2 * i + 2 AS c FROM i
           UNION ALL
-          SELECT 2 * i + 2 AS a, 2 * i + 3 AS b, 2 * i + 4 AS c FROM i"""
+          SELECT 2 * i + 2 AS a, 2 * i + 3 AS b, 2 * i + 4 AS c FROM i""",
+    // projpipeline arithmetic steps replicated op-for-op (axisswap swaps
+    // x/y, unitconvert multiplies by 0.001, affine is k*v + off with the
+    // same association order as the built columns)
+    "q61_projpipeline" ->
+      s"""SELECT order_key,
+          (CAST(2.0 AS DOUBLE) * (y * CAST(0.001 AS DOUBLE))) + CAST(10.0 AS DOUBLE) AS px,
+          (CAST(0.5 AS DOUBLE) * (x * CAST(0.001 AS DOUBLE))) + CAST(-5.0 AS DOUBLE) AS py
+          FROM ($ptsSql)"""
   )
 }

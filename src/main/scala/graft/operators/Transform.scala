@@ -107,6 +107,42 @@ object Reprojection {
       .withColumn("y", degrees(lat))
       .withColumn("x", col("__lon")).drop("__lon"), "EPSG:4326")
   }
+
+  private object UtmCode {
+    /** EPSG:326xx (north) / 327xx (south) -> (zone, southern). */
+    def unapply(srs: String): Option[(Int, Boolean)] = {
+      val m = "EPSG:32([67])(\\d\\d)".r
+      srs match {
+        case m(ns, z) if z.toInt >= 1 && z.toInt <= 60 =>
+          Some((z.toInt, ns == "7"))
+        case _ => None
+      }
+    }
+  }
+
+  /** in_srs/out_srs dispatcher for the pipeline dialect
+    * (filters/ReprojectionFilter.cpp:48 options) over the supported CRS
+    * pairs, routing through EPSG:4326 as the hub. */
+  def convert(df: DataFrame, inSrs: String, outSrs: String): DataFrame = {
+    def norm(s: String) = s.trim.toUpperCase
+    (norm(inSrs), norm(outSrs)) match {
+      case (a, b) if a == b => Srs.tag(df, b)
+      case ("EPSG:4326", "EPSG:3857") => wgs84ToWebMercator(df)
+      case ("EPSG:3857", "EPSG:4326") => webMercatorToWgs84(df)
+      case ("EPSG:4326", UtmCode(z, s)) => wgs84ToUtm(df, z, s)
+      case (UtmCode(z, s), "EPSG:4326") => utmToWgs84(df, z, s)
+      case (UtmCode(z, s), "EPSG:3857") =>
+        wgs84ToWebMercator(utmToWgs84(df, z, s))
+      case ("EPSG:3857", UtmCode(z, s)) =>
+        wgs84ToUtm(webMercatorToWgs84(df), z, s)
+      case (UtmCode(z1, s1), UtmCode(z2, s2)) =>
+        wgs84ToUtm(utmToWgs84(df, z1, s1), z2, s2)
+      case other => throw new IllegalArgumentException(
+        s"reprojection pair $other unsupported without a PROJ database — " +
+        "supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx (UTM); " +
+        "arbitrary operations go through filters.projpipeline")
+    }
+  }
 }
 
 /** filters.gpstimeconvert analog (filters/GpsTimeConvert.cpp:42):

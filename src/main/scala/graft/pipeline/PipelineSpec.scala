@@ -238,6 +238,17 @@ object PipelineBuilder {
         optLong(o, "maxiters").getOrElse(10L).toInt)
       case "filters.transformation" =>
         Transformation(in, optStr(o, "matrix").get.trim.split("\\s+").map(_.toDouble).toSeq)
+      case "filters.reprojection" =>
+        // in_srs falls back to the view's CRS tag (ReprojectionFilter.cpp:
+        // srsFoundOrThrow — the reader's SRS when the option is absent)
+        val inSrs = optStr(o, "in_srs").orElse(Srs.of(in)).getOrElse(
+          throw new IllegalArgumentException(
+            "reprojection: no in_srs option and the input carries no CRS tag"))
+        Reprojection.convert(in, inSrs, optStr(o, "out_srs").get)
+      case "filters.projpipeline" =>
+        ProjPipeline(in, optStr(o, "coord_op").get,
+          reverse = optBool(o, "reverse_transfo").getOrElse(false),
+          outSrs = optStr(o, "out_srs"))
       case "filters.mortonorder" => MortonOrder(in,
         optStr(o, "reverse").exists(_.toBoolean))
       case "filters.gpstimeconvert" =>
