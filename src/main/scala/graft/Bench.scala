@@ -18,9 +18,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // per-query isolation: drop any cached plans / persisted blocks a
+    // query's operators left behind so 62 queries in one JVM don't
+    // accumulate block-manager pressure that distorts later timings
+    // (each query still pays for its own materializations inside its
+    // own timing window)
+    def clearLeftovers(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      clearLeftovers()
     }
     results("flagship_pipeline") =
       try time(SparkEntry.entry(spark).count()) catch { case _: Throwable => -1.0 }
