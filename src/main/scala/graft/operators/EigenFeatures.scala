@@ -114,6 +114,30 @@ case class Eigen3Expr(children: Seq[Expression]) extends Expression
   * groupBy for the moment sums, then the closed-form eigensolver as a
   * codegen'd expression — no per-row JVM matrix library.
   */
+/** Shared normals-acquisition step for the surface-reconstruction stages
+  * (Poisson, GreedyProjection): use provided Normal[XYZ] analogs when
+  * present, else estimate them (the reference runs NormalFilter
+  * implicitly in both filters); normalize to unit length and drop
+  * degenerate zero normals. Output: order_key, x, y, z, nx, ny, nz. */
+private[operators] object Normals {
+  def ensureUnit(df: DataFrame, k: Int = 8): DataFrame = {
+    val hasNormals = df.columns.contains("normal_x") &&
+      df.columns.contains("normal_y") && df.columns.contains("normal_z")
+    val withN =
+      if (hasNormals) df.select(col("order_key"), col("x"), col("y"), col("z"),
+        col("normal_x"), col("normal_y"), col("normal_z"))
+      else df.select("order_key", "x", "y", "z")
+        .join(EigenFeatures(df, k = k).select(col("order_key"),
+          col("normal_x"), col("normal_y"), col("normal_z")), Seq("order_key"))
+    val nlen = sqrt(col("normal_x") * col("normal_x") +
+      col("normal_y") * col("normal_y") + col("normal_z") * col("normal_z"))
+    withN.filter(nlen > 1e-12)
+      .select(col("order_key"), col("x"), col("y"), col("z"),
+        (col("normal_x") / nlen).as("nx"), (col("normal_y") / nlen).as("ny"),
+        (col("normal_z") / nlen).as("nz"))
+  }
+}
+
 object EigenFeatures {
   def apply(df: DataFrame, k: Int = 8, cellSize: Double = 0.0): DataFrame = {
     val pts = df.select("order_key", "x", "y", "z")

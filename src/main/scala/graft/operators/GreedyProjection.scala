@@ -59,22 +59,9 @@ object GreedyProjection extends Serializable {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // normals: use provided Normal[XYZ] analogs, else estimate (the
-    // reference runs NormalFilter unconditionally, GreedyProjection.cpp:130)
-    val hasNormals = df.columns.contains("normal_x") &&
-      df.columns.contains("normal_y") && df.columns.contains("normal_z")
-    val ptsN0 =
-      if (hasNormals) df.select(col("order_key"), col("x"), col("y"), col("z"),
-        col("normal_x"), col("normal_y"), col("normal_z"))
-      else df.select("order_key", "x", "y", "z")
-        .join(EigenFeatures(df, k = 8).select(col("order_key"),
-          col("normal_x"), col("normal_y"), col("normal_z")), Seq("order_key"))
-    val nlen = sqrt(col("normal_x") * col("normal_x") +
-      col("normal_y") * col("normal_y") + col("normal_z") * col("normal_z"))
-    val ptsN = ptsN0.filter(nlen > 1e-12)
-      .select(col("order_key"), col("x"), col("y"), col("z"),
-        (col("normal_x") / nlen).as("nx"), (col("normal_y") / nlen).as("ny"),
-        (col("normal_z") / nlen).as("nz"))
+    // normals: shared acquisition (provided or estimated, unit) — the
+    // reference runs NormalFilter unconditionally (GreedyProjection.cpp:130)
+    val ptsN = Normals.ensureUnit(df, k = 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val outSchema = StructType(Seq(StructField("a", LongType),

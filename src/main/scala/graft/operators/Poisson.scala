@@ -82,26 +82,9 @@ object Poisson extends Serializable {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // ---- normals: use provided Normal[XYZ] analogs if present, else
-    // estimate like the reference's implicit NormalFilter run
-    // (PoissonFilter.cpp:262-268)
-    val hasNormals = df.columns.contains("normal_x") &&
-      df.columns.contains("normal_y") && df.columns.contains("normal_z")
-    val withN0 =
-      if (hasNormals) df.select(col("order_key"), col("x"), col("y"), col("z"),
-        col("normal_x"), col("normal_y"), col("normal_z"))
-      else {
-        val feats = EigenFeatures(df, k = 8)
-          .select(col("order_key"), col("normal_x"), col("normal_y"), col("normal_z"))
-        df.select("order_key", "x", "y", "z").join(feats, Seq("order_key"))
-      }
-    // normalize to unit (guard degenerate zero normals out)
-    val nlen = sqrt(col("normal_x") * col("normal_x") +
-      col("normal_y") * col("normal_y") + col("normal_z") * col("normal_z"))
-    val pts = withN0.filter(nlen > 1e-12)
-      .select(col("order_key"), col("x"), col("y"), col("z"),
-        (col("normal_x") / nlen).as("nx"), (col("normal_y") / nlen).as("ny"),
-        (col("normal_z") / nlen).as("nz"))
+    // ---- normals: shared acquisition (provided or estimated, unit) —
+    // the reference's implicit NormalFilter run (PoissonFilter.cpp:262-268)
+    val pts = Normals.ensureUnit(df, k = 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bb = pts.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
@@ -243,7 +226,10 @@ object Poisson extends Serializable {
             col("normal_z"))
         verts0.join(nf, Seq("order_key"), "left")
       }
-    val out = PoissonResult(Mat(verts, eager = false), Mat(faces, eager = false))
+    // materialize BOTH outputs before dropping the intermediate persists —
+    // a lazy checkpoint here would re-run the march/smooth/splat chain
+    // from scratch on the caller's first action
+    val out = PoissonResult(Mat(verts), Mat(faces))
     pts.unpersist(false); fwFineP.unpersist(false); chiP.unpersist(false)
     trisP.unpersist(false); verts0.unpersist(false)
     out
@@ -732,10 +718,15 @@ object Poisson extends Serializable {
         val wx = v2._2 - v0._2; val wy = v2._3 - v0._3; val wz = v2._4 - v0._4
         val nx = uy * wz - uz * wy; val ny = uz * wx - ux * wz
         val nz = ux * wy - uy * wx
-        val (a, b, c) =
-          if (nx * rx + ny * ry + nz * rz >= 0) (v0, v1, v2) else (v0, v2, v1)
-        out += ((a._1, b._1, c._1, a._2, a._3, a._4, a._5,
-          b._2, b._3, b._4, b._5, c._2, c._3, c._4, c._5))
+        // chi == iso EXACTLY at a node puts t = 0 on every edge from it:
+        // three coincident vertices under distinct edge keys. Drop the
+        // zero-area face (exact test — generic data never hits it).
+        if (nx != 0.0 || ny != 0.0 || nz != 0.0) {
+          val (a, b, c) =
+            if (nx * rx + ny * ry + nz * rz >= 0) (v0, v1, v2) else (v0, v2, v1)
+          out += ((a._1, b._1, c._1, a._2, a._3, a._4, a._5,
+            b._2, b._3, b._4, b._5, c._2, c._3, c._4, c._5))
+        }
       }
       if (np == 1) {
         emit(edge(pos(0), neg(0)), edge(pos(0), neg(1)), edge(pos(0), neg(2)))

@@ -23,19 +23,20 @@ import org.apache.spark.sql.functions._
   *   per-step modifiers: +inv, +omit_fwd, +omit_inv
   *
   * Projection steps follow the PROJ convention: angular input/output is
-  * RADIANS (compose with unitconvert for degrees). Unsupported steps
-  * fail loudly, listing the subset. Every step is simultaneous-update
+  * RADIANS (compose with unitconvert for degrees). Unsupported steps AND
+  * unknown step parameters fail loudly, listing what is supported;
+  * boolean modifiers follow PROJ's pj_param semantics (bare presence or
+  * an explicit true/false value). Every step is simultaneous-update
   * column arithmetic (withColumns evaluates against the incoming row),
   * so the whole pipeline stays inside whole-stage codegen — no UDF, no
   * shuffle. */
 object ProjPipeline {
 
-  /** WGS84 constants (shared with Reprojection). */
-  private val A = 6378137.0
-  private val F_INV = 298.257223563
-  private val E2 = (2 - 1 / F_INV) / F_INV
-  private val B = A * math.sqrt(1 - E2)
-  private val EP2 = E2 / (1 - E2)
+  /** WGS84 constants — the shared ellipsoid object (Transform.scala). */
+  private val A = Wgs84.A
+  private val E2 = Wgs84.E2
+  private val B = Wgs84.B
+  private val EP2 = Wgs84.EP2
 
   private type V3 = (Column, Column, Column)
 
@@ -203,10 +204,50 @@ object ProjPipeline {
 
   private val ArcsecToRad = math.Pi / (180.0 * 3600.0)
 
+  /** Keys that are booleans in PROJ (pj_param 'b'): present without a
+    * value means true; an explicit value is parsed, not dropped. */
+  private val BoolKeys = Set("inv", "omit_fwd", "omit_inv", "south")
+
+  /** Per-op parameter whitelist — anything else in a step fails loudly
+    * (the file's contract: no silent parameter drops). */
+  private val OpParams: Map[String, Set[String]] = {
+    val geo = Set("ellps", "datum")
+    Map(
+      "axisswap" -> Set("order"),
+      "unitconvert" -> Set("xy_in", "xy_out", "z_in", "z_out"),
+      "affine" -> Set("s11", "s12", "s13", "s21", "s22", "s23", "s31",
+        "s32", "s33", "xoff", "yoff", "zoff"),
+      "utm" -> (Set("zone", "south") ++ geo),
+      "webmerc" -> geo,
+      "cart" -> geo, "geocent" -> geo,
+      "helmert" -> Set("x", "y", "z", "rx", "ry", "rz", "s", "convention"),
+      "noop" -> Set.empty, "longlat" -> geo, "latlong" -> geo,
+      "latlon" -> geo)
+  }
+
   private def buildStep(kv: Map[String, String], flags: Set[String]): Step = {
+    val projName = kv.getOrElse("proj",
+      throw new IllegalArgumentException(s"step without +proj=: $kv"))
+    for (allowed <- OpParams.get(projName)) {
+      val known = allowed ++ Set("proj", "inv", "omit_fwd", "omit_inv")
+      val unknown = (kv.keySet ++ flags) -- known
+      require(unknown.isEmpty,
+        s"+proj=$projName: unknown parameter(s) ${unknown.toSeq.sorted
+          .map("+" + _).mkString(", ")} (supported: ${known.toSeq.sorted
+          .map("+" + _).mkString(", ")})")
+      // the engine's ellipsoid is WGS84-only (no PROJ database)
+      for (e <- kv.get("ellps"))
+        require(e == "WGS84", s"+ellps=$e unsupported — WGS84 only (no PROJ db)")
+      for (d <- kv.get("datum"))
+        require(d == "WGS84", s"+datum=$d unsupported — WGS84 only (no PROJ db)")
+    }
+    buildStepOp(kv, flags, projName)
+  }
+
+  private def buildStepOp(kv: Map[String, String], flags: Set[String],
+      projName: String): Step = {
     def d(k: String, dflt: Double) = kv.get(k).map(_.toDouble).getOrElse(dflt)
-    val op = kv.getOrElse("proj",
-      throw new IllegalArgumentException(s"step without +proj=: $kv")) match {
+    val op = projName match {
       case "axisswap" =>
         AxisSwap(kv.getOrElse("order", "1,2,3").split(',').map(_.trim.toInt).toSeq
           .padTo(3, 0).zipWithIndex.map { case (o, i) => if (o == 0) i + 1 else o })
@@ -295,9 +336,25 @@ object ProjPipeline {
       else (groups.head, groups.tail)
     require(header.isEmpty || header.exists(_ == ("proj", "pipeline")),
       s"multi-step coord_op must start with +proj=pipeline: $coordOp")
-    val globalReverse = header.exists(_._1 == "inv")
+    val globalReverse = header.exists {
+      case ("inv", v) =>
+        v.isEmpty || Set("t", "true", "1", "yes", "on")(v.toLowerCase)
+      case _ => false
+    }
     val steps = stepGroups.map { g =>
-      val flags = g.collect { case (k, "") => k }.toSet
+      // PROJ boolean semantics (pj_param 'b'): bare presence is true, an
+      // explicit value is parsed — '+south=1' must not silently read as
+      // "no south" (a 10,000 km northing error)
+      val flags = g.flatMap {
+        case (k, "") => Some(k)
+        case (k, v) if BoolKeys(k) => v.toLowerCase match {
+          case "t" | "true" | "1" | "yes" | "on" => Some(k)
+          case "f" | "false" | "0" | "no" | "off" => None
+          case other => throw new IllegalArgumentException(
+            s"+$k=$other is not a boolean (use +$k or +$k=true/false)")
+        }
+        case _ => None
+      }.toSet
       buildStep(g.filter(_._2.nonEmpty).toMap, flags)
     }
     (steps.filterNot(_.op match {

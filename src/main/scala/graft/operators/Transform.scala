@@ -33,10 +33,21 @@ object Scaling {
   * UDF): WGS84 lon/lat <-> Web Mercator, WGS84 <-> UTM (Karney-style
   * series, standard public formulas, ~1e-6 m grade). No PROJ database —
   * datum-grid cases are out of scope (SURVEY §7.4.7). */
+/** The one WGS84 ellipsoid definition — shared by every projection path
+  * (Reprojection's UTM/webmercator and ProjPipeline's cart/webmerc/utm
+  * steps), so a datum fix can never diverge them. */
+private[operators] object Wgs84 {
+  val A = 6378137.0 // semi-major
+  val F_INV = 298.257223563 // inverse flattening
+  val E2: Double = (2 - 1 / F_INV) / F_INV // first eccentricity^2
+  val B: Double = A * math.sqrt(1 - E2) // semi-minor
+  val EP2: Double = E2 / (1 - E2) // second eccentricity^2
+}
+
 object Reprojection {
-  private val R = 6378137.0 // WGS84 semi-major
-  private val F_INV = 298.257223563
-  private val E2 = (2 - 1 / F_INV) / F_INV // first eccentricity^2
+  private val R = Wgs84.A
+  private val F_INV = Wgs84.F_INV
+  private val E2 = Wgs84.E2
   private val K0 = 0.9996
 
   def wgs84ToWebMercator(df: DataFrame): DataFrame = Srs.tag(df

@@ -128,7 +128,10 @@ object PipelineBuilder {
           optStr(o, "default_srs"))
       else capped
     }
-    spec.stageType match {
+    // a bare Option.get on a required option throws an anonymous
+    // NoSuchElementException — rewrap it with the stage type and the
+    // options that WERE provided (PDAL names the option in its error)
+    try spec.stageType match {
       // ---- readers ----
       case "readers.auto" | "readers.parquet" | "readers.las" =>
         readerOpts(spark.read.parquet(optStr(o, "filename").get))
@@ -445,6 +448,11 @@ object PipelineBuilder {
         in.write.mode("overwrite").option("header", "true")
           .csv(optStr(o, "filename").get); in
       case other => throw new IllegalArgumentException(s"unknown stage type: $other")
+    } catch {
+      case _: NoSuchElementException => throw new IllegalArgumentException(
+        s"${spec.stageType}: a required option is missing or has the wrong " +
+        s"JSON type (options provided: ${
+          if (o.isEmpty) "none" else o.keys.toSeq.sorted.mkString(", ")})")
     }
   }
 

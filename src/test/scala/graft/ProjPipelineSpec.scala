@@ -208,4 +208,59 @@ class ProjPipelineSpec extends AnyFunSuite {
     assert(rr.getDouble(0) == wm.getDouble(0) && rr.getDouble(1) == wm.getDouble(1))
     assert(Srs.of(repro).contains("EPSG:3857"))
   }
+
+  test("boolean modifiers: valued forms honored (pj_param 'b'), not dropped") {
+    val geo = xyz((0.3, -0.6, 10.0)) // radians, southern hemisphere
+    // +south=1 must equal bare +south — dropping it silently would shift
+    // every northing by 10,000 km
+    val bare = first(ProjPipeline(geo, "+proj=utm +zone=33 +south"))
+    val valued = first(ProjPipeline(geo, "+proj=utm +zone=33 +south=1"))
+    assert(bare == valued)
+    val northed = first(ProjPipeline(geo, "+proj=utm +zone=33 +south=false"))
+    assert(math.abs(bare._2 - (northed._2 + 1e7)) < 1e-6)
+    // +inv=true on a step == +inv
+    val aff = "+proj=pipeline +step +proj=affine +s11=2"
+    val invBare = first(ProjPipeline(geo, aff.replace("+s11=2", "+s11=2 +inv")))
+    val invValued = first(ProjPipeline(geo, aff.replace("+s11=2", "+s11=2 +inv=true")))
+    assert(invBare == invValued && invBare._1 == 0.15)
+    // non-boolean value for a boolean key fails loudly
+    val e = intercept[IllegalArgumentException] {
+      ProjPipeline(geo, "+proj=utm +zone=33 +south=banana")
+    }
+    assert(e.getMessage.contains("south"))
+  }
+
+  test("unknown step parameters fail loudly (no silent drops)") {
+    val in = xyz((1.0, 2.0, 3.0))
+    // misspelled helmert translation (+dx instead of +x) must not be ignored
+    val e1 = intercept[IllegalArgumentException] {
+      ProjPipeline(in, "+proj=helmert +dx=100")
+    }
+    assert(e1.getMessage.contains("+dx") && e1.getMessage.contains("helmert"))
+    // non-WGS84 ellipsoid is out of the engine's scope — loud, not wrong
+    val e2 = intercept[IllegalArgumentException] {
+      ProjPipeline(in, "+proj=cart +ellps=GRS80")
+    }
+    assert(e2.getMessage.contains("GRS80"))
+    // +ellps=WGS84 (the engine's ellipsoid) is accepted
+    val ok = first(ProjPipeline(in, "+proj=noop +inv"))
+    assert(ok == (1.0, 2.0, 3.0))
+    assert(first(ProjPipeline(xyz((0.3, -0.6, 10.0)),
+      "+proj=utm +zone=33 +ellps=WGS84")) ==
+      first(ProjPipeline(xyz((0.3, -0.6, 10.0)), "+proj=utm +zone=33")))
+  }
+
+  test("missing required stage option names the stage (pipeline dialect)") {
+    spark.range(1).selectExpr("0L AS order_key",
+      "CAST(1.0 AS DOUBLE) AS x", "CAST(2.0 AS DOUBLE) AS y",
+      "CAST(0.0 AS DOUBLE) AS z").createOrReplaceTempView("pp_req")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineBuilder.run(spark, """{"pipeline":[
+        {"type":"readers.view","view":"pp_req"},
+        {"type":"filters.projpipeline","out_srs":"EPSG:32610"}
+      ]}""")
+    }
+    assert(e.getMessage.contains("filters.projpipeline") &&
+      e.getMessage.contains("out_srs"))
+  }
 }
