@@ -39,6 +39,33 @@ object DelaunayCore {
     t.realTriangles()
   }
 
+  /** Indices of the convex hull of (px, py), CCW (Andrew monotone
+    * chain, strict: collinear boundary points dropped). Degenerate
+    * inputs (all collinear / < 3 points) return fewer than 3 indices. */
+  def convexHull(px: Array[Double], py: Array[Double]): Array[Int] = {
+    val n = px.length
+    if (n < 3) return Array.range(0, n)
+    val idx = Array.range(0, n).sortBy(i => (px(i), py(i)))
+    @inline def cross(o: Int, a: Int, b: Int): Double =
+      (px(a) - px(o)) * (py(b) - py(o)) - (py(a) - py(o)) * (px(b) - px(o))
+    val h = new Array[Int](2 * n)
+    var k = 0
+    var i = 0
+    while (i < n) { // lower chain
+      val p = idx(i)
+      while (k >= 2 && cross(h(k - 2), h(k - 1), p) <= 0) k -= 1
+      h(k) = p; k += 1; i += 1
+    }
+    val lower = k + 1
+    var j = n - 2
+    while (j >= 0) { // upper chain
+      val p = idx(j)
+      while (k >= lower && cross(h(k - 2), h(k - 1), p) <= 0) k -= 1
+      h(k) = p; k += 1; j -= 1
+    }
+    java.util.Arrays.copyOf(h, k - 1)
+  }
+
   /** Circumcenter (x, y) and squared circumradius of triangle abc;
     * returns null for degenerate (collinear) triangles. */
   def circumcircle(ax: Double, ay: Double, bx: Double, by: Double,
@@ -520,23 +547,61 @@ object DelaunayMesh {
           }
           i += 3
         }
-        if (incomplete) Iterator((ti.toLong, tj.toLong, -1L)) // marker row
-        else out.iterator.map { t =>
-          // rotate smallest ORDER KEY first (CCW preserved)
-          val (ka, kb, kc) = t
-          if (ka <= kb && ka <= kc) (ka, kb, kc)
-          else if (kb <= ka && kb <= kc) (kb, kc, ka)
-          else (kc, ka, kb)
+        // The disk-escalation above walks the cavity lemma through REAL
+        // local triangles only; a hidden global triangle whose chain
+        // routes through a super-vertex (hull) facet escapes it — its
+        // clamped circumcenter then lies (to the half-plane limit of the
+        // ~1e9-extent super vertices) ON or BEYOND the local hull. So a
+        // tile may certify complete only when its whole core is inside
+        // the hull of the points it examined: 4 strictly-inside corners
+        // of a convex rectangle imply the rectangle is. This also covers
+        // <3-point and all-collinear tiles (degenerate hull).
+        if (!fullCover && !incomplete) {
+          val hull = DelaunayCore.convexHull(px, py)
+          if (hull.length < 3) incomplete = true
+          else {
+            val cxs = Array(c0x, c1x, c1x, c0x)
+            val cys = Array(c0y, c0y, c1y, c1y)
+            var q = 0
+            while (q < 4 && !incomplete) {
+              var e2 = 0
+              while (e2 < hull.length && !incomplete) {
+                val a = hull(e2); val b = hull((e2 + 1) % hull.length)
+                if ((px(b) - px(a)) * (cys(q) - py(a)) -
+                    (py(b) - py(a)) * (cxs(q) - px(a)) < 0) incomplete = true
+                e2 += 1
+              }
+              q += 1
+            }
+          }
         }
+        if (incomplete) Iterator((ti.toLong, tj.toLong, -1L)) // marker row
+        else Iterator((ti.toLong, tj.toLong, -2L)) ++ // presence row
+          out.iterator.map { t =>
+            // rotate smallest ORDER KEY first (CCW preserved)
+            val (ka, kb, kc) = t
+            if (ka <= kb && ka <= kc) (ka, kb, kc)
+            else if (kb <= ka && kb <= kc) (kb, kc, ka)
+            else (kc, ka, kb)
+          }
       }.toDF("a", "b", "c")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val markers = res.filter(col("c") === -1L)
-        .select(col("a").cast("int"), col("b").cast("int"))
-        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val status = res.filter(col("c") === -1L || col("c") === -2L)
+        .select(col("a").cast("int"), col("b").cast("int"), col("c"))
+        .collect()
+      val markers = status.filter(_.getLong(2) == -1L)
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      val present = status.map(r => (r.getInt(0), r.getInt(1))).toSet
+      // an active tile with NO point in its examined region produces no
+      // cogroup group at all — it must stay active and keep escalating
+      // (it can still own triangles spanning its void; at fullCover it
+      // receives every point and resolves), not silently drop out
+      val missing = active -- present
       // keep `done` small-lineage across rounds
-      done = graft.core.Mat(done.unionByName(res.filter(col("c") =!= -1L)))
+      done = graft.core.Mat(done.unionByName(
+        res.filter(col("c") =!= -1L && col("c") =!= -2L)))
       res.unpersist(false)
-      active = markers
+      active = markers ++ missing
       halo = halo * 4
       round += 1
     }

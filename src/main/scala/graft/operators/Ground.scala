@@ -69,11 +69,18 @@ object GridSurface {
     * (SMRFilter.cpp:590-651 knnfill, incremental mean in distance
     * order). Ties at equal distance break on the reference cell index
     * c*rows+r (nanoflann's tie order is unspecified; ours is pinned). */
-  def inpaint(dense: DataFrame, g: GroundGrid, k: Int): DataFrame = {
+  def inpaint(dense0: DataFrame, g: GroundGrid, k: Int): DataFrame = {
+    // dense's lineage includes the point-cloud groupBy + the densify
+    // crossJoin: persist it so the two emptiness probes and the kNN
+    // join's two input scans don't re-run that chain four times
+    val dense = dense0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = dense.agg(
+      count(when(col("z").isNull, 1)).as("holes"),
+      count(when(col("z").isNotNull, 1)).as("filled")).head()
     val filled = dense.filter(col("z").isNotNull)
+    if (cnt.getLong(0) == 0 || cnt.getLong(1) == 0)
+      return dense // no holes, or empty index (reference knnfill no-op)
     val holes = dense.filter(col("z").isNull)
-    if (holes.isEmpty) return dense
-    if (filled.isEmpty) return dense // reference knnfill: no-op on empty index
     val cand = filled.select(g.key(col("c"), col("r")).as("order_key"),
       g.centerX(col("c")).as("x"), g.centerY(col("r")).as("y"),
       lit(0.0).as("z"), col("z").as("gz"))
@@ -219,6 +226,9 @@ object Pmf {
       returns: Seq[String] = Seq(Returns.Last, Returns.Only),
       ignore: Option[String] = None): DataFrame = {
     val (inliers, passthrough) = GroundSeg.segment(df, returns, ignore)
+    // all points ignored / segmented out: the reference no-ops on an
+    // empty view — gridOf's min/max aggregate would NPE on nulls
+    if (inliers.isEmpty) return inliers.unionByName(passthrough)
     val g = GridSurface.gridOf(inliers, cellSize)
     var surface = Mat(GridSurface.inpaint(
       GridSurface.densify(GridSurface.minSurface(inliers, g), g), g, k = 1))
@@ -283,6 +293,7 @@ object Smrf {
       returns: Seq[String] = Seq(Returns.Last, Returns.Only),
       ignore: Option[String] = None): DataFrame = {
     val (inliers, passthrough) = GroundSeg.segment(df, returns, ignore)
+    if (inliers.isEmpty) return inliers.unionByName(passthrough) // as Pmf
     val g = GridSurface.gridOf(inliers, cell)
     val zimin = Mat(GridSurface.inpaint(
       GridSurface.densify(GridSurface.minSurface(inliers, g), g), g, k = 8))
@@ -296,23 +307,24 @@ object Smrf {
     // net cutting (SMRFilter.cpp:411-441,510-549): grid lines every
     // ceil(cut/cell) cells take the value of a 2v-opened surface
     val v = if (cut > 0.0) math.ceil(cut / cell).toInt else 0
+    // the one net-line predicate — used by both the cut surface and the
+    // DEM voiding below, which must never disagree
+    val netFlag =
+      if (v == 0) lit(false)
+      else pmod(col("c"), lit(v)) === 0 || pmod(col("r"), lit(v)) === 0
     val zinet =
       if (v == 0) zimin
       else {
         val opened = GridSurface.open(zimin, g, 2 * v)
-        val isNet = pmod(col("c"), lit(v)) === 0 || pmod(col("r"), lit(v)) === 0
         Mat(zimin.join(opened.withColumnRenamed("z", "__op"), Seq("c", "r"))
           .select(col("c"), col("r"),
-            when(isNet, col("__op")).otherwise(col("z")).as("z")))
+            when(netFlag, col("__op")).otherwise(col("z")).as("z")))
       }
 
     val objMask = progressiveFilter(zinet, g, slope, window)
 
     // provisional DEM: object/low/net cells voided then inpainted from
     // the 8 nearest surviving cells (SMRFilter.cpp:551-588)
-    val netFlag =
-      if (v == 0) lit(false)
-      else pmod(col("c"), lit(v)) === 0 || pmod(col("r"), lit(v)) === 0
     val voided = zimin.join(low, Seq("c", "r")).join(objMask, Seq("c", "r"))
       .select(col("c"), col("r"),
         when(col("obj") === 1 || col("low") === 1 || netFlag, lit(null))

@@ -172,7 +172,12 @@ object Icp {
           Array(a.getDouble(1), a.getDouble(2), a.getDouble(3)),
           Array(a.getDouble(4), a.getDouble(5), a.getDouble(6)),
           Array.tabulate(9)(i => a.getDouble(7 + i)))
-        tFinal = mul4(tFinal, t)
+        // t maps the CURRENT transformed cloud onto fixed, so the update
+        // pre-multiplies (reference: final_transformation =
+        // transformation * final_transformation) — post-multiplying
+        // would apply each correction in the original frame, rotating
+        // later translation corrections off-axis
+        tFinal = mul4(t, tFinal)
         val cosAngle = 0.5 * (t(0) + t(5) + t(10) - 1)
         val transSqr = t(3) * t(3) + t(7) * t(7) + t(11) * t(11)
         var isSimilar = false

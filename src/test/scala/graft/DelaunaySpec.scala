@@ -132,6 +132,30 @@ class DelaunaySpec extends AnyFunSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("mesh: interior void wider than tile+halo — point-less owner tiles must not drop triangles") {
+    import spark.implicits._
+    // annulus: triangles spanning the central void have circumcenters in
+    // point-less interior tiles. A tile with no points in its examined
+    // region produces NO cogroup group; before the presence-row fix it
+    // silently left `active` and its owned triangles were never emitted.
+    val n = 240
+    val pts = (0 until n).map { i =>
+      val a = 2 * math.Pi * i / n
+      val r = 100.0 + (i % 3) // slight radial jitter, no cocircular quads
+      (i.toLong, 100.0 + r * math.cos(a), 100.0 + r * math.sin(a))
+    }
+    val df = pts.toDF("order_key", "x", "y")
+    val local = DelaunayMesh(df, targetPerTile = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // targetPerTile 15 -> gridN=4: the 2x2 central tiles see no points at
+    // the default halo (void radius ~97 >> tile 50 x 0.125)
+    val dist = DelaunayMesh(df, targetPerTile = 15L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(local.nonEmpty && dist == local,
+      s"missing=${(local -- dist).take(8)} extra=${(dist -- local).take(8)} " +
+        s"nLocal=${local.size} nDist=${dist.size}")
+  }
+
   test("hag_delaunay: planar ground is reproduced exactly inside the hull") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

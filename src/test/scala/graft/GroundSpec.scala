@@ -106,6 +106,17 @@ class GroundSpec extends AnyFunSuite {
     assert(byClass(1)._1 == 400L)
   }
 
+  test("PMF/SMRF: every point ignored -> pass-through, no crash (reference no-ops on empty)") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => (i.toLong, i * 1.0, i * 2.0, 0.5))
+      .toDF("order_key", "x", "y", "z")
+    // ignore matches every row: the min/max grid aggregate sees no inliers
+    val pm = Pmf(df, returns = Seq.empty, ignore = Some("Z[0:100]"))
+    assert(pm.count() == 20 && pm.filter(col("classification") === 2).count() == 0)
+    val sm = Smrf(df, returns = Seq.empty, ignore = Some("Z[0:100]"))
+    assert(sm.count() == 20 && sm.filter(col("classification") === 2).count() == 0)
+  }
+
   test("SMRF: planted terrain + building -> building non-ground, slope tolerated (filters.smrf)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

@@ -82,4 +82,40 @@ class IcpSpec extends AnyFunSuite {
       assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
     }
   }
+
+  test("ICP composition: one 2-iteration run == two 1-iteration runs composed (t * tFinal)") {
+    import spark.implicits._
+    // Composition-order differential: running Icp twice with maxIter=1
+    // (feeding the first result's cloud into the second) applies the
+    // corrections sequentially BY CONSTRUCTION; a single maxIter=2 run
+    // must accumulate the same total transform, which requires
+    // pre-multiplication (tFinal' = t * tFinal). The scenario is
+    // deliberately far from registered (25 deg on a lattice) so both
+    // corrections are substantial and non-commuting.
+    val fixed = (for (i <- 0 until 30; j <- 0 until 15)
+      yield ((i * 15 + j).toLong, i * 1.0, j * 1.0, 0.3 * ((i * 7 + j * 3) % 5)))
+      .toDF("order_key", "x", "y", "z")
+    val th = math.toRadians(25.0)
+    val (c, s) = (math.cos(th), math.sin(th))
+    val moving = fixed.select(col("order_key"),
+      (lit(c) * col("x") - lit(s) * col("y") + 0.4).as("x"),
+      (lit(s) * col("x") + lit(c) * col("y") - 0.3).as("y"),
+      (col("z") + 0.2).as("z"))
+    val two = Icp(fixed, moving, maxIter = 2, cellSize = 8.0)
+    val one = Icp(fixed, moving, maxIter = 1, cellSize = 8.0)
+    val oneMore = Icp(fixed, one.df, maxIter = 1, cellSize = 8.0)
+    // both transforms live in the fixed-centroid frame -> compose as 4x4
+    val seq = Array.tabulate(16) { i =>
+      val r = i / 4; val q = i % 4
+      (0 until 4).map(k => oneMore.transform(r * 4 + k) * one.transform(k * 4 + q)).sum
+    }
+    // the corrections genuinely differ (non-trivial second step) ...
+    val driftOfSecond = math.abs(oneMore.transform(0) - 1.0) +
+      math.abs(oneMore.transform(3)) + math.abs(oneMore.transform(7))
+    assert(driftOfSecond > 1e-3, s"second correction trivial: $driftOfSecond")
+    // ... yet the 2-iteration accumulation equals the sequential product
+    two.transform.zip(seq).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) < 1e-9, s"element $i: $got vs $want")
+    }
+  }
 }
