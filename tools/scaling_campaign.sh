@@ -1,0 +1,46 @@
+#!/bin/bash
+# Probe-gated scaling campaign (2 vs 8 cores, 16M docs) on the packaged
+# final-HEAD jar. A triple (8/2/8 legs) fires only when the 8-core host
+# probe clears ENTRY Mrows/s, and counts only when the exit probe clears
+# EXIT — the host has multi-minute throttle phases where extra cores
+# deliver nothing (BENCH/probe.tsv), so unguarded samples are noise.
+# Appends raw legs to BENCH/raw.tsv via ScalingBench itself; logs here.
+set -u
+cd /root/repo
+JAR=target/scala-2.13/pdalspark_2.13-0.1.0.jar
+DOCS=${DOCS:-16000000}
+ENTRY=${ENTRY:-620}
+EXIT_GATE=${EXIT_GATE:-590}
+MAX_PAIRS=${MAX_PAIRS:-3}
+DEADLINE=$(( $(date +%s) + ${MAX_SECS:-14400} ))
+LOG=/tmp/scaling_campaign_s10.log
+
+probe() { # cpuset
+  taskset -c "$1" /opt/spark/bin/spark-submit --class graft.HostProbe \
+    --driver-memory 8g "$JAR" 8 2000000000 2>/dev/null \
+    | grep -oP 'mrows/sec=\K[0-9]+'
+}
+leg() { # cores cpuset
+  taskset -c "$2" /opt/spark/bin/spark-submit --class graft.ScalingBench \
+    --driver-memory 48g "$JAR" run "$DOCS" "$1" 2>/dev/null | grep '\[scaling\]'
+}
+
+pairs=0
+while [ "$pairs" -lt "$MAX_PAIRS" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  p0=$(probe 0-7); p0=${p0:-0}
+  echo "$(date -u +%H:%M:%S) entry probe $p0" >> "$LOG"
+  if [ "$p0" -lt "$ENTRY" ]; then sleep 120; continue; fi
+  l8a=$(leg 8 0-7);  echo "$(date -u +%H:%M:%S) leg8a $l8a" >> "$LOG"
+  l2=$(leg 2 0-1);   echo "$(date -u +%H:%M:%S) leg2  $l2"  >> "$LOG"
+  l8b=$(leg 8 0-7);  echo "$(date -u +%H:%M:%S) leg8b $l8b" >> "$LOG"
+  p1=$(probe 0-7); p1=${p1:-0}
+  echo "$(date -u +%H:%M:%S) exit probe $p1" >> "$LOG"
+  if [ "$p1" -ge "$EXIT_GATE" ]; then
+    pairs=$((pairs+1))
+    echo "$(date -u +%H:%M:%S) PAIR $pairs COUNTED (probes $p0/$p1)" >> "$LOG"
+  else
+    echo "$(date -u +%H:%M:%S) pair discarded (exit probe $p1 < $EXIT_GATE)" >> "$LOG"
+  fi
+  sleep 60
+done
+echo "$(date -u +%H:%M:%S) campaign done: $pairs clean pairs" >> "$LOG"
