@@ -623,18 +623,27 @@ object SparkEntry {
           struct(col("b").as("u"), col("c").as("v")),
           struct(col("c").as("u"), col("a").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
-      val und = dirEdges.select(least(col("u"), col("v")).as("p"),
+      // one aggregate per table instead of one count per invariant: the
+      // depth-5 mesh is tiny, so the invariant chain is job-overhead-bound
+      val undAgg = dirEdges.select(least(col("u"), col("v")).as("p"),
           greatest(col("u"), col("v")).as("q"))
-        .groupBy("p", "q").agg(count(lit(1)).as("cnt")).persist()
-      val nonman = und.filter(col("cnt") =!= 2).count()
-      val dirDup = dirEdges.groupBy("u", "v").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") =!= 1).count()
-      val v = res.vertices.count(); val e = und.count(); val f = faces.count()
+        .groupBy("p", "q").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("e"), coalesce(sum(
+          when(col("cnt") =!= 2, 1L).otherwise(0L)), lit(0L)).as("nonman"))
+        .head()
+      val (e, nonman) = (undAgg.getLong(0), undAgg.getLong(1))
+      val dirAgg = dirEdges.groupBy("u", "v").agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("tot"), coalesce(sum(
+          when(col("cnt") =!= 1, 1L).otherwise(0L)), lit(0L)).as("dup"))
+        .head()
+      val (f, dirDup) = (dirAgg.getLong(0) / 3, dirAgg.getLong(1))
       val hs = 1.25 * 60.0 / 32.0
-      val outTol = res.vertices.filter(abs(sqrt(
-          pow(col("x") - 100.0, 2) + pow(col("y") - 200.0, 2) +
-          pow(col("z") - 50.0, 2)) - 30.0) >= 1.5 * hs).count()
-      und.unpersist(false); faces.unpersist(false)
+      val vAgg = res.vertices.agg(count(lit(1)).as("v"), coalesce(sum(
+          when(abs(sqrt(pow(col("x") - 100.0, 2) + pow(col("y") - 200.0, 2) +
+            pow(col("z") - 50.0, 2)) - 30.0) >= 1.5 * hs, 1L)
+            .otherwise(0L)), lit(0L)).as("outTol")).head()
+      val (v, outTol) = (vAgg.getLong(0), vAgg.getLong(1))
+      faces.unpersist(false)
       Seq((v - e + f, nonman, dirDup, outTol)).toDF("euler",
         "nonmanifold_edges", "orientation_violations", "out_of_tolerance")
     }),
