@@ -118,6 +118,20 @@ object Poisson extends Serializable {
       .agg(sum("vx").as("vx"), sum("vy").as("vy"), sum("vz").as("vz"),
         sum("w").as("w"))
 
+    // ---- LOCAL FAST PATH: when the FINEST grid fits one driver patch
+    // (m^3 <= localNodes), the whole pyramid does — run the identical
+    // dense-array kernels (smoothPatch/divergencePatch/jacobiPatch/
+    // prolongInterp/march) driver-side without the per-stage
+    // collect/createDataFrame round trips: one splat job, one isovalue
+    // aggregate over the samples, one materialization per output.
+    // PoissonSpec's local==distributed differential pins the equivalence.
+    if (m.toLong * m * m <= localNodes) {
+      val out = localPipeline(spark, pts, splat, depth, m, side, ox, oy, oz,
+        hs, iterations, smoothPasses, density, outputNormals)
+      pts.unpersist(false)
+      return out
+    }
+
     // ---- 2. smooth + divergence (tile halo = smoothPasses + 1);
     // emits (i,j,k,f,w): f = div of the smoothed field, w = smoothed
     // splat weight (the kernel-density analog of the reference's
@@ -233,6 +247,155 @@ object Poisson extends Serializable {
     pts.unpersist(false); fwFineP.unpersist(false); chiP.unpersist(false)
     trisP.unpersist(false); verts0.unpersist(false)
     out
+  }
+
+  /** Whole-pyramid driver-side pipeline for grids with m^3 <= localNodes:
+    * the SAME dense kernels as the tiled stages (smoothPatch /
+    * divergencePatch / jacobiPatch / prolongInterp / marcher) run once
+    * over the full grid, with exactly three Spark jobs — the splat
+    * collect, the isovalue aggregate over the samples (broadcast chi),
+    * and the output materialization. Equivalence to the distributed
+    * path is pinned by PoissonSpec's differential. */
+  private def localPipeline(spark: SparkSession, pts: DataFrame,
+      splat: DataFrame, depth: Int, m: Int, side: Double, ox: Double,
+      oy: Double, oz: Double, hs: Double, iterations: Int, smoothPasses: Int,
+      density: Boolean, outputNormals: Boolean): PoissonResult = {
+    import spark.implicits._
+    val m3 = m * m * m
+
+    // ---- 2. smooth + divergence on the dense grid (splat collect = job 1)
+    val vx = new Array[Double](m3); val vy = new Array[Double](m3)
+    val vz = new Array[Double](m3); val w = new Array[Double](m3)
+    splat.collect().foreach { r =>
+      val c = (r.getInt(2) * m + r.getInt(1)) * m + r.getInt(0)
+      vx(c) = r.getDouble(3); vy(c) = r.getDouble(4); vz(c) = r.getDouble(5)
+      w(c) = r.getDouble(6)
+    }
+    val sx = smoothPatch(vx, m, m, m, smoothPasses)
+    val sy = smoothPatch(vy, m, m, m, smoothPasses)
+    val sz = smoothPatch(vz, m, m, m, smoothPasses)
+    val sw = smoothPatch(w, m, m, m, smoothPasses)
+    val fFine = divergencePatch(sx, sy, sz, m, m, m, 0, 0, 0, m, hs)
+
+    // ---- 3. cascadic multigrid, same schedule as the tiled path
+    val lmin = 2
+    var chi: Array[Double] = null
+    var l = lmin
+    while (l <= depth) {
+      val s = 1 << (depth - l)
+      val ml = (1 << l) + 1
+      val hl = side / (1 << l)
+      val fl =
+        if (l == depth) fFine
+        else {
+          val a = new Array[Double](ml * ml * ml)
+          var ck = 0
+          while (ck < ml) { var cj = 0
+            while (cj < ml) { var ci = 0
+              while (ci < ml) {
+                a((ck * ml + cj) * ml + ci) =
+                  fFine(((ck * s) * m + cj * s) * m + ci * s)
+                ci += 1 }
+              cj += 1 }
+            ck += 1 }
+          a
+        }
+      val chi0 =
+        if (l == lmin) new Array[Double](ml * ml * ml)
+        else {
+          val mc = (1 << (l - 1)) + 1
+          val fine = new Array[Double](ml * ml * ml)
+          var gk = 0
+          while (gk < ml) { var gj = 0
+            while (gj < ml) { var gi = 0
+              while (gi < ml) {
+                fine((gk * ml + gj) * ml + gi) =
+                  prolongInterp(chi, mc, mc, mc, 0, 0, 0, gi, gj, gk)
+                gi += 1 }
+              gj += 1 }
+            gk += 1 }
+          fine
+        }
+      val iters = math.min(4000, iterations * (1 << (depth - l)))
+      chi = jacobiPatch(chi0, fl, ml, ml, ml, 0, 0, 0, ml, hl * hl, iters)
+      l += 1
+    }
+
+    // ---- 4. isovalue: mean of trilinearly interpolated chi at the
+    // samples — ONE aggregate job over pts with the grid broadcast
+    val chiB = spark.sparkContext.broadcast(chi)
+    val mLoc = m; val oxL = ox; val oyL = oy; val ozL = oz; val hsL = hs
+    val iso = pts.select("x", "y", "z").as[(Double, Double, Double)]
+      .mapPartitions { it =>
+        val cArr = chiB.value
+        it.map { case (px, py, pz) =>
+          val fx = (px - oxL) / hsL; val fy = (py - oyL) / hsL
+          val fz = (pz - ozL) / hsL
+          val bi = math.floor(fx).toInt; val bj = math.floor(fy).toInt
+          val bk = math.floor(fz).toInt
+          val sxr = fx - bi; val syr = fy - bj; val szr = fz - bk
+          var v = 0.0
+          var dz = 0
+          while (dz <= 1) { var dy = 0
+            while (dy <= 1) { var dx = 0
+              while (dx <= 1) {
+                val gi = bi + dx; val gj = bj + dy; val gk = bk + dz
+                val cv =
+                  if (gi < 0 || gi >= mLoc || gj < 0 || gj >= mLoc ||
+                      gk < 0 || gk >= mLoc) 0.0
+                  else cArr((gk * mLoc + gj) * mLoc + gi)
+                val wx = if (dx == 0) 1.0 - sxr else sxr
+                val wy = if (dy == 0) 1.0 - syr else syr
+                val wz = if (dz == 0) 1.0 - szr else szr
+                v += wx * wy * wz * cv
+                dx += 1 }
+              dy += 1 }
+            dz += 1 }
+          v
+        }
+      }.toDF("v").agg(avg("v")).head().getDouble(0)
+    chiB.destroy()
+
+    // ---- 5. march the whole grid driver-side
+    val tris = marcher(m, ox, oy, oz, hs, iso)(
+      chi, sw, m, m, m, 0, 0, 0, 0, 0, 0, m, m, m).toArray
+
+    // vertices: distinct edge keys (emissions bit-identical), ids by
+    // edge-key rank — the numbering globalRankBy(edge_key) produces
+    val vmap = new java.util.TreeMap[Long, (Double, Double, Double, Double)]
+    tris.foreach { t =>
+      if (!vmap.containsKey(t._1)) vmap.put(t._1, (t._4, t._5, t._6, t._7))
+      if (!vmap.containsKey(t._2)) vmap.put(t._2, (t._8, t._9, t._10, t._11))
+      if (!vmap.containsKey(t._3)) vmap.put(t._3, (t._12, t._13, t._14, t._15))
+    }
+    val ids = new scala.collection.mutable.LongMap[Long](vmap.size * 2)
+    val vrows = Vector.newBuilder[(Long, Double, Double, Double, Double, Long)]
+    var idx = 0L
+    val it = vmap.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      ids(e.getKey) = idx
+      val (x, y, z, d) = e.getValue
+      vrows += ((idx, x, y, z, d, e.getKey))
+      idx += 1
+    }
+    var verts0 = vrows.result()
+      .toDF("order_key", "x", "y", "z", "density", "edge_key")
+    if (!density) verts0 = verts0.drop("density")
+    val faces = tris.toSeq
+      .map(t => (ids(t._1), ids(t._2), ids(t._3)))
+      .toDF("a", "b", "c")
+
+    // ---- 6. reference parity: re-estimate normals on the output
+    val verts =
+      if (!outputNormals) verts0
+      else {
+        val nf = EigenFeatures(verts0.select("order_key", "x", "y", "z"), k = 8)
+          .select(col("order_key"), col("normal_x"), col("normal_y"),
+            col("normal_z"))
+        verts0.join(nf, Seq("order_key"), "left")
+      }
+    PoissonResult(Mat(verts), Mat(faces))
   }
 
   private def emptyResult(spark: SparkSession, density: Boolean,
@@ -536,33 +699,38 @@ object Poisson extends Serializable {
 
   /** Trilinear prolongation of a coarse solution (grid mc) to the next
     * finer grid (mf = 2*(mc-1)+1); emits sparse (i,j,k,chi) rows. */
+  /** Trilinear interpolation of one fine node from a dense coarse patch;
+    * fine node -> coarse coords gi/2 etc; odd coords average the two
+    * flanking coarse nodes per axis (fixed fold order: z, y, x). */
+  private def prolongInterp(cc: Array[Double], pw: Int, ph: Int, pd: Int,
+      gx0: Int, gy0: Int, gz0: Int, gi: Int, gj: Int, gk: Int): Double = {
+    def rd(ci: Int, cj: Int, ck: Int): Double = {
+      val x = ci - gx0; val y = cj - gy0; val z = ck - gz0
+      if (x < 0 || x >= pw || y < 0 || y >= ph || z < 0 || z >= pd) 0.0
+      else cc((z * ph + y) * pw + x)
+    }
+    val i0 = gi >> 1; val j0 = gj >> 1; val k0 = gk >> 1
+    val ix = gi & 1; val jy = gj & 1; val kz = gk & 1
+    var s = 0.0
+    var dz = 0
+    while (dz <= kz) { var dy = 0
+      while (dy <= jy) { var dx = 0
+        while (dx <= ix) {
+          val w = (if (ix == 1) 0.5 else 1.0) * (if (jy == 1) 0.5 else 1.0) *
+            (if (kz == 1) 0.5 else 1.0)
+          s += w * rd(i0 + dx, j0 + dy, k0 + dz)
+          dx += 1 }
+        dy += 1 }
+      dz += 1 }
+    s
+  }
+
   private def stageProlong(spark: SparkSession, coarse: DataFrame, mc: Int,
       mf: Int, tileSize: Int, localNodes: Long): DataFrame = {
     import spark.implicits._
     def interp(cc: Array[Double], pw: Int, ph: Int, pd: Int, gx0: Int,
-        gy0: Int, gz0: Int, gi: Int, gj: Int, gk: Int): Double = {
-      // fine node -> coarse coords gi/2 etc; odd coords average the two
-      // flanking coarse nodes per axis (fixed fold order: z, y, x)
-      def rd(ci: Int, cj: Int, ck: Int): Double = {
-        val x = ci - gx0; val y = cj - gy0; val z = ck - gz0
-        if (x < 0 || x >= pw || y < 0 || y >= ph || z < 0 || z >= pd) 0.0
-        else cc((z * ph + y) * pw + x)
-      }
-      val i0 = gi >> 1; val j0 = gj >> 1; val k0 = gk >> 1
-      val ix = gi & 1; val jy = gj & 1; val kz = gk & 1
-      var s = 0.0
-      var dz = 0
-      while (dz <= kz) { var dy = 0
-        while (dy <= jy) { var dx = 0
-          while (dx <= ix) {
-            val w = (if (ix == 1) 0.5 else 1.0) * (if (jy == 1) 0.5 else 1.0) *
-              (if (kz == 1) 0.5 else 1.0)
-            s += w * rd(i0 + dx, j0 + dy, k0 + dz)
-            dx += 1 }
-          dy += 1 }
-        dz += 1 }
-      s
-    }
+        gy0: Int, gz0: Int, gi: Int, gj: Int, gk: Int): Double =
+      prolongInterp(cc, pw, ph, pd, gx0, gy0, gz0, gi, gj, gk)
     if (mf.toLong * mf * mf <= localNodes) {
       val rows = coarse.select("i", "j", "k", "chi").collect()
       val cc = new Array[Double](mc * mc * mc)
@@ -617,20 +785,22 @@ object Poisson extends Serializable {
     perms.map(p => Array(0, p(0), p(0) | p(1), 7)).toArray
   }
 
-  /** March the isosurface: emit one row per triangle with canonical
-    * edge keys and bit-exact edge-vertex positions. */
-  private def stageMarch(spark: SparkSession, chiDf: DataFrame, m: Int,
-      ox: Double, oy: Double, oz: Double, hs: Double, iso: Double,
-      tileSize: Int, localNodes: Long): DataFrame = {
-    import spark.implicits._
+  private type Tri = (Long, Long, Long, Double, Double, Double, Double,
+    Double, Double, Double, Double, Double, Double, Double, Double)
+
+  /** Build the patch marcher for grid m / frame (ox,oy,oz,hs) / isovalue:
+    * marches all core cubes of one dense (chi, density) patch. Shared by
+    * the tiled stage and the whole-pyramid local fast path. */
+  private def marcher(m: Int, ox: Double, oy: Double, oz: Double, hs: Double,
+      iso: Double): (Array[Double], Array[Double], Int, Int, Int, Int, Int,
+      Int, Int, Int, Int, Int, Int, Int) => Iterator[Tri] = {
     val m3 = m.toLong * m * m
 
     // march all core cubes of one dense patch
     def marchPatch(chi: Array[Double], dens: Array[Double], pw: Int, ph: Int,
         pd: Int, gx0: Int, gy0: Int, gz0: Int,
         cx0: Int, cy0: Int, cz0: Int, cx1: Int, cy1: Int, cz1: Int)
-        : Iterator[(Long, Long, Long, Double, Double, Double, Double, Double,
-          Double, Double, Double, Double, Double, Double, Double)] = {
+        : Iterator[Tri] = {
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long,
         Double, Double, Double, Double, Double, Double, Double, Double,
         Double, Double, Double, Double)]
@@ -739,6 +909,17 @@ object Poisson extends Serializable {
       }
     }
 
+    marchPatch
+  }
+
+  /** March the isosurface: emit one row per triangle with canonical
+    * edge keys and bit-exact edge-vertex positions. */
+  private def stageMarch(spark: SparkSession, chiDf: DataFrame, m: Int,
+      ox: Double, oy: Double, oz: Double, hs: Double, iso: Double,
+      tileSize: Int, localNodes: Long): DataFrame = {
+    import spark.implicits._
+    val m3 = m.toLong * m * m
+    val marchPatch = marcher(m, ox, oy, oz, hs, iso)
     val cols = Seq("k0", "k1", "k2", "x0", "y0", "z0", "d0", "x1", "y1", "z1",
       "d1", "x2", "y2", "z2", "d2")
     // chiDf carries (i,j,k,chi,w): w is the smoothed splat weight, the
