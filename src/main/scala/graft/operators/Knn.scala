@@ -9,6 +9,119 @@ import graft.expr.DimRange
   * Ordering (d2, cid) makes top-k deterministic at any parallelism. */
 case class Hit(d2: Double, cid: Long, v: Double)
 
+/** Driver-collected per-cell chain index over a SMALL candidate side
+  * (broadcast fast path of [[KnnJoin.knn]]): answers the exact
+  * (d2, cid)-ordered top-k per query by expanding Chebyshev cell shells
+  * clamped to the candidate cell bbox — identical arithmetic and
+  * tie-break to the distributed cogroup path, so results are
+  * bit-identical. Built once on the driver, broadcast, queried from a
+  * single mapPartitions pass over the (arbitrarily large) query side. */
+private[operators] final class KnnLocalIndex(
+    cx: Array[Double], cy: Array[Double], cz: Array[Double],
+    cid: Array[Long], cv: Array[Double], h: Double) extends Serializable {
+  private val n = cx.length
+  private val head = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+  private val nxt = new Array[Int](n)
+  private var minCx = Long.MaxValue; private var maxCx = Long.MinValue
+  private var minCy = Long.MaxValue; private var maxCy = Long.MinValue
+  private var minCz = Long.MaxValue; private var maxCz = Long.MinValue
+  locally {
+    var j = 0
+    while (j < n) {
+      val ccx = math.floor(cx(j) / h).toLong
+      val ccy = math.floor(cy(j) / h).toLong
+      val ccz = math.floor(cz(j) / h).toLong
+      if (ccx < minCx) minCx = ccx; if (ccx > maxCx) maxCx = ccx
+      if (ccy < minCy) minCy = ccy; if (ccy > maxCy) maxCy = ccy
+      if (ccz < minCz) minCz = ccz; if (ccz > maxCz) maxCz = ccz
+      val prev = head.put(pk(ccx, ccy, ccz), j)
+      nxt(j) = if (prev == null) -1 else prev.intValue()
+      j += 1
+    }
+  }
+  @inline private def pk(a: Long, b: Long, c: Long): Long = {
+    val B = 1L << 20
+    ((a + B) << 42) | ((b + B) << 21) | (c + B)
+  }
+
+  /** Exact top-k by (d2, cid) over all n candidates. A candidate within
+    * distance ring*h of the query has cell coordinates within +-ring of
+    * the query cell (|x-qx| <= ring*h => floor(x/h) <= floor(qx/h)+ring),
+    * so once the kth distance is <= ring*h after examining shells
+    * 0..ring the result is final — the same finality rule as the
+    * distributed ring loop. Shells clamp to the candidate cell bbox and
+    * the scan stops when every candidate has been seen. */
+  def query(qx: Double, qy: Double, qz: Double, k: Int): Array[Hit] = {
+    val qcx = math.floor(qx / h).toLong
+    val qcy = math.floor(qy / h).toLong
+    val qcz = math.floor(qz / h).toLong
+    val bd = new Array[Double](k); val bc = new Array[Long](k)
+    val bv = new Array[Double](k)
+    var cnt = 0
+    var seen = 0
+    @inline def visit(ccx: Long, ccy: Long, ccz: Long): Unit = {
+      val start = head.get(pk(ccx, ccy, ccz))
+      var i = if (start == null) -1 else start.intValue()
+      while (i != -1) {
+        seen += 1
+        val dx = cx(i) - qx; val dy = cy(i) - qy; val dz = cz(i) - qz
+        val d2 = dx * dx + dy * dy + dz * dz
+        val c = cid(i)
+        if (cnt < k || d2 < bd(cnt - 1) ||
+            (d2 == bd(cnt - 1) && c < bc(cnt - 1))) {
+          var p = if (cnt < k) cnt else k - 1
+          while (p > 0 && (bd(p - 1) > d2 ||
+              (bd(p - 1) == d2 && bc(p - 1) > c))) {
+            bd(p) = bd(p - 1); bc(p) = bc(p - 1); bv(p) = bv(p - 1)
+            p -= 1
+          }
+          bd(p) = d2; bc(p) = c; bv(p) = cv(i)
+          if (cnt < k) cnt += 1
+        }
+        i = nxt(i)
+      }
+    }
+    // start at the Chebyshev cell distance from the query cell to the
+    // candidate bbox — every earlier shell is provably empty
+    val d0x = math.max(0L, math.max(minCx - qcx, qcx - maxCx))
+    val d0y = math.max(0L, math.max(minCy - qcy, qcy - maxCy))
+    val d0z = math.max(0L, math.max(minCz - qcz, qcz - maxCz))
+    var ring = math.max(d0x, math.max(d0y, d0z))
+    var done = false
+    while (!done) {
+      val x0 = math.max(qcx - ring, minCx); val x1 = math.min(qcx + ring, maxCx)
+      val y0 = math.max(qcy - ring, minCy); val y1 = math.min(qcy + ring, maxCy)
+      val z0 = math.max(qcz - ring, minCz); val z1 = math.min(qcz + ring, maxCz)
+      if (x0 <= x1 && y0 <= y1 && z0 <= z1) {
+        var ccx = x0
+        while (ccx <= x1) {
+          val fx = math.abs(ccx - qcx) == ring
+          var ccy = y0
+          while (ccy <= y1) {
+            if (fx || math.abs(ccy - qcy) == ring) {
+              var ccz = z0
+              while (ccz <= z1) { visit(ccx, ccy, ccz); ccz += 1 }
+            } else {
+              val zm = qcz - ring; val zp = qcz + ring
+              if (zm >= z0 && zm <= z1) visit(ccx, ccy, zm)
+              if (zp >= z0 && zp <= z1 && zp != zm) visit(ccx, ccy, zp)
+            }
+            ccy += 1
+          }
+          ccx += 1
+        }
+      }
+      if (seen >= n) done = true
+      else if (cnt == k && math.sqrt(bd(k - 1)) <= ring * h) done = true
+      else ring += 1
+    }
+    val out = new Array[Hit](cnt)
+    var q2 = 0
+    while (q2 < cnt) { out(q2) = Hit(bd(q2), bc(q2), bv(q2)); q2 += 1 }
+    out
+  }
+}
+
 /** Grid-partitioned kNN join — the engine's primitive behind PDAL's
   * KD3Index-based neighborhood filters (pdal/KDIndex.hpp:52-115, built
   * per-view; here per grid cell, distributed).
@@ -31,6 +144,12 @@ case class Hit(d2: Double, cid: Long, v: Double)
   */
 object KnnJoin {
   private val B = 1L << 20 // per-axis cell-coordinate bias
+  /** Candidate count at or below which the join broadcasts a driver-built
+    * index instead of running the cogroup machinery (~48 bytes/candidate
+    * -> ~12 MB at the default). Env GRAFT_KNN_BROADCAST_LIMIT overrides;
+    * pass broadcastLimit = 0 to pin the distributed path (tests). */
+  private[graft] val defaultBroadcastLimit: Int =
+    sys.env.get("GRAFT_KNN_BROADCAST_LIMIT").map(_.toInt).getOrElse(1 << 18)
   /** Cells per supercell edge: the first-binning cogroup keys on
     * supercells (4x4x4 cells) with a one-cell halo shell, so the
     * candidate duplication factor is (1 + 2/S)^3 ~= 3.4x instead of the
@@ -118,7 +237,8 @@ object KnnJoin {
     */
   def knn(queries: DataFrame, cand: DataFrame, k: Int,
       valueCol: String = "classification", cellSize: Double = 0.0,
-      selfJoin: Boolean = false, maxCellCandidates: Int = 100000): DataFrame = {
+      selfJoin: Boolean = false, maxCellCandidates: Int = 100000,
+      broadcastLimit: Int = defaultBroadcastLimit): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val debug = sys.env.contains("GRAFT_KNN_DEBUG")
@@ -138,23 +258,82 @@ object KnnJoin {
       else Seq(col("x"), col("y"), col("z"), col("order_key"), col(valueCol))
     val candM = cand.select(candCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queriesM =
-      if (selfJoin) candM.select("order_key", "x", "y", "z")
-      else queries.select("order_key", "x", "y", "z")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val ext = candM.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
       min("z"), max("z")).head()
     dbg(s"candM materialized n=${ext.getLong(0)}")
     val hitType = "array<struct<d2:double,cid:bigint,v:double>>"
+    if (ext.getLong(0) == 0L) { // no candidates at all
+      candM.unpersist(false)
+      return queries.select(col("order_key"),
+        typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType).as("knn"))
+    }
+
+    // ---- BROADCAST FAST PATH: a candidate side that fits one task's
+    // memory is collected once, indexed on the driver, and broadcast —
+    // the (arbitrarily large) query side answers exact top-k in a single
+    // shuffle-free mapPartitions pass: no cogroup, no ring-loop driver
+    // barriers. This is the broadcast-hash-join analog for kNN, and the
+    // common case at scale: ground-raster inpaint (area/cell^2 cells),
+    // ICP/colorization reference sets, per-tile goldens. Results are
+    // bit-identical to the distributed path (same d2 arithmetic, same
+    // (d2, cid) tie-break — pinned by KnnSpec's differential).
+    if (broadcastLimit > 0 && ext.getLong(0) <= broadcastLimit) {
+      val rows = candM.select(col("x"), col("y"), col("z"), col("order_key"),
+        col(valueCol).cast("double").as("v")).collect()
+      val n = rows.length
+      val lcx = new Array[Double](n); val lcy = new Array[Double](n)
+      val lcz = new Array[Double](n); val lcid = new Array[Long](n)
+      val lcv = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val r = rows(i)
+        lcx(i) = r.getDouble(0); lcy(i) = r.getDouble(1); lcz(i) = r.getDouble(2)
+        lcid(i) = r.getLong(3); lcv(i) = r.getDouble(4)
+        i += 1
+      }
+      val hB = {
+        val h0raw =
+          if (cellSize > 0) cellSize
+          else {
+            val target = math.max(64.0, k * 4.0)
+            val ex = math.max(ext.getDouble(2) - ext.getDouble(1), 1e-9)
+            val ey = math.max(ext.getDouble(4) - ext.getDouble(3), 1e-9)
+            val ez = ext.getDouble(6) - ext.getDouble(5)
+            if (ez <= 1e-12) math.sqrt(ex * ey * target / n)
+            else math.cbrt(ex * ey * ez * target / n)
+          }
+        if (h0raw.isNaN || h0raw <= 1e-12)
+          math.max(1e-9, math.max(ext.getDouble(2) - ext.getDouble(1),
+            math.max(ext.getDouble(4) - ext.getDouble(3),
+              ext.getDouble(6) - ext.getDouble(5)))) / 16
+        else h0raw
+      }
+      val idx = spark.sparkContext.broadcast(
+        new KnnLocalIndex(lcx, lcy, lcz, lcid, lcv, hB))
+      dbg(s"broadcast fast path: n=$n h=$hB")
+      // self-kNN: rebuild the (small) query side from the collected rows
+      // so the output has no lineage into the cached candM
+      val qDs =
+        if (selfJoin) spark.createDataset(spark.sparkContext.parallelize(
+          (0 until n).map(j => (lcid(j), lcx(j), lcy(j), lcz(j)))))
+        else queries.select(col("order_key"), col("x"), col("y"), col("z"))
+          .as[(Long, Double, Double, Double)]
+      val out = qDs.mapPartitions { it =>
+        val ix = idx.value
+        it.map { case (qid, qx, qy, qz) => (qid, ix.query(qx, qy, qz, k)) }
+      }.toDF("order_key", "knn")
+      candM.unpersist(false)
+      return out
+    }
+
+    val queriesM =
+      if (selfJoin) candM.select("order_key", "x", "y", "z")
+      else queries.select("order_key", "x", "y", "z")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def release(): Unit = { // repeated knn calls must not leak cached blocks
       candM.unpersist(false)
       if (!selfJoin) queriesM.unpersist(false)
-    }
-    if (ext.getLong(0) == 0L) { // no candidates at all
-      release()
-      return queries.select(col("order_key"),
-        typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType).as("knn"))
     }
     // coverAll must be query-aware: the examined cube is centered at the
     // QUERY cell, so finality needs ring*h to cover the distance from any

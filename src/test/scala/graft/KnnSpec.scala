@@ -8,22 +8,29 @@ import graft.operators.{KnnJoin, NeighborClassifier, NNDistance}
 class KnnSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("grid kNN == brute force on 800 synthetic docs") {
+  test("grid kNN == brute force on 800 synthetic docs (broadcast AND " +
+      "distributed paths, full-struct differential)") {
     val docs = Synth.docs(spark, 800, seed = 7).cache()
     val pts = docs.select("order_key", "x", "y", "z", "classification").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
     val k = 5
-    val got = KnnJoin.knn(docs.select("order_key", "x", "y", "z"), docs, k)
-      .collect().map { r =>
-        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(h => h.getLong(1)).toVector
-      }.toMap
+    def run(bl: Int) =
+      KnnJoin.knn(docs.select("order_key", "x", "y", "z"), docs, k,
+          broadcastLimit = bl)
+        .collect().map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(h => (h.getDouble(0), h.getLong(1), h.getDouble(2))).toVector
+        }.toMap
+    val gotB = run(KnnJoin.defaultBroadcastLimit) // 800 <= limit: fast path
+    val gotD = run(0)                             // pinned distributed path
+    assert(gotB == gotD, "broadcast fast path must be bit-identical to the cogroup path")
     // brute force (unique distances wanted: synthetic uniform doubles — ties measure-zero)
     pts.foreach { case (qid, qx, qy, qz, _) =>
       val exp = pts.map { case (cid, x, y, z, _) =>
         val d2 = (x - qx) * (x - qx) + (y - qy) * (y - qy) + (z - qz) * (z - qz)
         (d2, cid)
       }.sorted.take(k).map(_._2).toVector
-      assert(got(qid) == exp, s"qid=$qid")
+      assert(gotB(qid).map(_._2) == exp, s"qid=$qid")
     }
   }
 
@@ -33,7 +40,9 @@ class KnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     val k = 3
     // cell size far smaller than typical NN distance -> rings > 1 needed
-    val got = KnnJoin.knn(docs.select("order_key", "x", "y", "z"), docs, k, cellSize = 20.0)
+    // (broadcastLimit = 0 pins the distributed multi-ring machinery)
+    val got = KnnJoin.knn(docs.select("order_key", "x", "y", "z"), docs, k,
+        cellSize = 20.0, broadcastLimit = 0)
       .collect().map { r =>
         r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toVector
       }.toMap
@@ -109,13 +118,16 @@ class KnnSpec extends AnyFunSuite {
       .toDF("order_key", "x", "y", "z", "classification")
     val q = (0 until 5).map(i =>
       (1000L + i, 500.0 + i, 500.0, 0.0)).toDF("order_key", "x", "y", "z")
-    val out = KnnJoin.knn(q, cand, k = 3, valueCol = "classification")
-      .collect().map(r => r.getLong(0) ->
-        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toVector).toMap
-    assert(out.size == 5)
-    out.foreach { case (qid, hits) => assert(hits.length == 3, s"qid=$qid got $hits") }
-    // nearest candidate to (500+i, 500) is the corner (9, 9) = order_key 99
-    assert(out.values.forall(_.head == 99L))
+    for (bl <- Seq(0, KnnJoin.defaultBroadcastLimit)) { // both paths
+      val out = KnnJoin.knn(q, cand, k = 3, valueCol = "classification",
+          broadcastLimit = bl)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toVector).toMap
+      assert(out.size == 5)
+      out.foreach { case (qid, hits) => assert(hits.length == 3, s"qid=$qid got $hits") }
+      // nearest candidate to (500+i, 500) is the corner (9, 9) = order_key 99
+      assert(out.values.forall(_.head == 99L))
+    }
     // end-to-end: hausdorff between offset clouds is finite and exact
     val a = (0 until 50).map(i => (i.toLong, i.toDouble, 0.0, 0.0))
       .toDF("order_key", "x", "y", "z")

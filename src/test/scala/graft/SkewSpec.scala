@@ -66,7 +66,7 @@ class SkewSpec extends AnyFunSuite {
     assert(maxGroup <= 2 * cap, s"salted group bound $maxGroup vs cap $cap")
     // exactness THROUGH the salted path (cap forces salting at this h)
     val knnSalted = graft.operators.KnnJoin.knn(pts, skewed, 3,
-      cellSize = h, maxCellCandidates = cap)
+      cellSize = h, maxCellCandidates = cap, broadcastLimit = 0)
     val all = pts.collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     val gotS = knnSalted.filter(col("order_key") < 30).collect()
@@ -84,7 +84,7 @@ class SkewSpec extends AnyFunSuite {
   test("kNN on the skewed cloud stays correct (dense cell = bounded task)") {
     val pts = skewed.select("order_key", "x", "y", "z", "classification")
     val knn = graft.operators.KnnJoin.knn(
-      pts.select("order_key", "x", "y", "z"), pts, 3)
+      pts.select("order_key", "x", "y", "z"), pts, 3, broadcastLimit = 0)
     assert(knn.count() == 10000)
     // spot-check 30 hot-cell points against brute force
     val all = pts.select("order_key", "x", "y", "z").collect()
