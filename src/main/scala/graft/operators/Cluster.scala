@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   *    join, 13 directions) survive, mapped to their local roots — the
   *    contracted graph has one node per (cell, local component), orders
   *    of magnitude smaller than the point set.
-  * 3. GLOBAL: distributed min-label propagation with pointer jumping
-  *    (path halving) over the contracted graph: each round a root takes
-  *    the min label of its neighborhood, then labels chase their own
-  *    parents one hop (lbl <- lbl(lbl)), so convergence is O(log
+  * 3. GLOBAL: when the contracted edge list fits the driver (the common
+  *    case — one node per (cell, local component)), a single driver
+  *    union-find labels it and the map is broadcast back; past
+  *    [[Cluster.localEdgeLimit]] the scale path is distributed min-label
+  *    propagation with pointer jumping (path halving): each round a root
+  *    takes the min label of its neighborhood, then labels chase their
+  *    own parents one hop (lbl <- lbl(lbl)), so convergence is O(log
   *    diameter) rounds — and every round now touches roots, not points.
   *    The changed-row count rides the materialization job
-  *    (Mat.withChangedCount): one job per round.
+  *    (Mat.withChangedCount): one job per round. Both paths converge to
+  *    the min node id per component — identical output.
   *
   * Labels are point keys; the local root is the min key of its cell
   * component, so the converged global label is the min point key of the
@@ -35,8 +39,23 @@ import org.apache.spark.sql.functions._
   * compute upstream with voxel downsampling at cell ~= tolerance.
   */
 object Cluster {
+  /** Contracted-edge count at or below which the global phase runs as a
+    * driver union-find over the collected root edges (~16 bytes/edge ->
+    * ~32 MB at the default) instead of the distributed label-propagation
+    * loop — the same honest local fast path as KnnJoin's broadcast
+    * index: the CONTRACTED graph is usually orders of magnitude smaller
+    * than the point set, and each propagation round is a fixed-cost
+    * Spark job, so small graphs are pure job overhead. Env
+    * GRAFT_CC_LOCAL_EDGES overrides; 0 pins the distributed loop. */
+  private[graft] val localEdgeLimit: Long =
+    sys.env.get("GRAFT_CC_LOCAL_EDGES").map(_.toLong).getOrElse(1L << 21)
+
   def apply(df: DataFrame, tolerance: Double, minPoints: Long = 1,
-      outCol: String = "cluster_id"): DataFrame = {
+      outCol: String = "cluster_id"): DataFrame =
+    apply(df, tolerance, minPoints, outCol, localEdgeLimit)
+
+  private[graft] def apply(df: DataFrame, tolerance: Double, minPoints: Long,
+      outCol: String, edgeLimit: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val r2 = tolerance * tolerance
@@ -104,42 +123,80 @@ object Cluster {
     val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by")) +
       (col("az") - col("bz")) * (col("az") - col("bz"))
-    val rootEdges = a.join(b, Seq("cx", "cy", "cz")).filter(d2 <= r2)
-      .select(col("ra"), col("rb")).filter(col("ra") =!= col("rb")).distinct()
-    val edges = graft.core.Mat(
-      rootEdges.select(col("ra").as("pk"), col("rb").as("qk"))
-        .unionAll(rootEdges.select(col("rb").as("pk"), col("ra").as("qk"))))
-    // 3. min-label propagation over the CONTRACTED graph only
-    var labels = graft.core.Mat(
-      edges.select(col("pk").as("k")).distinct().withColumn("lbl", col("k")))
-    var changed = 1L
-    while (changed > 0) {
-      // min over neighbor labels
-      val nbrMin = edges.join(labels, edges("qk") === labels("k"))
-        .groupBy(col("pk").as("k")).agg(min("lbl").as("nlbl"))
-      // lazily persisted: the jump join reads prop on BOTH sides (rows +
-      // parents projection) inside the one counted job below — the cache
-      // dedupes the aggregate/join compute without adding a job barrier
-      val prop = labels.join(nbrMin, Seq("k"), "left")
-        .select(col("k"), col("lbl").as("__old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // pointer jump: follow the label's own label (labels are root keys)
-      val parents = prop.select(col("k").as("lbl"), col("lbl").as("__plbl"))
-      // change count rides the materialization pass: one job per round
-      val (jumped, ch) = graft.core.Mat.withChangedCount(
-        prop.join(parents, Seq("lbl"), "left")
-          .select(col("k"), coalesce(col("__plbl"), col("lbl")).as("lbl"),
-            col("__old")),
-        col("lbl") =!= col("__old"))
-      prop.unpersist(false) // jumped is materialized; round cache done
-      changed = ch
-      labels = jumped.select("k", "lbl")
+    val rootEdges = graft.core.Mat(
+      a.join(b, Seq("cx", "cy", "cz")).filter(d2 <= r2)
+        .select(col("ra"), col("rb")).filter(col("ra") =!= col("rb")).distinct())
+    val eCnt = rootEdges.count()
+    // 3. global labels over the CONTRACTED graph only. Node ids are point
+    //    keys and every local root is the MIN key of its cell component,
+    //    so the converged global label (min point key of the whole
+    //    component) equals the min node id of the connected root graph —
+    //    both paths below compute exactly that.
+    val (labels, labelsSmall) = if (edgeLimit > 0 && eCnt <= edgeLimit) {
+      // LOCAL FAST PATH: the contracted edge list fits the driver — one
+      // union-find pass replaces O(log diameter) propagation rounds
+      // (each a fixed-cost job). Result broadcast back for step 4.
+      val es = rootEdges.collect()
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](es.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != null && p.longValue() != x) {
+          val gp = parent.get(p.longValue())
+          if (gp != null) parent.put(x, gp) // path halving
+          x = p.longValue(); p = parent.get(x)
+        }
+        x
+      }
+      es.foreach { r =>
+        val ra = r.getLong(0); val rb = r.getLong(1)
+        if (parent.get(ra) == null) parent.put(ra, ra)
+        if (parent.get(rb) == null) parent.put(rb, rb)
+        val fa = find(ra); val fb = find(rb)
+        if (fa != fb) { if (fa < fb) parent.put(fb, fa) else parent.put(fa, fb) }
+      }
+      // union-by-min-id: the final find root IS the min key of the component
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(k => out += ((k.longValue(), find(k.longValue()))))
+      (spark.createDataset(out.toSeq).toDF("k", "lbl"), true)
+    } else {
+      val edges = graft.core.Mat(
+        rootEdges.select(col("ra").as("pk"), col("rb").as("qk"))
+          .unionAll(rootEdges.select(col("rb").as("pk"), col("ra").as("qk"))))
+      // distributed min-label propagation with pointer jumping
+      var labels = graft.core.Mat(
+        edges.select(col("pk").as("k")).distinct().withColumn("lbl", col("k")))
+      var changed = 1L
+      while (changed > 0) {
+        // min over neighbor labels
+        val nbrMin = edges.join(labels, edges("qk") === labels("k"))
+          .groupBy(col("pk").as("k")).agg(min("lbl").as("nlbl"))
+        // lazily persisted: the jump join reads prop on BOTH sides (rows +
+        // parents projection) inside the one counted job below — the cache
+        // dedupes the aggregate/join compute without adding a job barrier
+        val prop = labels.join(nbrMin, Seq("k"), "left")
+          .select(col("k"), col("lbl").as("__old"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // pointer jump: follow the label's own label (labels are root keys)
+        val parents = prop.select(col("k").as("lbl"), col("lbl").as("__plbl"))
+        // change count rides the materialization pass: one job per round
+        val (jumped, ch) = graft.core.Mat.withChangedCount(
+          prop.join(parents, Seq("lbl"), "left")
+            .select(col("k"), coalesce(col("__plbl"), col("lbl")).as("lbl"),
+              col("__old")),
+          col("lbl") =!= col("__old"))
+        prop.unpersist(false) // jumped is materialized; round cache done
+        changed = ch
+        labels = jumped.select("k", "lbl")
+      }
+      (labels, false)
     }
     // 4. point label = its local root's global label (roots without any
     //    cross-cell edge keep themselves)
+    val lblSide = labels.select(col("k").as("lroot"), col("lbl"))
     val pointLabels = local.select(col("k"), col("lroot"))
-      .join(labels.select(col("k").as("lroot"), col("lbl")), Seq("lroot"), "left")
+      .join(if (labelsSmall) broadcast(lblSide) else lblSide, Seq("lroot"), "left")
       .select(col("k"), coalesce(col("lbl"), col("lroot")).as("lbl"))
     // densify: cluster id = 1-based rank of the root label, computed with
     // the range-partitioned global rank (roots only — small, but never a

@@ -58,6 +58,33 @@ class ExtrasSpec extends AnyFunSuite {
     byBlob.foreach(r => assert(r.getLong(1) == 1))
   }
 
+  test("cluster: driver union-find fast path == distributed label-prop " +
+      "on a random multi-component scene") {
+    import spark.implicits._
+    // random chains crossing many cells at tolerance 3 -> nontrivial
+    // contracted root graph with multi-hop components
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until 40).flatMap { c =>
+      val bx = rnd.nextDouble() * 2000; val by = rnd.nextDouble() * 2000
+      (0 until 25).map { i =>
+        // consecutive gap <= sqrt(2.5^2+0.5^2+0.2^2) ~= 2.56 < tolerance 3
+        ((c * 25 + i).toLong, bx + i * 2.0 + rnd.nextDouble() * 0.5,
+          by + rnd.nextDouble() * 0.5, rnd.nextDouble() * 0.2)
+      }
+    }
+    val df = pts.toDF("order_key", "x", "y", "z")
+    def labelsOf(limit: Long) =
+      Cluster(df, tolerance = 3.0, minPoints = 1, "cluster_id", limit)
+        .select("order_key", "cluster_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labelsOf(Cluster.localEdgeLimit) // edges << limit: fast path
+    val dist = labelsOf(0L)                     // pinned distributed loop
+    assert(fast == dist, "fast-path labels must equal the distributed loop's")
+    // each ~50-unit chain spans ~17 tolerance cells -> every component's
+    // contracted root graph is a multi-hop path (the interesting regime)
+    assert(fast.values.toSet.size > 1 && fast.values.toSet.size <= 40)
+  }
+
   test("dbscan: cores cluster, sparse noise gets -1 (DBSCANFilter)") {
     import spark.implicits._
     val dense = (0 until 60).map(i => (i.toLong, (i % 10) * 1.0, (i / 10) * 1.0, 0.0))
