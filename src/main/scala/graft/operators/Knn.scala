@@ -18,8 +18,34 @@ case class Hit(d2: Double, cid: Long, v: Double)
   * single mapPartitions pass over the (arbitrarily large) query side. */
 private[operators] final class KnnLocalIndex(
     cx: Array[Double], cy: Array[Double], cz: Array[Double],
-    cid: Array[Long], cv: Array[Double], h: Double) extends Serializable {
+    cid: Array[Long], cv: Array[Double], h0: Double) extends Serializable {
   private val n = cx.length
+  // h is an internal accelerator only (results are exact for ANY h):
+  // coarsen until every axis spans <= ~4*cbrt(n) cells. Two reasons —
+  // (a) the shell walk costs O(ring^2) per ring even over EMPTY cells,
+  // so a caller-passed h far below the point spacing (fine cellSize on a
+  // sparse extent) would walk millions of empty rings; the density cap
+  // bounds the whole walk at ~(4*cbrt(n))^3 cell probes; (b) it keeps
+  // every axis far under the 2^21 packing field, so the rebased packing
+  // below is injective — an aliased bucket would double-count `seen`
+  // and could fire finality early.
+  private val h = {
+    var loX = Double.MaxValue; var hiX = Double.MinValue
+    var loY = Double.MaxValue; var hiY = Double.MinValue
+    var loZ = Double.MaxValue; var hiZ = Double.MinValue
+    var j = 0
+    while (j < n) {
+      if (cx(j) < loX) loX = cx(j); if (cx(j) > hiX) hiX = cx(j)
+      if (cy(j) < loY) loY = cy(j); if (cy(j) > hiY) hiY = cy(j)
+      if (cz(j) < loZ) loZ = cz(j); if (cz(j) > hiZ) hiZ = cz(j)
+      j += 1
+    }
+    val span = math.max(hiX - loX, math.max(hiY - loY, hiZ - loZ))
+    val cellCap = math.max(16.0, 4.0 * math.cbrt(n.toDouble))
+    var hh = h0
+    while (span / hh > cellCap) hh *= 2
+    hh
+  }
   private val head = new java.util.HashMap[java.lang.Long, Integer](n * 2)
   private val nxt = new Array[Int](n)
   private var minCx = Long.MaxValue; private var maxCx = Long.MinValue
@@ -34,15 +60,21 @@ private[operators] final class KnnLocalIndex(
       if (ccx < minCx) minCx = ccx; if (ccx > maxCx) maxCx = ccx
       if (ccy < minCy) minCy = ccy; if (ccy > maxCy) maxCy = ccy
       if (ccz < minCz) minCz = ccz; if (ccz > maxCz) maxCz = ccz
-      val prev = head.put(pk(ccx, ccy, ccz), j)
+      j += 1
+    }
+    j = 0
+    while (j < n) {
+      val prev = head.put(pk(math.floor(cx(j) / h).toLong,
+        math.floor(cy(j) / h).toLong, math.floor(cz(j) / h).toLong), j)
       nxt(j) = if (prev == null) -1 else prev.intValue()
       j += 1
     }
   }
-  @inline private def pk(a: Long, b: Long, c: Long): Long = {
-    val B = 1L << 20
-    ((a + B) << 42) | ((b + B) << 21) | (c + B)
-  }
+  /** Injective within the occupied box: coords rebased to the per-axis
+    * min cell, and h above guarantees each range < 2^20 < 2^21 (field
+    * width). query() only visits cells clamped into this box. */
+  @inline private def pk(a: Long, b: Long, c: Long): Long =
+    ((a - minCx) << 42) | ((b - minCy) << 21) | (c - minCz)
 
   /** Exact top-k by (d2, cid) over all n candidates. A candidate within
     * distance ring*h of the query has cell coordinates within +-ring of

@@ -34,6 +34,29 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast path: pathological cellSize over a huge extent coarsens " +
+      "h internally (injective packing) and stays exact") {
+    import spark.implicits._
+    // 1e9-unit extent with an explicit 0.001 cell size would be 1e12
+    // cells/axis — far past the 2^20 packing budget; the index must
+    // coarsen h (results are h-independent) instead of aliasing buckets
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 200).map(i => (i.toLong,
+      rnd.nextDouble() * 1e9, rnd.nextDouble() * 1e9, rnd.nextDouble() * 1e3))
+    val df = pts.toDF("order_key", "x", "y", "z")
+      .withColumn("classification", lit(1))
+    val got = KnnJoin.knn(df.select("order_key", "x", "y", "z"), df, 3,
+        cellSize = 0.001)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toVector).toMap
+    pts.foreach { case (qid, qx, qy, qz) =>
+      val exp = pts.map { case (cid, x, y, z) =>
+        ((x - qx) * (x - qx) + (y - qy) * (y - qy) + (z - qz) * (z - qz), cid)
+      }.sorted.take(3).map(_._2).toVector
+      assert(got(qid) == exp, s"qid=$qid")
+    }
+  }
+
   test("kNN halo: small cells force multi-ring resolution, still exact") {
     val docs = Synth.docs(spark, 300, seed = 11).cache()
     val pts = docs.select("order_key", "x", "y", "z").collect()
