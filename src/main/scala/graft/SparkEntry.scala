@@ -79,6 +79,31 @@ object SparkEntry {
        CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
        CAST((event_id * 131) % 1000 AS DOUBLE) AS z FROM events"""
 
+  /** Spans-bearing doc table (the BASELINE input_hint shape): span payload
+    * is a pure integer function of order_key so DuckDB rebuilds it exactly
+    * — 1..5 spans/doc, kinds cycling {text,image,audio,table}, strictly
+    * increasing offsets. Drives the q62 end-to-end invariant. */
+  private def spansDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").select(
+      col("event_id").as("order_key"),
+      ((col("event_id") * 7919) % 10000).cast("double").as("x"),
+      ((col("event_id") * 104729) % 10000).cast("double").as("y"),
+      lit(0.0).as("z"),
+      (col("event_id") % 4).cast("int").as("classification"))
+    .withColumn("spans", transform(sequence(lit(0L), col("order_key") % 5), i => {
+      val h = col("order_key") * 31 + i * 7
+      val kind = element_at(
+        array(lit("text"), lit("image"), lit("audio"), lit("table")),
+        (h % 4 + 1).cast("int"))
+      struct(
+        kind.as("kind"),
+        when(kind === "text", concat(lit("tok"), (h % 101).cast("string")))
+          .otherwise(lit("")).as("text"),
+        when(kind =!= "text", concat(lit("m/"), (h % 997).cast("string")))
+          .otherwise(lit("")).as("media_ref"),
+        (i * 97 + h % 97).cast("int").as("offset"))
+    }))
+
   /** Flagship: crop -> splitter -> kNN-classify over a synthesized doc
     * table (the BASELINE.json pipeline at smoke scale). */
   def entry(spark: SparkSession): DataFrame = {
@@ -673,7 +698,188 @@ object SparkEntry {
         "+proj=pipeline +step +proj=axisswap +order=2,1 " +
         "+step +proj=unitconvert +xy_in=m +xy_out=km " +
         "+step +proj=affine +s11=2 +xoff=10 +s22=0.5 +yoff=-5")
-        .select(col("order_key"), col("x").as("px"), col("y").as("py")))
+        .select(col("order_key"), col("x").as("px"), col("y").as("py"))),
+    // ---- round 3: spans invariant + formerly-ScalaTest-only ops ------
+    "q62_spans_pipeline" -> ((s, d) => {
+      // the BASELINE north-rule invariant end-to-end: crop -> splitter ->
+      // kNN-classify over a spans-bearing doc table; the serialized span
+      // sequence (kind, text, media_ref, offset in order) must survive
+      // every stage byte-for-byte. Spans are pure integer functions of
+      // order_key so the DuckDB oracle rebuilds them exactly.
+      val docs = spansDocs(s, d)
+      val cropped = Crop.box2d(docs, 2000.5, 2000.5, 7000.5, 7000.5)
+      val tiled = Splitter(cropped, length = 1000.0, origin = Some((0.0, 0.0)))
+      val cand = cropped.filter(col("order_key") % 3 === 0)
+      val cls = NeighborClassifier(tiled, k = 3, candidates = Some(cand),
+        cellSize = 500.0)
+      cls.select(col("order_key"),
+        graft.functions.F.cellX(col("tile_id")).as("tx"),
+        graft.functions.F.cellY(col("tile_id")).as("ty"),
+        col("classification").cast("long").as("cls"),
+        concat_ws("|", transform(col("spans"), sp => concat_ws(":",
+          sp.getField("kind"), sp.getField("text"), sp.getField("media_ref"),
+          sp.getField("offset").cast("string")))).as("span_seq"))
+    }),
+    "q63_overlay" -> ((s, d) => {
+      // first-match-wins polygon dim assignment; .5 bounds vs integer
+      // coords -> no boundary ties, so plain SQL half-plane tests match
+      val p = pts(s, d).withColumn("classification", lit(0))
+      Overlay(p, Seq(
+        ("POLYGON ((1000.5 1000.5, 6000.5 1000.5, 6000.5 6000.5, 1000.5 6000.5, 1000.5 1000.5))", 10),
+        ("POLYGON ((4000.5 4000.5, 9000.5 4000.5, 9000.5 9000.5, 4000.5 9000.5, 4000.5 4000.5))", 20)),
+        "classification")
+        .select(col("order_key"), col("classification").cast("long").as("cls"))
+    }),
+    "q64_colorization" -> ((s, d) => {
+      // raster = per-1000-cell min(value) built from the same points ->
+      // both engines derive identical band values; join + scale is exact
+      val p = pts(s, d)
+      val g = RasterGrid(0.0, 0.0, 1000.0)
+      val raster = p.groupBy(g.cellX(col("x")).as("cell_x"),
+        g.cellY(col("y")).as("cell_y")).agg(min("value").as("band1"))
+      Colorization(p, raster, g, Seq(("band1", "red", 2.0)))
+        .select(col("order_key"), round(col("red"), 6).as("red"))
+    }),
+    "q65_dem" -> ((s, d) => {
+      // filters.dem: keep points with z within [dem-50, dem+300] of the
+      // per-cell min-z surface (integer-exact on both engines)
+      val p = pts3(s, d)
+      val g = RasterGrid(0.0, 0.0, 1000.0)
+      val raster = p.groupBy(g.cellX(col("x")).as("cell_x"),
+        g.cellY(col("y")).as("cell_y")).agg(min("z").as("band1"))
+      DemFilter(p, raster, g, loOffset = -50.0, hiOffset = 300.0)
+        .select("order_key")
+    }),
+    "q66_locate" -> ((s, d) =>
+      // argmin of z with (z, order_key) tie-break — single-row result
+      Locate(pts3(s, d), "z", minimum = true).select("order_key", "z")),
+    "q67_voxel_center_nn" -> ((s, d) =>
+      // voxelcenternearestneighbor: integer coords + 125-offset centers
+      // keep d2 integer-exact, ties break on order_key in both engines
+      Voxel.centerNearestNeighbor(pts3(s, d), cell = 250.0,
+          origin = Some((0.0, 0.0, 0.0)))
+        .select(col("order_key").as("kept_id"))),
+    "q68_voxel_centroid_nn" -> ((s, d) =>
+      // centroid = exact-integer-sum / count -> same double either engine
+      Voxel.centroidNearestNeighbor(pts3(s, d), cell = 250.0,
+          origin = Some((0.0, 0.0, 0.0)))
+        .select(col("order_key").as("kept_id"))),
+    "q69_sample_fixpoint" -> ((s, d) => {
+      // filters.sample in the clique regime: coords snapped to a 1000-grid
+      // make the conflict graph a disjoint union of same-cell cliques
+      // (cell diameter 0 < radius 400 < cell spacing 1000), so sequential
+      // greedy == min order_key per occupied cell — SQL-provable while the
+      // full pair-join + fixpoint machinery runs for real.
+      // capped at 1000 points (~5 per clique): the fixpoint's round count
+      // is the dependency-chain depth == clique size in this regime
+      val p = pts3(s, d).filter(col("order_key") < 1000)
+        .withColumn("x", floor(col("x") / 1000) * 1000.0)
+        .withColumn("y", floor(col("y") / 1000) * 1000.0)
+        .withColumn("z", floor(col("z") / 500) * 500.0)
+      Sample(p, radius = 400.0).select("order_key")
+    }),
+    "q70_outlier_stat" -> ((s, d) => {
+      // statistical outlier: mean distance to 4 nearest, global
+      // mean + 2*stddev threshold. Threshold comparisons are robust to
+      // the engines' sum-order ulps (md spacing >> 1e-12).
+      val p = pts3(s, d).filter(col("order_key") < 2000)
+        .withColumn("classification", lit(0))
+      Outlier.statistical(p, meanK = 4, multiplier = 2.0)
+        .select(col("order_key"), col("classification").cast("long").as("cls"))
+    }),
+    "q71_lof" -> ((s, d) => {
+      // local outlier factor, brute-force-checkable subset; rounded to
+      // absorb sum-order ulps in lrd/lof ratios
+      val p = pts3(s, d).filter(col("order_key") < 2000)
+      Lof(p, minPts = 4)
+        .select(col("order_key"), (round(col("lof"), 5) + lit(0.0)).as("lof_r"),
+          (round(col("nn_distance"), 5) + lit(0.0)).as("nnd_r"))
+    }),
+    "q72_gpstime" -> ((s, d) => {
+      // gpstimeconvert gws->gt with wrapped week-seconds: planted wraps
+      // every ~605 keys; the distributed unwrap (partition offsets +
+      // boundary comparisons) must reproduce the integer cumulative-bump
+      // prefix sum exactly
+      val p = pts(s, d).withColumn("gps_time",
+        ((col("order_key") * 1000) % 604800).cast("double"))
+      GpsTimeConvert.gws2gt(p, startDateWeekSeconds = 1000000.0, wrapped = true)
+        .select(col("order_key"), col("gps_time").cast("long").as("gt"))
+    }),
+    "q73_mongo" -> ((s, d) =>
+      graft.expr.MongoFilter(t(s, d, "events"),
+        """{"$and":[{"value":{"$gte":10.0}},{"event_type":{"$in":["click","view"]}}]}""")
+        .select(col("event_id"))),
+    "q74_expression" -> ((s, d) =>
+      // PDAL expression grammar -> Catalyst; integer-exact arithmetic
+      graft.expr.ExpressionFilter(pts(s, d),
+        "(x > 1000 && x <= 8000 && !(y >= 6000)) || x + y * 2 < 1500")
+        .select("order_key")),
+    "q75_reprojection" -> ((s, d) => {
+      // wgs84 -> web mercator; floor to integer meters absorbs libm
+      // last-ulp differences between JVM and DuckDB (~1e-8 m here)
+      val ll = t(s, d, "events").select(
+        col("event_id").as("order_key"),
+        ((col("event_id") * 7) % 350 - 175 + 0.5).cast("double").as("x"),
+        ((col("event_id") * 13) % 160 - 80 + 0.25).cast("double").as("y"),
+        lit(0.0).as("z"))
+      Reprojection.wgs84ToWebMercator(ll)
+        .select(col("order_key"), floor(col("x")).cast("long").as("mx"),
+          floor(col("y")).cast("long").as("my"))
+    }),
+    "q76_dbscan" -> ((s, d) => {
+      // 20 planted clusters (diameter ~14 << eps 50, gap 2000): all
+      // points core, cluster id = dense rank of min order_key; capped at
+      // 20k points so the radius self-join stays bounded at any sf
+      val p = t(s, d, "events").filter(col("event_id") < 20000).select(
+        col("event_id").as("order_key"),
+        ((col("event_id") % 20) * 2000 + (col("event_id") * 7) % 11).cast("double").as("x"),
+        ((col("event_id") * 13) % 11).cast("double").as("y"),
+        lit(0.0).as("z"))
+      Dbscan(p, eps = 50.0, minPoints = 3)
+        .select(col("order_key"), col("cluster_id"))
+    }),
+    "q77_kmeans" -> ((s, d) => {
+      // deterministic init = 8 lowest order_keys (event_id 0..7), planted
+      // exactly at the 8 cluster centers -> assignment == membership
+      val p = t(s, d, "events").select(
+        col("event_id").as("order_key"),
+        ((col("event_id") % 8) * 1000 +
+          when(col("event_id") < 8, 0).otherwise((col("event_id") * 7) % 10))
+          .cast("double").as("x"),
+        when(col("event_id") < 8, 0.0)
+          .otherwise(((col("event_id") * 13) % 10).cast("double")).as("y"),
+        lit(0.0).as("z"))
+      KMeans(p, k = 8).select(col("order_key"), col("cluster_id"))
+    }),
+    "q78_colorinterp" -> ((s, d) =>
+      // linear ramp over [0, 1000): identical IEEE divide/multiply/floor
+      ColorInterp(pts3(s, d), "z", minValue = Some(0.0), maxValue = Some(1000.0))
+        .select(col("order_key"), col("red").cast("long").as("r"),
+          col("green").cast("long").as("g"), col("blue").cast("long").as("b"))),
+    "q79_merge_scanline" -> ((s, d) => {
+      // merge (UNION ALL) of two disjoint halves, then separatescanline:
+      // view = exclusive prefix sum of planted edge flags / groupsOf 2
+      val p = pts(s, d).withColumn("edge_of_flight_line",
+        when(col("order_key") % 50 === 0, 1).otherwise(0))
+      val merged = Merge(Seq(p.filter(col("order_key") % 2 === 0),
+        p.filter(col("order_key") % 2 === 1)))
+      SeparateScanLine(merged, groupsOf = 2)
+        .select(col("order_key"), col("view_id"))
+    }),
+    "q80_nndistance" -> ((s, d) =>
+      // kth-neighbor distance: sqrt of integer-exact d2, bit-identical
+      NNDistance(pts3(s, d).filter(col("order_key") < 2000), k = 4)
+        .select(col("order_key"), col("nn_distance"))),
+    "q81_elm" -> ((s, d) => {
+      // extended local minimum: z-gap walk per 500-cell, integer z
+      val p = pts3(s, d).withColumn("classification", lit(0))
+      Elm(p, cell = 500.0, threshold = 40.0)
+        .select(col("order_key"), col("classification").cast("long").as("cls"))
+    }),
+    "q82_iqr" -> ((s, d) =>
+      // interpolated quartiles over integer values: Spark percentile and
+      // DuckDB quantile_cont share the linear-interpolation definition
+      Iqr(pts(s, d), "x", k = 0.5).select("order_key"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1523,6 +1729,259 @@ object SparkEntry {
       s"""SELECT order_key,
           (CAST(2.0 AS DOUBLE) * (y * CAST(0.001 AS DOUBLE))) + CAST(10.0 AS DOUBLE) AS px,
           (CAST(0.5 AS DOUBLE) * (x * CAST(0.001 AS DOUBLE))) + CAST(-5.0 AS DOUBLE) AS py
-          FROM ($ptsSql)"""
+          FROM ($ptsSql)""",
+    // ---- round 3: spans invariant + formerly-ScalaTest-only ops ------
+    // crop -> splitter -> kNN-vote replicated relationally; spans rebuilt
+    // from the same integer recurrence (kind cycle, tok/media payloads,
+    // offset affine) and serialized with the same ':'/'|' separators
+    "q62_spans_pipeline" ->
+      """WITH docs AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
+            event_id % 4 AS cls0 FROM events),
+          cropped AS (SELECT * FROM docs
+            WHERE x >= 2000.5 AND x <= 7000.5 AND y >= 2000.5 AND y <= 7000.5),
+          cand AS (SELECT * FROM cropped WHERE order_key % 3 = 0),
+          pairs AS (SELECT q.order_key AS qid, c.order_key AS cid, c.cls0 AS v,
+            (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y) AS d2
+            FROM cropped q CROSS JOIN cand c),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d2, cid) AS rnk FROM pairs),
+          hits AS (SELECT * FROM ranked WHERE rnk <= 3),
+          votes AS (SELECT qid, v, COUNT(*) AS c FROM hits GROUP BY qid, v),
+          best AS (SELECT qid, v, c, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY c DESC, v ASC) AS rn FROM votes),
+          win AS (SELECT qid, v AS newcls FROM best WHERE rn = 1 AND c > 1.5),
+          spansq AS (SELECT event_id AS order_key,
+            array_to_string(list_transform(generate_series(0, event_id % 5), i ->
+              (CASE ((event_id * 31 + i * 7) % 4) WHEN 0 THEN 'text'
+                 WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'table' END)
+              || ':' ||
+              (CASE WHEN ((event_id * 31 + i * 7) % 4) = 0
+                 THEN 'tok' || CAST((event_id * 31 + i * 7) % 101 AS VARCHAR)
+                 ELSE '' END)
+              || ':' ||
+              (CASE WHEN ((event_id * 31 + i * 7) % 4) <> 0
+                 THEN 'm/' || CAST((event_id * 31 + i * 7) % 997 AS VARCHAR)
+                 ELSE '' END)
+              || ':' || CAST(i * 97 + (event_id * 31 + i * 7) % 97 AS VARCHAR)
+            ), '|') AS span_seq FROM events)
+          SELECT c.order_key, CAST(FLOOR(c.x / 1000) AS INT) AS tx,
+            CAST(FLOOR(c.y / 1000) AS INT) AS ty,
+            CAST(COALESCE(w.newcls, c.cls0) AS BIGINT) AS cls, s.span_seq
+          FROM cropped c LEFT JOIN win w ON w.qid = c.order_key
+          JOIN spansq s ON s.order_key = c.order_key""",
+    // .5 polygon bounds vs integer coords: no boundary ties, so the
+    // first-match-wins cascade is two half-plane CASE arms
+    "q63_overlay" ->
+      s"""SELECT order_key, CAST(CASE
+            WHEN x > 1000.5 AND x < 6000.5 AND y > 1000.5 AND y < 6000.5 THEN 10
+            WHEN x > 4000.5 AND x < 9000.5 AND y > 4000.5 AND y < 9000.5 THEN 20
+            ELSE 0 END AS BIGINT) AS cls
+          FROM ($ptsSql)""",
+    "q64_colorization" ->
+      s"""WITH p AS ($ptsSql),
+          r AS (SELECT CAST(FLOOR(x / 1000) AS BIGINT) AS cx,
+            CAST(FLOOR(y / 1000) AS BIGINT) AS cy, MIN(value) AS b
+            FROM p GROUP BY 1, 2)
+          SELECT p.order_key, ROUND(r.b * 2.0, 6) + 0.0 AS red
+          FROM p JOIN r ON CAST(FLOOR(p.x / 1000) AS BIGINT) = r.cx
+            AND CAST(FLOOR(p.y / 1000) AS BIGINT) = r.cy""",
+    "q65_dem" ->
+      s"""WITH p AS ($pts3Sql),
+          r AS (SELECT CAST(FLOOR(x / 1000) AS BIGINT) AS cx,
+            CAST(FLOOR(y / 1000) AS BIGINT) AS cy, MIN(z) AS dem
+            FROM p GROUP BY 1, 2)
+          SELECT p.order_key FROM p
+          JOIN r ON CAST(FLOOR(p.x / 1000) AS BIGINT) = r.cx
+            AND CAST(FLOOR(p.y / 1000) AS BIGINT) = r.cy
+          WHERE p.z >= r.dem + (-50.0) AND p.z <= r.dem + 300.0""",
+    "q66_locate" ->
+      s"SELECT order_key, z FROM ($pts3Sql) ORDER BY z, order_key LIMIT 1",
+    // voxel centers at 125 + 250k: d2 terms are exact dyadic squares, so
+    // the (d2, order_key) argmin is engine-independent
+    "q67_voxel_center_nn" ->
+      s"""WITH p AS ($pts3Sql),
+          k AS (SELECT order_key,
+            FLOOR(x / 250.0) AS vx, FLOOR(y / 250.0) AS vy, FLOOR(z / 250.0) AS vz,
+            (x - (FLOOR(x / 250.0) + 0.5) * 250.0) * (x - (FLOOR(x / 250.0) + 0.5) * 250.0)
+            + (y - (FLOOR(y / 250.0) + 0.5) * 250.0) * (y - (FLOOR(y / 250.0) + 0.5) * 250.0)
+            + (z - (FLOOR(z / 250.0) + 0.5) * 250.0) * (z - (FLOOR(z / 250.0) + 0.5) * 250.0)
+              AS d2 FROM p)
+          SELECT order_key AS kept_id FROM (
+            SELECT order_key, ROW_NUMBER() OVER (PARTITION BY vx, vy, vz
+              ORDER BY d2, order_key) AS rn FROM k) WHERE rn = 1""",
+    // centroid = exact integer sum / count: identical double either engine
+    "q68_voxel_centroid_nn" ->
+      s"""WITH p AS ($pts3Sql),
+          k AS (SELECT order_key, x, y, z,
+            FLOOR(x / 250.0) AS vx, FLOOR(y / 250.0) AS vy, FLOOR(z / 250.0) AS vz
+            FROM p),
+          c AS (SELECT vx, vy, vz, AVG(x) AS cx, AVG(y) AS cy, AVG(z) AS cz
+            FROM k GROUP BY vx, vy, vz),
+          d AS (SELECT k.order_key, k.vx, k.vy, k.vz,
+            (k.x - c.cx) * (k.x - c.cx) + (k.y - c.cy) * (k.y - c.cy)
+            + (k.z - c.cz) * (k.z - c.cz) AS d2
+            FROM k JOIN c USING (vx, vy, vz))
+          SELECT order_key AS kept_id FROM (
+            SELECT order_key, ROW_NUMBER() OVER (PARTITION BY vx, vy, vz
+              ORDER BY d2, order_key) AS rn FROM d) WHERE rn = 1""",
+    // clique regime (cell diameter 0 < radius < cell spacing): greedy
+    // sequential sampling == min order_key per occupied snapped cell
+    "q69_sample_fixpoint" ->
+      s"""WITH p AS (SELECT order_key,
+            FLOOR(x / 1000) * 1000.0 AS sx, FLOOR(y / 1000) * 1000.0 AS sy,
+            FLOOR(z / 500) * 500.0 AS sz
+            FROM ($pts3Sql) WHERE order_key < 1000)
+          SELECT MIN(order_key) AS order_key FROM p GROUP BY sx, sy, sz""",
+    // per-point md accumulated in the engine's (d2, cid) order — the SQL
+    // sum is the same explicit left-assoc 4-term chain; the global
+    // mean+2*sd threshold tolerates cross-engine last-ulp aggregation
+    "q70_outlier_stat" ->
+      s"""WITH p AS (SELECT * FROM ($pts3Sql) WHERE order_key < 2000),
+          pairs AS (SELECT a.order_key AS qid, b.order_key AS cid,
+            (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS d2
+            FROM p a JOIN p b ON true),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d2, cid) AS rnk FROM pairs),
+          md AS (SELECT qid,
+            (((MIN(CASE WHEN rnk = 2 THEN SQRT(d2) END)
+              + MIN(CASE WHEN rnk = 3 THEN SQRT(d2) END))
+              + MIN(CASE WHEN rnk = 4 THEN SQRT(d2) END))
+              + MIN(CASE WHEN rnk = 5 THEN SQRT(d2) END)) / 4 AS md
+            FROM ranked WHERE rnk BETWEEN 2 AND 5 GROUP BY qid),
+          t AS (SELECT AVG(md) + 2.0 * STDDEV_SAMP(md) AS thr FROM md)
+          SELECT qid AS order_key,
+            CAST(CASE WHEN md >= (SELECT thr FROM t) THEN 7 ELSE 0 END AS BIGINT)
+              AS cls
+          FROM md""",
+    // LOF brute force: kdist/reachability/lrd/lof per the standard
+    // definitions the engine implements; 5-decimal rounding absorbs
+    // aggregation-order ulps in the 4-term sums
+    "q71_lof" ->
+      s"""WITH p AS (SELECT * FROM ($pts3Sql) WHERE order_key < 2000),
+          pairs AS (SELECT a.order_key AS qid, b.order_key AS cid,
+            (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS d2
+            FROM p a JOIN p b ON true),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d2, cid) AS rnk FROM pairs),
+          nbr AS (SELECT qid, cid, SQRT(d2) AS dist FROM ranked
+            WHERE rnk BETWEEN 2 AND 5),
+          kd AS (SELECT qid, SQRT(MIN(CASE WHEN rnk = 5 THEN d2 END)) AS kdist
+            FROM ranked WHERE rnk = 5 GROUP BY qid),
+          reach AS (SELECT n.qid, GREATEST(n.dist, k2.kdist) AS rdist,
+            n.cid FROM nbr n JOIN kd k2 ON k2.qid = n.cid),
+          lrd AS (SELECT qid, COUNT(*) / SUM(rdist) AS lrd FROM reach GROUP BY qid),
+          lof AS (SELECT n.qid, AVG(l2.lrd) AS avg_nbr_lrd FROM nbr n
+            JOIN lrd l2 ON l2.qid = n.cid GROUP BY n.qid)
+          SELECT lof.qid AS order_key,
+            ROUND(lof.avg_nbr_lrd / lrd.lrd, 5) + 0.0 AS lof_r,
+            ROUND(kd.kdist, 5) + 0.0 AS nnd_r
+          FROM lof JOIN lrd ON lrd.qid = lof.qid JOIN kd ON kd.qid = lof.qid""",
+    // integer cumulative-bump prefix sum: every decrease in week-seconds
+    // over order_key order bumps the week count
+    "q72_gpstime" ->
+      """WITH p AS (SELECT event_id AS order_key,
+            CAST((event_id * 1000) % 604800 AS DOUBLE) AS ws FROM events),
+          b AS (SELECT order_key, ws,
+            CASE WHEN LAG(ws) OVER (ORDER BY order_key) IS NOT NULL
+              AND ws < LAG(ws) OVER (ORDER BY order_key) THEN 1 ELSE 0 END AS bump
+            FROM p),
+          c AS (SELECT order_key, ws, SUM(bump) OVER (ORDER BY order_key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nb FROM b)
+          SELECT order_key,
+            CAST(1000000.0 + ws + nb * 604800.0 AS BIGINT) AS gt FROM c""",
+    "q73_mongo" ->
+      """SELECT event_id FROM events
+         WHERE value >= 10.0 AND event_type IN ('click', 'view')""",
+    "q74_expression" ->
+      s"""SELECT order_key FROM ($ptsSql)
+          WHERE (x > 1000 AND x <= 8000 AND NOT (y >= 6000))
+             OR x + y * 2 < 1500""",
+    // toRadians replicated as x/180*pi (the JVM's op order); floor to
+    // integer meters absorbs libm tan/ln last-ulp differences
+    "q75_reprojection" ->
+      """WITH ll AS (SELECT event_id AS order_key,
+            CAST((event_id * 7) % 350 - 175 + 0.5 AS DOUBLE) AS x,
+            CAST((event_id * 13) % 160 - 80 + 0.25 AS DOUBLE) AS y
+            FROM events)
+          SELECT order_key,
+            CAST(FLOOR(6378137.0 * (x / 180.0 * PI())) AS BIGINT) AS mx,
+            CAST(FLOOR(6378137.0 * LN(TAN(PI() / 4 + (y / 180.0 * PI()) / 2)))
+              AS BIGINT) AS my
+          FROM ll""",
+    // planted-cluster regime: every point is core, components = the 20
+    // planted groups, ids densified over each group's min order_key
+    "q76_dbscan" ->
+      """WITH p AS (SELECT event_id AS order_key, event_id % 20 AS g
+            FROM events WHERE event_id < 20000),
+          r AS (SELECT g, MIN(order_key) AS root FROM p GROUP BY g),
+          d AS (SELECT g, DENSE_RANK() OVER (ORDER BY root) AS cid FROM r)
+          SELECT p.order_key, CAST(d.cid AS BIGINT) AS cluster_id
+          FROM p JOIN d USING (g)""",
+    // init = 8 lowest order_keys, one per planted group; assignment is
+    // group membership at every Lloyd iteration, id = init index
+    "q77_kmeans" ->
+      """WITH p AS (SELECT event_id AS order_key, event_id % 8 AS g FROM events),
+          init AS (SELECT g, ROW_NUMBER() OVER (ORDER BY order_key) - 1 AS idx
+            FROM (SELECT order_key, g FROM p ORDER BY order_key LIMIT 8))
+          SELECT p.order_key, CAST(init.idx AS BIGINT) AS cluster_id
+          FROM p JOIN init USING (g)""",
+    "q78_colorinterp" ->
+      s"""WITH p AS ($pts3Sql),
+          i AS (SELECT order_key,
+            LEAST(GREATEST(CAST(FLOOR((z - 0.0) / 1000.0 * 5) AS INT), 0), 4)
+              AS idx FROM p)
+          SELECT order_key,
+            CAST(CASE idx WHEN 0 THEN 0 WHEN 1 THEN 60 WHEN 2 THEN 140
+              WHEN 3 THEN 230 ELSE 200 END AS BIGINT) AS r,
+            CAST(CASE idx WHEN 0 THEN 47 WHEN 1 THEN 120 WHEN 2 THEN 190
+              WHEN 3 THEN 200 ELSE 60 END AS BIGINT) AS g,
+            CAST(CASE idx WHEN 0 THEN 115 WHEN 1 THEN 180 WHEN 2 THEN 150
+              WHEN 3 THEN 100 ELSE 40 END AS BIGINT) AS b
+          FROM i""",
+    // view = exclusive prefix sum of edge flags over order_key // 2
+    "q79_merge_scanline" ->
+      s"""WITH p AS (SELECT order_key,
+            CASE WHEN order_key % 50 = 0 THEN 1 ELSE 0 END AS e FROM ($ptsSql)),
+          c AS (SELECT order_key, SUM(e) OVER (ORDER BY order_key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - e AS pex FROM p)
+          SELECT order_key, CAST(pex // 2 AS BIGINT) AS view_id FROM c""",
+    // kth (k=4, self excluded) neighbor distance: sqrt of exact-integer
+    // d2, bit-identical across engines
+    "q80_nndistance" ->
+      s"""WITH p AS (SELECT * FROM ($pts3Sql) WHERE order_key < 2000),
+          pairs AS (SELECT a.order_key AS qid, b.order_key AS cid,
+            (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS d2
+            FROM p a JOIN p b ON true),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d2, cid) AS rnk FROM pairs)
+          SELECT qid AS order_key, SQRT(d2) AS nn_distance
+          FROM ranked WHERE rnk = 5""",
+    // z-ascending gap walk per 500-cell: noise while every gap so far
+    // (including own) >= threshold; integer z makes comparisons exact
+    "q81_elm" ->
+      s"""WITH p AS ($pts3Sql),
+          k AS (SELECT order_key, z,
+            FLOOR(x / 500) AS cx, FLOOR(y / 500) AS cy FROM p),
+          g AS (SELECT order_key, cx, cy, z,
+            CASE WHEN LEAD(z) OVER (PARTITION BY cx, cy ORDER BY z, order_key)
+                IS NOT NULL
+              AND LEAD(z) OVER (PARTITION BY cx, cy ORDER BY z, order_key) - z
+                >= 40.0 THEN 1 ELSE 0 END AS ok FROM k),
+          a AS (SELECT order_key,
+            MIN(ok) OVER (PARTITION BY cx, cy ORDER BY z, order_key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS allok FROM g)
+          SELECT order_key,
+            CAST(CASE WHEN allok = 1 THEN 7 ELSE 0 END AS BIGINT) AS cls
+          FROM a""",
+    // interpolated quartiles over integers are exact dyadics in both
+    // engines (same lower + frac*(upper-lower) definition)
+    "q82_iqr" ->
+      s"""WITH p AS ($ptsSql),
+          q AS (SELECT quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3
+            FROM p)
+          SELECT order_key FROM p, q
+          WHERE x >= q1 - 0.5 * (q3 - q1) AND x <= q3 + 0.5 * (q3 - q1)"""
   )
 }

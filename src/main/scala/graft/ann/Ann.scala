@@ -132,17 +132,80 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
 
-  /** Exact brute-force cosine top-k: every query scores the full corpus
-    * (one broadcast of queries, one shuffle on query id for the window).
+  /** Exact brute-force cosine top-k — the exactness baseline the
+    * approximate paths (ivfTopK / ivfPqTopK) are measured against.
+    *
+    * Scale shape: the query matrix is collected and BROADCAST (queries
+    * are few by contract — this is the per-query-exhaustive baseline,
+    * never the bulk path); the corpus is scanned ONCE in a single
+    * mapPartitions pass that keeps an insertion top-k per query, so each
+    * partition emits at most |queries| * k candidate rows. The final
+    * merge windows over numPartitions * |queries| * k rows — never over
+    * the corpus. This replaces the round-2 plan (interpreted
+    * higher-order-function cosine over a non-equi broadcast join + a
+    * full-corpus-per-query window) whose single-partition-per-query
+    * funnel could not survive a 100x corpus.
+    *
+    * Arithmetic matches the Column formulation exactly: elements cast to
+    * double, sequential left-to-right accumulation, cosine =
+    * dot / max(norm_q * norm_c, 1e-12).
     * @return (query_id, vec_id, cosine, rank) */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .join(q, col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      }
+    val bq = spark.sparkContext.broadcast(qArr)
+    val partials = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val nq = qs.length
+        // per-query insertion top-k ordered by (cosine desc, vec_id asc)
+        val bs = Array.fill(nq, k)(Double.NegativeInfinity)
+        val bi = Array.fill(nq, k)(Long.MaxValue)
+        it.foreach { case (vid, v) =>
+          var nc = 0.0; var i = 0
+          while (i < v.length) { nc += v(i) * v(i); i += 1 }
+          val normC = math.sqrt(nc)
+          var qi = 0
+          while (qi < nq) {
+            val (qid, qv, normQ) = qs(qi)
+            if (vid != qid) {
+              var d = 0.0; var j = 0
+              val n = math.min(qv.length, v.length)
+              while (j < n) { d += qv(j) * v(j); j += 1 }
+              val cos = d / math.max(normQ * normC, 1e-12)
+              val s = bs(qi); val ids = bi(qi)
+              if (cos > s(k - 1) || (cos == s(k - 1) && vid < ids(k - 1))) {
+                var p = k - 1
+                while (p > 0 && (s(p - 1) < cos ||
+                    (s(p - 1) == cos && ids(p - 1) > vid))) {
+                  s(p) = s(p - 1); ids(p) = ids(p - 1); p -= 1
+                }
+                s(p) = cos; ids(p) = vid
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.indices.iterator.flatMap { qi =>
+          (0 until k).iterator
+            .filter(j => bs(qi)(j) > Double.NegativeInfinity)
+            .map(j => (qs(qi)._1, bi(qi)(j), bs(qi)(j)))
+        }
+      }.toDF("query_id", "vec_id", "cosine")
+    // merge window runs over <= numPartitions * |queries| * k rows
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    partials.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cosine", "rank")
   }

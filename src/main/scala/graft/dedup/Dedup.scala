@@ -72,29 +72,28 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"),
         graft.functions.F.minhashSig(col(textCol), numHashes, 3).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE materialization of the signature cache before the downstream
+    // plan scans it at three points (banding + the two verify joins) —
+    // concurrent first-scans would each re-hash the shingles.
+    sig.count()
     val banded = sig.withColumn("band", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("bucket", xxhash64(col("band"),
         slice(col("sig"), col("band") * rows + 1, lit(rows))))
       .select("id", "band", "bucket")
-    // mega-bucket cap. The collecting aggregate doubles as the ONE
-    // materialization of the signature cache (the banded self-join's two
-    // sides would otherwise race it and hash the shingles twice); the
-    // anti-join only exists when a hot bucket actually does.
-    val hotRows = banded.groupBy("band", "bucket").count()
-      .filter(col("count") > maxBucket).select("band", "bucket").collect()
-    val pruned =
-      if (hotRows.isEmpty) banded
-      else {
-        val spark = df.sparkSession
-        import spark.implicits._
-        val hotDf = hotRows.map(r => (r.getInt(0), r.getLong(1))).toSeq
-          .toDF("band", "bucket")
-        banded.join(broadcast(hotDf), Seq("band", "bucket"), "left_anti")
-      }
-    val cand = pruned.as("a").join(pruned.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // Candidate pairs straight from ONE (band, bucket) aggregation: the
+    // sorted member list of each bucket expands to its i<j pairs in
+    // place. Replaces the round-2 shape (hot-bucket count + collect +
+    // broadcast anti-join + two-sided self-join shuffle, ~6 fixed jobs
+    // per call) with a single shuffle; the mega-bucket cap becomes a
+    // plain size filter with identical semantics (members of a bucket
+    // larger than maxBucket generate no pairs from that bucket).
+    val cand = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .distinct()
     val withSigs = cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

@@ -136,29 +136,37 @@ object Cluster {
       // LOCAL FAST PATH: the contracted edge list fits the driver — one
       // union-find pass replaces O(log diameter) propagation rounds
       // (each a fixed-cost job). Result broadcast back for step 4.
-      val es = rootEdges.collect()
-      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](es.length * 2)
+      // primitive-tuple encoder collect (~16 bytes/edge on the wire, no
+      // boxed Rows) + open-addressed primitive LongMap: 2^21 edges stay
+      // ~32 MB driver-side, matching the localEdgeLimit doc's budget
+      import spark.implicits._
+      val es = rootEdges.select(col("ra"), col("rb")).as[(Long, Long)].collect()
+      val parent = new scala.collection.mutable.LongMap[Long](es.length * 2)
       def find(x0: Long): Long = {
         var x = x0
-        var p = parent.get(x)
-        while (p != null && p.longValue() != x) {
-          val gp = parent.get(p.longValue())
-          if (gp != null) parent.put(x, gp) // path halving
-          x = p.longValue(); p = parent.get(x)
+        var p = parent.getOrElse(x, x)
+        while (p != x) {
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp // path halving (value update only, no resize)
+          x = p; p = parent.getOrElse(x, x)
         }
         x
       }
-      es.foreach { r =>
-        val ra = r.getLong(0); val rb = r.getLong(1)
-        if (parent.get(ra) == null) parent.put(ra, ra)
-        if (parent.get(rb) == null) parent.put(rb, rb)
+      es.foreach { case (ra, rb) =>
+        if (!parent.contains(ra)) parent(ra) = ra
+        if (!parent.contains(rb)) parent(rb) = rb
         val fa = find(ra); val fb = find(rb)
-        if (fa != fb) { if (fa < fb) parent.put(fb, fa) else parent.put(fa, fb) }
+        if (fa != fb) { if (fa < fb) parent(fb) = fa else parent(fa) = fb }
       }
-      // union-by-min-id: the final find root IS the min key of the component
-      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-      parent.keySet.forEach(k => out += ((k.longValue(), find(k.longValue()))))
-      (spark.createDataset(out.toSeq).toDF("k", "lbl"), true)
+      // union-by-min-id: the final find root IS the min key of the
+      // component. Keys snapshotted first — find() path-halves in place.
+      val keys = parent.keysIterator.toArray
+      val out = keys.map(k => (k, find(k)))
+      // broadcast of the label map only while it is actually broadcast-
+      // sized; a near-limit map (up to ~2*edgeLimit entries) falls back
+      // to a shuffled join rather than forcing a giant broadcast
+      (spark.createDataset(out.toIndexedSeq).toDF("k", "lbl"),
+        out.length <= (1 << 21))
     } else {
       val edges = graft.core.Mat(
         rootEdges.select(col("ra").as("pk"), col("rb").as("qk"))

@@ -346,14 +346,17 @@ object Csf {
         }
       }
       val rootMap = borders.values.toSet.map((r: Long) => r -> bFind(r)).toMap
-      val rootMapB = spark.sparkContext.broadcast(rootMap)
-      val labeled = perTile.withColumn("label",
-        udf((r: Long) => rootMapB.value.getOrElse(r, r)).apply(col("root")))
-      val bigRoots = labeled.groupBy("label").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 50).select("label").as[Long].collect().toSet
-      val bigB = spark.sparkContext.broadcast(bigRoots)
+      // driver-merged (root -> global label) relabeling as a broadcast
+      // join (codegen'd hash lookup) rather than a per-row UDF; roots
+      // absent from the border merge keep their tile-local label.
+      val rootMapDf = rootMap.toSeq.toDF("root", "mlabel")
+      val labeled = perTile
+        .join(broadcast(rootMapDf), Seq("root"), "left")
+        .withColumn("label", coalesce(col("mlabel"), col("root")))
+      val bigLabels = labeled.groupBy("label").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 50).select("label")
       val inBig = labeled
-        .filter(udf((l: Long) => bigB.value.contains(l)).apply(col("label")))
+        .join(broadcast(bigLabels), Seq("label"), "left_semi")
         .select((col("cell") / h).cast("int").as("gx"),
           (col("cell") % h).cast("int").as("gy"), lit(true).as("big"))
       // iterate per-tile clamp fixpoints (frozen halo) until stable

@@ -567,8 +567,13 @@ object DelaunayMesh {
               var e2 = 0
               while (e2 < hull.length && !incomplete) {
                 val a = hull(e2); val b = hull((e2 + 1) % hull.length)
+                // cross <= 0: a core corner exactly ON a hull edge is NOT
+                // strictly inside — bbox-clamped circumcenters of hidden
+                // super-vertex-routed triangles land exactly on edge-tile
+                // boundaries (ti==0 has c0x == mnx), so boundary contact
+                // must escalate, never certify
                 if ((px(b) - px(a)) * (cys(q) - py(a)) -
-                    (py(b) - py(a)) * (cxs(q) - px(a)) < 0) incomplete = true
+                    (py(b) - py(a)) * (cxs(q) - px(a)) <= 0) incomplete = true
                 e2 += 1
               }
               q += 1

@@ -78,8 +78,15 @@ object GridSurface {
       count(when(col("z").isNull, 1)).as("holes"),
       count(when(col("z").isNotNull, 1)).as("filled")).head()
     val filled = dense.filter(col("z").isNotNull)
-    if (cnt.getLong(0) == 0 || cnt.getLong(1) == 0)
-      return dense // no holes, or empty index (reference knnfill no-op)
+    if (cnt.getLong(0) == 0 || cnt.getLong(1) == 0) {
+      // no holes, or empty index (reference knnfill no-op). Materialize
+      // the grid, then release the cache — returning the persisted frame
+      // itself would leak its blocks for the session (caller has no
+      // handle to unpersist).
+      val out = graft.core.Mat(dense)
+      dense.unpersist(false)
+      return out
+    }
     val holes = dense.filter(col("z").isNull)
     val cand = filled.select(g.key(col("c"), col("r")).as("order_key"),
       g.centerX(col("c")).as("x"), g.centerY(col("r")).as("y"),
@@ -98,7 +105,11 @@ object GridSurface {
     val filledHoles = hits.select(col("order_key"), zfill.as("z"))
       .select((col("order_key") / g.rows).cast("int").as("c"),
         pmod(col("order_key"), lit(g.rows.toLong)).cast("int").as("r"), col("z"))
-    filled.select("c", "r", "z").unionByName(filledHoles)
+    // materialize before unpersisting the input cache so repeated
+    // Pmf/Smrf invocations never accumulate leaked blocks
+    val out = graft.core.Mat(filled.select("c", "r", "z").unionByName(filledHoles))
+    dense.unpersist(false)
+    out
   }
 
   /** `iters` steps of 4-neighbor (diamond) erosion (min) or dilation

@@ -336,9 +336,15 @@ object ProjPipeline {
       else (groups.head, groups.tail)
     require(header.isEmpty || header.exists(_ == ("proj", "pipeline")),
       s"multi-step coord_op must start with +proj=pipeline: $coordOp")
+    // same boolean grammar as step-level flags: bare presence is true,
+    // malformed values fail loudly (no silent +inv=banana -> false)
     val globalReverse = header.exists {
-      case ("inv", v) =>
-        v.isEmpty || Set("t", "true", "1", "yes", "on")(v.toLowerCase)
+      case ("inv", v) => v.isEmpty || (v.toLowerCase match {
+        case "t" | "true" | "1" | "yes" | "on" => true
+        case "f" | "false" | "0" | "no" | "off" => false
+        case other => throw new IllegalArgumentException(
+          s"+inv=$other is not a boolean (use +inv or +inv=true/false)")
+      })
       case _ => false
     }
     val steps = stepGroups.map { g =>

@@ -449,10 +449,13 @@ object PipelineBuilder {
           .csv(optStr(o, "filename").get); in
       case other => throw new IllegalArgumentException(s"unknown stage type: $other")
     } catch {
-      case _: NoSuchElementException => throw new IllegalArgumentException(
+      // the cause rides along: a NoSuchElementException thrown deep inside
+      // an eager writer action (not by an optStr(...).get) keeps its real
+      // stack trace instead of being masked as a missing option
+      case e: NoSuchElementException => throw new IllegalArgumentException(
         s"${spec.stageType}: a required option is missing or has the wrong " +
         s"JSON type (options provided: ${
-          if (o.isEmpty) "none" else o.keys.toSeq.sorted.mkString(", ")})")
+          if (o.isEmpty) "none" else o.keys.toSeq.sorted.mkString(", ")})", e)
     }
   }
 
