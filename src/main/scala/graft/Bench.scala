@@ -29,28 +29,60 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
-    // best-of-2 per query: this host has multi-minute throttle phases
-    // that inflate whichever queries happen to be live by 1.5-2x
-    // (BENCH/probe.tsv); a single sample is a phase lottery. Two runs
-    // rarely land in the same throttle window, so min-of-2 recovers the
-    // engine's number. Labeled in the JSON ("agg":"min-of-2").
-    def bestOf2(f: => Long): Double = {
-      val a = try time(f) catch { case _: Throwable => return -1.0 }
-      clearLeftovers()
-      val b = try time(f) catch { case _: Throwable => a }
-      math.min(a, b)
+    // ---- probe-gated sampling ----
+    // This host has multi-minute throttle phases that inflate whichever
+    // queries happen to be live by 1.5-2x (BENCH/probe.tsv), so a single
+    // sample is a phase lottery. Each timing sample is bracketed by a
+    // short host-capacity probe (the HostProbe kernel: pure codegen agg,
+    // zero engine logic); a sample only counts as CLEAN when its probe
+    // clears the clean-phase floor observed in BENCH/probe.tsv (~620+
+    // Mrows/s at 8 cores, ~1700+ at 32; floor set at ~2/3 of clean). The
+    // committed number is min over clean samples, falling back to min
+    // over all samples (flagged) only if no probe clears after maxRuns.
+    import org.apache.spark.sql.functions._
+    val probeRows = 10_000_000L * cpus
+    def probeNow(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, probeRows, 1, cpus * 4)
+        .select(bit_xor(xxhash64(xxhash64(xxhash64(col("id")))))).head()
+      probeRows / ((System.nanoTime() - t0) / 1e9) / 1e6 // Mrows/s
+    }
+    probeNow() // JIT/codegen warm so the first real probe isn't biased low
+    val probeFloor = if (cpus >= 32) 1100.0 else if (cpus >= 8) 420.0 else 40.0 * cpus
+    final case class Sample(secs: Double, probe: Double)
+    def probeGated(f: => Long): (Double, Double, Boolean) = {
+      val samples = scala.collection.mutable.ArrayBuffer[Sample]()
+      val maxRuns = 4
+      var i = 0
+      // stop once two clean-phase samples exist (the old best-of-2, now
+      // conditioned on the host actually being in a clean phase)
+      while (i < maxRuns && samples.count(_.probe >= probeFloor) < 2) {
+        val p = probeNow()
+        val t = try time(f) catch { case _: Throwable => return (-1.0, p, false) }
+        samples += Sample(t, p)
+        clearLeftovers()
+        i += 1
+      }
+      val clean = samples.filter(_.probe >= probeFloor)
+      val pool = if (clean.nonEmpty) clean else samples
+      val best = pool.minBy(_.secs)
+      (best.secs, best.probe, clean.nonEmpty)
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Boolean)]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = bestOf2(fn(spark, sfDir).count())
+      results(name) = probeGated(fn(spark, sfDir).count())
       clearLeftovers()
     }
-    results("flagship_pipeline") = bestOf2(SparkEntry.entry(spark).count())
+    results("flagship_pipeline") = probeGated(SparkEntry.entry(spark).count())
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min-of-2","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val psJson = results.map { case (k, (_, p, g)) =>
+      "\"" + k + "\":{\"mrows\":" + f"$p%.0f" + ",\"clean\":" + g + "}"
+    }.mkString("{", ",", "}")
+    val gatedCount = results.values.count(_._3)
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min-of-clean-probe-gated","probe_floor_mrows":$probeFloor,"clean_queries":$gatedCount,"queries":$qs,"probes":$psJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,6 +60,14 @@ object PipelineSpec {
   def optLong(o: Map[String, JValue], k: String): Option[Long] =
     o.get(k).collect { case JInt(i) => i.toLong; case JDouble(d) => d.toLong
                        case JString(s) => s.toLong }
+  /** PDAL list options accept a JSON array or a comma-joined string
+    * (Options::getValues, pdal/Options.hpp); empty when absent. */
+  def optStrList(o: Map[String, JValue], k: String): Seq[String] =
+    o.get(k) match {
+      case Some(JArray(vs)) => vs.collect { case JString(s) => s }
+      case Some(JString(s)) => s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case _ => Seq.empty
+    }
   def optBool(o: Map[String, JValue], k: String): Option[Boolean] =
     // non-boolean strings (PDAL's where_merge:"auto") fall through to
     // the stage default instead of crashing toBoolean
@@ -153,6 +161,27 @@ object PipelineBuilder {
         // readers.memoryview analog (io/MemoryViewReader.cpp:50): read a
         // registered temp view / catalog table by name
         readerOpts(spark.table(optStr(o, "view").orElse(optStr(o, "table")).get))
+      case "readers.stac" =>
+        // io/StacReader.cpp:126-151 option surface; bounds uses the PDAL
+        // 2D bounds grammar and prunes items before any data read
+        val b = optStr(o, "bounds").map { s =>
+          val n = boundsNums(s)
+          (n(0), n(2), n(1), n(3))
+        }
+        val props = o.get("properties") match {
+          case Some(JObject(fs)) => fs.collect {
+            case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        }
+        readerOpts(graft.sources.StacReader.read(spark,
+          optStr(o, "filename").get, b,
+          itemIds = optStrList(o, "item_ids"),
+          catalogIds = optStrList(o, "catalog_ids"),
+          assetNames = {
+            val a = optStrList(o, "asset_names")
+            if (a.isEmpty) Seq("data") else a
+          },
+          properties = props))
       // ---- filters ----
       case "filters.crop" =>
         val outside = optBool(o, "outside").getOrElse(false)

@@ -190,6 +190,65 @@ class PipelineSpecSuite extends AnyFunSuite {
       TIndexKernel.merge(spark, s"$dir/idx", 5000, 5000, 6000, 6000))
   }
 
+  test("readers.stac: catalog walk, bounds-pruned item never opened, " +
+      "item_ids/properties regexes, asset_names order (StacReader.cpp:110)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("stac").toString
+    // three items: A in [0,100]^2, B in [1000,1100]^2, C in [40,140]^2.
+    // B's asset href points at a file that DOES NOT EXIST — if pruning
+    // ever opens it, the read throws.
+    graft.core.Synth.docs(spark, 200, seed = 71,
+      bounds = (0.0, 0.0, 100.0, 100.0)).write.parquet(s"$dir/itemA.parquet")
+    graft.core.Synth.docs(spark, 200, seed = 73,
+      bounds = (40.0, 40.0, 140.0, 140.0)).write.parquet(s"$dir/itemC.parquet")
+    def item(id: String, bbox: String, asset: String, season: String) =
+      s"""{"type":"Feature","id":"$id","bbox":$bbox,
+          "properties":{"season":"$season"},
+          "assets":{"data":{"href":"$asset"}}}"""
+    Files.writeString(Paths.get(s"$dir/A.json"),
+      item("item-A", "[0,0,100,100]", "itemA.parquet", "summer"))
+    Files.writeString(Paths.get(s"$dir/B.json"),
+      item("item-B", "[1000,1000,1100,1100]", "missingB.parquet", "summer"))
+    Files.writeString(Paths.get(s"$dir/C.json"),
+      item("item-C", "[40,40,3,140,140,9]", "itemC.parquet", "winter")) // 3D bbox
+    Files.writeString(Paths.get(s"$dir/sub.json"),
+      """{"type":"Catalog","id":"sub-cat","links":[
+          {"rel":"item","href":"C.json"}]}""")
+    Files.writeString(Paths.get(s"$dir/catalog.json"),
+      """{"type":"Catalog","id":"root","links":[
+          {"rel":"item","href":"A.json"},
+          {"rel":"item","href":"B.json"},
+          {"rel":"child","href":"sub.json"},
+          {"rel":"self","href":"catalog.json"}]}""")
+    // bounds select A+C (B pruned before I/O), then clip points to bounds
+    val out = PipelineBuilder.run(spark,
+      s"""{"pipeline":[
+         {"type":"readers.stac","filename":"$dir/catalog.json",
+          "bounds":"([0,120],[0,120])"}]}""")
+    assert(out.count() > 0 && out.count() < 400) // clipped union of A+C
+    assert(out.agg(max("x")).head().getDouble(0) <= 120.0)
+    // item_ids regex selects exactly one item
+    val onlyA = graft.sources.StacReader.read(spark, s"$dir/catalog.json",
+      itemIds = Seq("item-A"))
+    assert(onlyA.count() == 200)
+    // properties regex: winter matches only C (B pruned -> no read)
+    val winter = graft.sources.StacReader.read(spark, s"$dir/catalog.json",
+      properties = Map("season" -> "wint.*"))
+    assert(winter.count() == 200)
+    // catalog_ids prunes the subtree: sub-cat excluded leaves A (+B unmatched
+    // by the property) — here id filter keeps only the root's direct items
+    val noSub = graft.sources.StacReader.read(spark, s"$dir/catalog.json",
+      catalogIds = Seq("nonexistent"), itemIds = Seq("item-A"))
+    assert(noSub.count() == 200)
+    // asset_names fallback order: first missing name falls through
+    val fb = graft.sources.StacReader.read(spark, s"$dir/catalog.json",
+      itemIds = Seq("item-C"), assetNames = Seq("overview", "data"))
+    assert(fb.count() == 200)
+    // no match -> loud failure
+    intercept[IllegalArgumentException](graft.sources.StacReader.read(
+      spark, s"$dir/catalog.json", itemIds = Seq("nope")))
+  }
+
   test("checkpoint runner: metrics recorded, exact resume skips completed stages") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val docs = Fixtures.autzen1065(spark)
