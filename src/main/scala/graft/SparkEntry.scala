@@ -879,7 +879,59 @@ object SparkEntry {
     "q82_iqr" -> ((s, d) =>
       // interpolated quartiles over integer values: Spark percentile and
       // DuckDB quantile_cont share the linear-interpolation definition
-      Iqr(pts(s, d), "x", k = 0.5).select("order_key"))
+      Iqr(pts(s, d), "x", k = 0.5).select("order_key")),
+    "q83_stac_union" -> ((s, d) => {
+      // readers.stac end-to-end through the oracle gate: a 3-item catalog
+      // whose items are slices of pts (A: order_key<5000, C: >=5000, both
+      // bbox [0,10000]^2) plus item B whose bbox is disjoint from the
+      // query bounds AND whose asset file does not exist — bounds-pruning
+      // B before I/O is what lets the read succeed at all. Result =
+      // pts clipped to the bounds, which DuckDB rebuilds directly.
+      val dir = java.nio.file.Paths.get(
+        s"/tmp/graft-stac-${Integer.toHexString(d.hashCode)}")
+      java.nio.file.Files.createDirectories(dir)
+      val p = pts(s, d).select("order_key", "x", "y")
+      p.filter(col("order_key") < 5000)
+        .write.mode("overwrite").parquet(s"$dir/itemA.parquet")
+      p.filter(col("order_key") >= 5000)
+        .write.mode("overwrite").parquet(s"$dir/itemC.parquet")
+      def item(id: String, bbox: String, asset: String) =
+        s"""{"type":"Feature","id":"$id","bbox":$bbox,"properties":{},
+            "assets":{"data":{"href":"$asset"}}}"""
+      java.nio.file.Files.writeString(dir.resolve("A.json"),
+        item("a", "[0,0,10000,10000]", "itemA.parquet"))
+      java.nio.file.Files.writeString(dir.resolve("B.json"),
+        item("b", "[50000,50000,60000,60000]", "missing.parquet"))
+      java.nio.file.Files.writeString(dir.resolve("C.json"),
+        item("c", "[0,0,10000,10000]", "itemC.parquet"))
+      java.nio.file.Files.writeString(dir.resolve("catalog.json"),
+        """{"type":"Catalog","id":"root","links":[
+            {"rel":"item","href":"A.json"},{"rel":"item","href":"B.json"},
+            {"rel":"item","href":"C.json"}]}""")
+      graft.sources.StacReader.read(s, s"$dir/catalog.json",
+        bounds = Some((0.0, 0.0, 8000.0, 8000.0)))
+    }),
+    "q84_ply_roundtrip" -> ((s, d) => {
+      // writers.ply -> readers.ply round trip through the oracle gate:
+      // integral coords print exactly at any fixed precision, event_ids
+      // are dense from 1, so the read-back face indices (vertex ranks)
+      // are (k-1, k, k+1) — pure SQL. Faces join back to their corner-a
+      // coordinates to exercise both PLY elements in one hashed result.
+      val p = pts(s, d).filter(col("order_key").between(1, 1500))
+        .select("order_key", "x", "y", "z")
+      val faces = p.filter(col("order_key") % 3 === 1 &&
+          col("order_key") <= 1498)
+        .select(col("order_key").as("a"), (col("order_key") + 1).as("b"),
+          (col("order_key") + 2).as("c"))
+      val f = s"/tmp/graft-ply-${Integer.toHexString(d.hashCode)}.ply"
+      graft.sources.MeshWriters.writePly(p, faces, f)
+      val (v, fi) = graft.sources.PlyReader.readAscii(s, f)
+      val va = v.select(col("order_key").as("ia"),
+        col("x").as("xa"), col("y").as("ya"))
+      fi.join(va, fi("a") === va("ia"))
+        .select(col("a").as("ia"), col("b").as("ib"), col("c").as("ic"),
+          col("xa"), col("ya"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1982,6 +2034,19 @@ object SparkEntry {
           q AS (SELECT quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3
             FROM p)
           SELECT order_key FROM p, q
-          WHERE x >= q1 - 0.5 * (q3 - q1) AND x <= q3 + 0.5 * (q3 - q1)"""
+          WHERE x >= q1 - 0.5 * (q3 - q1) AND x <= q3 + 0.5 * (q3 - q1)""",
+    // the catalog machinery (walk, bbox prune, asset resolve, union) is
+    // the engine side; the oracle rebuilds the surviving rows directly
+    "q83_stac_union" ->
+      s"""SELECT order_key, x, y FROM ($ptsSql)
+          WHERE x BETWEEN 0 AND 8000 AND y BETWEEN 0 AND 8000""",
+    // dense event_ids 1..1500 make the read-back vertex index of
+    // order_key k exactly k-1; corner-a coords are the pts recurrence
+    "q84_ply_roundtrip" ->
+      """SELECT event_id - 1 AS ia, event_id AS ib, event_id + 1 AS ic,
+          CAST((event_id * 7919) % 10000 AS DOUBLE) AS xa,
+          CAST((event_id * 104729) % 10000 AS DOUBLE) AS ya
+          FROM events
+          WHERE event_id BETWEEN 1 AND 1498 AND event_id % 3 = 1"""
   )
 }

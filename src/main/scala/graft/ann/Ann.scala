@@ -44,13 +44,19 @@ final class Coarse private (val cents: Array[Array[Double]],
     bc
   }
 
-  /** top-nprobe centroid ids for v; tree mode scans the `wsuper` best
-    * super-buckets only. */
+  /** top-nprobe centroid ids for v; tree mode scans the best
+    * max(wsuper, 2*nprobe) super-buckets only. The nprobe-scaled floor is
+    * load-bearing for recall: the nprobe nearest CELLS of a query near a
+    * cluster boundary scatter across many supers, and a fixed ws=8 of
+    * nsuper=64 capped measured recall@10 at ~0.76 no matter how nprobe/m/
+    * rerank were raised (BENCH/ivfpq_recall.md) — 2*nprobe restores
+    * 0.99 while still scanning O(ws/nsuper) of the cells. Assignment
+    * (nprobe=1) keeps the cheap ws=wsuper scan. */
   def probe(v: Array[Float], nprobe: Int, wsuper: Int): Array[Int] = {
     if (isFlat) topk(v, null, nprobe)
     else {
       val ns = superCents.length
-      val ws = math.min(wsuper, ns)
+      val ws = math.min(math.max(wsuper, 2 * nprobe), ns)
       val sd = Array.fill(ws)(Double.NegativeInfinity)
       val sc = new Array[Int](ws)
       var s = 0
@@ -256,13 +262,34 @@ object Ann {
     trainFromBase(base, nlist, iters, flatLimit, wsuper)
   }
 
+  /** Deterministic hash-ordered sample of `count` unit vectors from a
+    * MATERIALIZED (id, u) base. A bare orderBy(hash).limit(count) is a
+    * TakeOrdered that ships up to `count` FULL vectors PER PARTITION to
+    * the driver (measured: >1 GB and a maxResultSize abort at 64
+    * partitions x 16384 x dim 256); pre-filtering to the lowest ~4*count/n
+    * hash fraction first bounds the TakeOrdered residue to ~4*count rows
+    * total while returning the identical sample (the global hash order
+    * is unchanged; the cut keeps every row the limit can select, with a
+    * 4x margin so a shortfall is a Chernoff-tail event). */
+  private def hashSample(base: DataFrame, count: Int): Array[Array[Float]] = {
+    val h = xxhash64(col("id"))
+    val n = base.count() // base is persisted by every caller
+    val pre =
+      if (n > 4L * count) {
+        val frac = 4.0 * count / n
+        val cut = (Long.MinValue.toDouble + frac * 2.0 * Long.MaxValue.toDouble).toLong
+        base.filter(h <= lit(cut))
+      } else base
+    pre.orderBy(h).limit(count).select("u").collect()
+      .map(_.getSeq[Float](0).toArray)
+  }
+
   /** Lloyd rounds over an already-materialized (id, u) base. */
   private def trainFromBase(base: DataFrame, nlist: Int, iters: Int,
       flatLimit: Int, wsuper: Int): Array[Array[Double]] = {
     val spark = base.sparkSession
-    var cents: Array[Array[Double]] = base
-      .orderBy(xxhash64(col("id"))).limit(nlist)
-      .select("u").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cents: Array[Array[Double]] =
+      hashSample(base, nlist).map(_.map(_.toDouble))
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
@@ -334,8 +361,7 @@ object Ann {
     val cents = trainFromBase(base, nlist, iters, flatLimit, wsuper)
     val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
     // codebooks train on a deterministic hash-ordered sample
-    val sample = base.orderBy(xxhash64(col("id"))).limit(pqSample)
-      .select("u").collect().map(_.getSeq[Float](0).toArray)
+    val sample = hashSample(base, pqSample)
     val bpq = spark.sparkContext.broadcast(Pq.train(sample, m, ksub))
     // assign + encode in ONE pass over the base: (id, cell, m-byte code)
     val codes = base.as[(Long, Array[Float])]
@@ -491,8 +517,7 @@ object Ann {
       corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
     val cents = trainFromBase(base, nlist, iters, flatLimit, wsuper)
     val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
-    val sample = base.orderBy(xxhash64(col("id"))).limit(pqSample)
-      .select("u").collect().map(_.getSeq[Float](0).toArray)
+    val sample = hashSample(base, pqSample)
     val pq = Pq.train(sample, m, ksub)
     val bpq = spark.sparkContext.broadcast(pq)
     base.as[(Long, Array[Float])]

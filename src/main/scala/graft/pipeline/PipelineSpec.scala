@@ -410,6 +410,28 @@ object PipelineBuilder {
       case "filters.shell" =>
         ShellStage.run(in, optStr(o, "command").get)
       // ---- writers ----
+      case "writers.ply" | "writers.gltf" =>
+        // the reference writes the mesh ATTACHED to the incoming view
+        // (PlyWriter.cpp:48, GltfWriter.cpp:55); stages here pass
+        // DataFrames, so either give the writer two inputs — [vertices,
+        // faces] tags — or one point view and the TIN is (re)built like
+        // filters.faceraster does
+        val (verts, faces) =
+          if (ins.size == 2) (ins(0), ins(1))
+          else (in, DelaunayMesh(in))
+        val fname = optStr(o, "filename").get
+        if (spec.stageType == "writers.gltf")
+          graft.sources.MeshWriters.writeGlb(verts, faces, fname)
+        else graft.sources.MeshWriters.writePly(verts, faces, fname,
+          // PDAL spelling: storage_mode in {ascii, little endian, default}
+          binary = optStr(o, "storage_mode").exists(s =>
+            s == "little endian" || s == "binary_le" || s == "default"),
+          precision = optLong(o, "precision").getOrElse(3L).toInt,
+          dims = {
+            val d = optStrList(o, "dims")
+            if (d.isEmpty) Seq("x", "y", "z") else d
+          })
+        in
       case "writers.ogr" =>
         graft.sources.OgrWriter.writeGeoJson(in, optStr(o, "filename").get,
           optStr(o, "attr_dims").map(_.split(',').map(_.trim).toSeq).getOrElse(Nil),

@@ -249,6 +249,33 @@ class PipelineSpecSuite extends AnyFunSuite {
       spark, s"$dir/catalog.json", itemIds = Seq("nope")))
   }
 
+  test("writers.ply / writers.gltf pipeline stages: single-input TIN rebuild " +
+      "and two-input [vertices, faces] DAG (PlyWriter.cpp:48, GltfWriter.cpp:55)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("meshw").toString
+    // single-input: points in, TIN rebuilt like filters.faceraster
+    PipelineBuilder.run(spark,
+      s"""{"pipeline":[
+         {"type":"readers.faux","mode":"uniform","count":200,"seed":11},
+         {"type":"writers.ply","filename":"$dir/m.ply"},
+         {"type":"writers.gltf","filename":"$dir/m.glb"}]}""")
+    val (v, f) = graft.sources.PlyReader.readAscii(spark, s"$dir/m.ply")
+    assert(v.count() == 200 && f.count() > 0)
+    val glb = Files.readAllBytes(Paths.get(s"$dir/m.glb"))
+    assert(glb.length > 100 && new String(glb, 0, 4, "US-ASCII") == "glTF")
+    // two-input DAG: an explicit mesh stage feeds the writer its faces
+    PipelineBuilder.run(spark,
+      s"""{"pipeline":[
+         {"type":"readers.faux","mode":"uniform","count":150,"seed":12,"tag":"pts"},
+         {"type":"filters.delaunay","tag":"tin","inputs":["pts"]},
+         {"type":"writers.ply","inputs":["pts","tin"],
+          "filename":"$dir/m2.ply","storage_mode":"little endian"}]}""")
+    val hdr = new String(Files.readAllBytes(Paths.get(s"$dir/m2.ply"))
+      .take(200).toArray, "US-ASCII")
+    assert(hdr.contains("format binary_little_endian 1.0"))
+    assert(hdr.contains("element vertex 150"))
+  }
+
   test("checkpoint runner: metrics recorded, exact resume skips completed stages") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val docs = Fixtures.autzen1065(spark)
