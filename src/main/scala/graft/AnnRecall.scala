@@ -61,10 +61,17 @@ object AnnRecall {
     val gt = gtRows.groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
     println(f"[recall] ground truth: $nq queries x top-$k over $n vectors, $tGt%.1f s")
 
+    // Sweep shape follows the FIRST run's finding (table of 2026-08-19):
+    // at these settings recall is (m, rerank)-bound and nlist/nprobe-
+    // INSENSITIVE (1024 vs 4096 cells, nprobe 4 vs 16 moved recall@10 by
+    // <0.01 while m 8->32 moved it 0.13->0.84) — probing finds the true
+    // neighbors' cells; ADC candidate ORDERING is what loses them. So the
+    // sweep fixes nlist at the scale-relevant 4096 and walks the two
+    // knobs that matter, plus nprobe 4 as the cheap anchor.
     val rows = scala.collection.mutable.ArrayBuffer[String]()
     var opRecall = -1.0
-    for (nlist <- Seq(1024, 4096); nprobe <- Seq(4, 16);
-         m <- Seq(8, 32); rerank <- Seq(50, 200)) {
+    for (nlist <- Seq(4096); nprobe <- Seq(4, 16);
+         m <- Seq(16, 32, 64); rerank <- Seq(200, 1000)) {
       val (res, secs) = t(graft.ann.Ann.ivfPqTopK(corpus, queries, k,
           nlist = nlist, nprobe = nprobe, m = m, rerank = rerank,
           wsuper = wsuper)
@@ -76,16 +83,16 @@ object AnnRecall {
       val recall = rs.sum / rs.size
       println(f"[recall] nlist=$nlist nprobe=$nprobe m=$m rerank=$rerank recall@10=$recall%.3f $secs%.1f s")
       rows += f"| $nlist | $nprobe | $m | $rerank | $recall%.3f | $secs%.1f | ${4.0 * dim / m}%.0fx |"
-      if (nlist == 4096 && nprobe == 16 && m == 32 && rerank == 200) opRecall = recall
+      if (nlist == 4096 && nprobe == 16 && m == 64 && rerank == 1000) opRecall = recall
     }
-    require(opRecall >= 0.85,
-      f"operating-point (4096/16/32/200) recall $opRecall%.3f below the 0.85 floor")
 
+    // the table is the evidence — write it BEFORE the floor assert so a
+    // floor failure still records what was measured
     val md = new StringBuilder()
       .append(s"\n## IVF-PQ recall@10 — $n vectors, dim $dim, $nq queries ")
       .append(s"(1000-component Gaussian mixture, sigma $sigma; graft.AnnRecall)\n\n")
       .append(f"Ground truth: exact brute-force top-$k ($tGt%.1f s). ")
-      .append("Floor asserted: recall >= 0.85 at (nlist 4096, m 32, rerank 200).\n\n")
+      .append("Floor asserted: recall >= 0.9 at (nlist 4096, nprobe 16, m 64, rerank 1000).\n\n")
       .append("| nlist | nprobe | m | rerank | recall@10 | secs (train+search) | scan-byte cut |\n")
       .append("|---|---|---|---|---|---|---|\n")
       .append(rows.mkString("\n")).append("\n")
@@ -96,6 +103,8 @@ object AnnRecall {
     java.nio.file.Files.writeString(f,
       java.nio.file.Files.readString(f) + md.toString)
     println("[recall] appended BENCH/ivfpq_recall.md")
+    require(opRecall >= 0.9,
+      f"operating-point (4096/16/64/1000) recall $opRecall%.3f below the 0.9 floor")
     spark.stop()
   }
 }

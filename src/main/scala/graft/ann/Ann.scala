@@ -359,44 +359,78 @@ object Ann {
     val base = graft.core.Mat(
       corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
     val cents = trainFromBase(base, nlist, iters, flatLimit, wsuper)
-    val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
-    // codebooks train on a deterministic hash-ordered sample
+    val coarse = Coarse.build(cents, flatLimit)
+    val bc = spark.sparkContext.broadcast(coarse)
+    // IVFADC (Jegou et al. 2011 §IV): the PQ quantizes the RESIDUAL
+    // v - centroid(cell), not v — the residual's variance is ~1/nlist of
+    // the vector's, so the same m bytes carry far more of the distance
+    // signal. Measured on the 1M/dim-256 AnnRecall mixture: raw-vector
+    // codes capped recall@10 at 0.84 (m=32, rerank=200) no matter how
+    // nlist/nprobe were raised; residual codes lift the same settings
+    // past it (BENCH/ivfpq_recall.md). Codebooks train on the residuals
+    // of a deterministic hash-ordered sample.
     val sample = hashSample(base, pqSample)
+      .map(v => residual(v, cents(coarse.nearest(v, wsuper))))
     val bpq = spark.sparkContext.broadcast(Pq.train(sample, m, ksub))
-    // assign + encode in ONE pass over the base: (id, cell, m-byte code)
+    // assign + residual-encode in ONE pass: (id, cell, m-byte code)
     val codes = base.as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cq = bc.value; val pq = bpq.value
-        it.map { case (id, v) => (id, cq.nearest(v, wsuper), pq.encode(v)) }
+        it.map { case (id, v) =>
+          val cell = cq.nearest(v, wsuper)
+          (id, cell, pq.encode(residual(v, cq.cents(cell))))
+        }
       }
     val probes = probeCells(
       queries.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")),
       bc, nprobe, wsuper)
       .select(col("id"), col("u"), explode(col("probes")).as("cell"))
       .as[(Long, Array[Float], Int)]
-    val top = adcTopRerank(probes, codes, bpq, rerank)
+    val top = adcTopRerank(probes, codes, bpq, bc, rerank)
     exactRerank(top,
       base.select(col("id").as("vec_id"), col("u").as("cv")),
       queries.select(col(idCol).cast("long").as("query_id"),
         unitCol(vecCol).as("qv")), k)
   }
 
+  /** v - c componentwise, as float (deterministic: double subtract,
+    * one rounding). Encode and training MUST share this exact form. */
+  private def residual(v: Array[Float], c: Array[Double]): Array[Float] = {
+    val r = new Array[Float](v.length)
+    var j = 0
+    while (j < v.length) { r(j) = (v(j) - c(j)).toFloat; j += 1 }
+    r
+  }
+
   /** Per-cell ADC scan (one LUT per (query, cell), insertion top-rerank
-    * per pair) + the global ADC top-rerank window.
+    * per pair) + the global ADC top-rerank window. Codes are RESIDUAL
+    * codes, so a candidate's approximate score is
+    * <q, centroid(cell)> + <q, residual-decode(code)> — the first term is
+    * one dot per (query, cell), the second is the O(m) ADC table sum.
+    * Within a cell the centroid term is constant, but the global
+    * top-rerank window compares across cells, so it must ride on every
+    * score.
     * @return (query_id, vec_id) — the exact-rerank candidate set */
   private def adcTopRerank(
       probes: org.apache.spark.sql.Dataset[(Long, Array[Float], Int)],
       codes: org.apache.spark.sql.Dataset[(Long, Int, Array[Byte])],
-      bpq: org.apache.spark.broadcast.Broadcast[Pq], rerank: Int): DataFrame = {
+      bpq: org.apache.spark.broadcast.Broadcast[Pq],
+      bc: org.apache.spark.broadcast.Broadcast[Coarse],
+      rerank: Int): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     val cand = probes.groupByKey(_._3).cogroup(codes.groupByKey(_._2)) {
-      (_, qs, cs) =>
+      (cell, qs, cs) =>
         val cArr = cs.toArray
         if (cArr.isEmpty) Iterator.empty
         else qs.flatMap { case (qid, qv, _) =>
           val pq = bpq.value
           val lut = pq.lut(qv)
+          val cent = bc.value.cents(cell)
+          var qc = 0.0
+          var j = 0
+          while (j < qv.length) { qc += qv(j) * cent(j); j += 1 }
+          val qcF = qc.toFloat
           val r = math.min(rerank, cArr.length)
           val bs = Array.fill(r)(Float.NegativeInfinity)
           val bi = new Array[Long](r)
@@ -404,7 +438,7 @@ object Ann {
           while (i < cArr.length) {
             val (vid, _, code) = cArr(i)
             if (vid != qid) {
-              val s = pq.adc(lut, code)
+              val s = qcF + pq.adc(lut, code)
               // adc desc, id asc: deterministic under float ties
               if (s > bs(r - 1) || (s == bs(r - 1) && vid < bi(r - 1))) {
                 var p = r - 1
@@ -516,14 +550,20 @@ object Ann {
     val base = graft.core.Mat(
       corpus.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
     val cents = trainFromBase(base, nlist, iters, flatLimit, wsuper)
-    val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
+    val coarse = Coarse.build(cents, flatLimit)
+    val bc = spark.sparkContext.broadcast(coarse)
+    // residual codes (IVFADC) — searchPqIndex adds <q, centroid> back
     val sample = hashSample(base, pqSample)
+      .map(v => residual(v, cents(coarse.nearest(v, wsuper))))
     val pq = Pq.train(sample, m, ksub)
     val bpq = spark.sparkContext.broadcast(pq)
     base.as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cq = bc.value; val p = bpq.value
-        it.map { case (id, v) => (id, v, p.encode(v), cq.nearest(v, wsuper)) }
+        it.map { case (id, v) =>
+          val cell = cq.nearest(v, wsuper)
+          (id, v, p.encode(residual(v, cq.cents(cell))), cell)
+        }
       }.toDF("vec_id", "u", "code", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
@@ -564,7 +604,7 @@ object Ann {
     // column-pruned: this projection never reads the `u` column bytes
     val codes = pruned.select(col("vec_id"), col("cell"), col("code"))
       .as[(Long, Int, Array[Byte])]
-    val top = adcTopRerank(probes, codes, bpq, rerank)
+    val top = adcTopRerank(probes, codes, bpq, bc, rerank)
     exactRerank(top, pruned.select(col("vec_id"), col("u").as("cv")),
       queries.select(col(idCol).cast("long").as("query_id"),
         unitCol(vecCol).as("qv")), k)
