@@ -931,6 +931,78 @@ object SparkEntry {
       fi.join(va, fi("a") === va("ia"))
         .select(col("a").as("ia"), col("b").as("ib"), col("c").as("ic"),
           col("xa"), col("ya"))
+    }),
+    "q85_ferry_tail" -> ((s, d) => {
+      // filters.ferry + filters.tail: copy dims, then keep the last 1000
+      // points in insertion order (distributed global rank, no sort of
+      // the ride-along columns)
+      val p = Ferry(pts(s, d), Seq("value" -> "value_copy", "x" -> "x_orig"))
+      HeadTail.tail(p, 1000)
+        .select(col("order_key"), col("x"), col("value_copy"), col("x_orig"))
+    }),
+    "q86_mortonorder" -> ((s, d) =>
+      // filters.mortonorder at cell size 1.0 over integer coords: the
+      // quantization is exact, and the biased+sign-flipped Z-code orders
+      // identically to the raw bit-interleave the oracle computes (the
+      // bias adds a constant 2^62 for non-negative cell coords)
+      MortonOrder(pts(s, d), reverse = false, cellSize = 1.0)
+        .select(col("x"), col("y"), col("order_key").as("morton_rank"))),
+    "q87_radialdensity" -> ((s, d) =>
+      // filters.radialdensity: neighbor count (self included, d2 <= r^2
+      // exact over integer-derived coords) / sphere volume — the divide
+      // is the same IEEE sequence in both engines
+      RadialDensity(pts3(s, d).filter(col("order_key") < 2000), radius = 800.0)
+        .select(col("order_key"), col("radial_density"))),
+    "q88_reciprocity" -> ((s, d) =>
+      // filters.reciprocity: % of a point's k=4 neighbors that don't
+      // count it among their own k; kNN rank mirrors the (d2, cid)
+      // tie-break over exact-integer d2
+      Reciprocity(pts3(s, d).filter(col("order_key") < 1500), k = 4)
+        .select(col("order_key"), col("reciprocity"))),
+    "q89_checkpoint_resume" -> ((s, d) => {
+      // north-rule resumability through the oracle gate: a 3-stage
+      // checkpointed pipeline (crop -> assign -> tile agg) runs once,
+      // then runs AGAIN with every stage function replaced by one that
+      // throws — the second run can only succeed by resuming from the
+      // persisted stage data + lineage sidecars, never recomputing.
+      // The returned result is the RESUMED final stage.
+      val dir = s"/tmp/graft-ckpt-${Integer.toHexString(d.hashCode)}"
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val stages = Seq[(String, DataFrame => DataFrame)](
+        "crop" -> (df => Crop.box2d(df, 1000.5, 1000.5, 9000.5, 9000.5)),
+        "assign" -> (df => Assign(df, "z", (col("order_key") % 97).cast("double"),
+          Some(col("x") < 5000.0))),
+        "tile_agg" -> (df => df.groupBy(
+          floor(col("x") / 1000).cast("long").as("cell_x"),
+          floor(col("y") / 1000).cast("long").as("cell_y"))
+          .agg(count(lit(1)).as("n"), sum(col("z").cast("long")).as("v"))))
+      val runner = new graft.pipeline.CheckpointRunner(s, dir)
+      runner.run(pts(s, d), stages) // populates every stage checkpoint
+      val poisoned = stages.map { case (n, _) =>
+        n -> ((_: DataFrame) => throw new IllegalStateException(
+          s"resume recomputed stage $n")): (String, DataFrame => DataFrame)
+      }
+      runner.run(pts(s, d), poisoned) // must resume, not recompute
+        .select("cell_x", "cell_y", "n", "v")
+    }),
+    "q90_media_plumbing" -> ((s, d) => {
+      // multimodal plumbing end-to-end: spans' media refs -> deterministic
+      // fake blobs (seed = Java String.hashCode, which the oracle
+      // recomputes arithmetically from the ref's digits) -> header decode
+      // + feature-extraction batch pass; meta and decoded dims must agree
+      val refs = spansDocs(s, d).select(explode(col("spans")).as("sp"))
+        .filter(col("sp.kind") =!= "text")
+        .groupBy(col("sp.media_ref").as("media_ref"))
+        .agg(min(col("sp.kind")).as("kind"))
+      val media = graft.media.Multimodal.synthMedia(s, refs)
+      val feats = graft.media.Multimodal.extractFeatures(media)
+      media.join(feats.select(col("media_ref"), col("width").as("dec_w"),
+          col("height").as("dec_h")), Seq("media_ref"))
+        .select(col("media_ref"), col("kind"),
+          col("meta.width").as("w"), col("meta.height").as("h"),
+          col("meta.sample_rate").as("rate"), col("meta.n_frames").as("frames"),
+          length(col("content")).as("blen"), col("dec_w"), col("dec_h"))
     })
   )
 
@@ -2047,6 +2119,99 @@ object SparkEntry {
           CAST((event_id * 7919) % 10000 AS DOUBLE) AS xa,
           CAST((event_id * 104729) % 10000 AS DOUBLE) AS ya
           FROM events
-          WHERE event_id BETWEEN 1 AND 1498 AND event_id % 3 = 1"""
+          WHERE event_id BETWEEN 1 AND 1498 AND event_id % 3 = 1""",
+    // tail = rank by order_key, keep the last 1000; ferried copies ride
+    "q85_ferry_tail" ->
+      s"""WITH p AS (SELECT *, value AS value_copy, x AS x_orig FROM ($ptsSql)),
+          n AS (SELECT COUNT(*) AS cnt FROM p),
+          r AS (SELECT p.*, ROW_NUMBER() OVER (ORDER BY order_key) - 1 AS rnk
+            FROM p)
+          SELECT order_key, x, value_copy, x_orig FROM r, n
+          WHERE rnk >= cnt - 1000""",
+    // raw 32->64 bit-interleave via the same spread cascade the engine
+    // codegens; rank ties break on the old insertion key
+    "q86_mortonorder" ->
+      s"""WITH p AS (SELECT order_key AS ok0, x, y FROM ($ptsSql)),
+          mm AS (SELECT MIN(x) AS mnx, MIN(y) AS mny FROM p),
+          c AS (SELECT ok0, x, y,
+            CAST(FLOOR((x - mnx) / 1.0) AS BIGINT) AS cx,
+            CAST(FLOOR((y - mny) / 1.0) AS BIGINT) AS cy FROM p, mm),
+          s1 AS (SELECT ok0, x, y,
+            ((cx | (cx << 16)) & 281470681808895) AS a,
+            ((cy | (cy << 16)) & 281470681808895) AS b FROM c),
+          s2 AS (SELECT ok0, x, y,
+            ((a | (a << 8)) & 71777214294589695) AS a,
+            ((b | (b << 8)) & 71777214294589695) AS b FROM s1),
+          s3 AS (SELECT ok0, x, y,
+            ((a | (a << 4)) & 1085102592571150095) AS a,
+            ((b | (b << 4)) & 1085102592571150095) AS b FROM s2),
+          s4 AS (SELECT ok0, x, y,
+            ((a | (a << 2)) & 3689348814741910323) AS a,
+            ((b | (b << 2)) & 3689348814741910323) AS b FROM s3),
+          s5 AS (SELECT ok0, x, y,
+            ((a | (a << 1)) & 6148914691236517205) AS a,
+            ((b | (b << 1)) & 6148914691236517205) AS b FROM s4)
+          SELECT x, y,
+            ROW_NUMBER() OVER (ORDER BY ((a << 1) | b), ok0) - 1 AS morton_rank
+          FROM s5""",
+    // self-inclusive radius count / sphere volume, identical IEEE ops
+    "q87_radialdensity" ->
+      s"""WITH p AS (SELECT * FROM ($pts3Sql) WHERE order_key < 2000),
+          cnt AS (SELECT a.order_key, COUNT(*) AS c FROM p a JOIN p b
+            ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+               <= 640000.0
+            GROUP BY a.order_key)
+          SELECT order_key, CAST(c AS DOUBLE) /
+            (CAST(4 AS DOUBLE) / CAST(3 AS DOUBLE) * pi() * 800.0 * 800.0 * 800.0)
+            AS radial_density FROM cnt""",
+    // kNN rank 2..k+1 over (d2, cid); % of edges with no reverse edge
+    "q88_reciprocity" ->
+      s"""WITH p AS (SELECT * FROM ($pts3Sql) WHERE order_key < 1500),
+          pairs AS (SELECT a.order_key AS src, b.order_key AS dst,
+            (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z) AS d2
+            FROM p a CROSS JOIN p b),
+          ranked AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY d2, dst) AS rnk FROM pairs),
+          edges AS (SELECT src, dst FROM ranked WHERE rnk BETWEEN 2 AND 5),
+          rec AS (SELECT e.src, CASE WHEN b.src IS NULL THEN 1 ELSE 0 END AS miss
+            FROM edges e LEFT JOIN edges b ON b.src = e.dst AND b.dst = e.src)
+          SELECT src AS order_key,
+            CAST(100 AS DOUBLE) * SUM(miss) / COUNT(*) AS reciprocity
+          FROM rec GROUP BY src""",
+    // the checkpoint/resume machinery is engine-side (the poisoned second
+    // run proves it); the oracle rebuilds the 3-stage result directly
+    "q89_checkpoint_resume" ->
+      s"""WITH p AS (SELECT * FROM ($ptsSql)
+            WHERE x >= 1000.5 AND x <= 9000.5 AND y >= 1000.5 AND y <= 9000.5),
+          a AS (SELECT x, y,
+            CASE WHEN x < 5000.0 THEN order_key % 97 ELSE 0 END AS zv FROM p)
+          SELECT CAST(FLOOR(x / 1000) AS BIGINT) AS cell_x,
+            CAST(FLOOR(y / 1000) AS BIGINT) AS cell_y,
+            COUNT(*) AS n, CAST(SUM(zv) AS BIGINT) AS v
+          FROM a GROUP BY 1, 2""",
+    // seed = Java String.hashCode('m/' || n), recomputed from digits
+    // (max |h| ~1.02e8 so the 32-bit wraparound never engages); meta and
+    // the decoded header must agree with the engine's synthesis
+    "q90_media_plumbing" ->
+      """WITH e AS (SELECT unnest(list_transform(
+            generate_series(0, event_id % 5), i -> event_id * 31 + i * 7)) AS h
+            FROM events),
+          m AS (SELECT h % 997 AS n, CASE (h % 4) WHEN 1 THEN 'image'
+              WHEN 2 THEN 'audio' ELSE 'table' END AS kind
+            FROM e WHERE (h % 4) <> 0),
+          g AS (SELECT n, MIN(kind) AS kind FROM m GROUP BY n),
+          hh AS (SELECT n, kind, CASE
+              WHEN n < 10 THEN 3426*31 + 48 + n
+              WHEN n < 100 THEN 3426*961 + (48 + n//10)*31 + 48 + n%10
+              ELSE 3426*29791 + (48 + n//100)*961 + (48 + (n//10)%10)*31 + 48 + n%10
+            END AS seed FROM g)
+          SELECT 'm/' || CAST(n AS VARCHAR) AS media_ref, kind,
+            CAST(64 + seed % 192 AS INT) AS w,
+            CAST(64 + (seed >> 3) % 192 AS INT) AS h,
+            CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS INT) AS rate,
+            CAST(1 AS INT) AS frames, CAST(272 AS INT) AS blen,
+            CAST(64 + seed % 192 AS INT) AS dec_w,
+            CAST(64 + (seed >> 3) % 192 AS INT) AS dec_h
+          FROM hh"""
   )
 }
