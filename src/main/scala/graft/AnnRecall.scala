@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * mixture-of-Gaussians corpus, so the 100-TB operating point is chosen
   * from data, not defaults. Appends a markdown table to
   * BENCH/ivfpq_recall.md and FAILS LOUDLY if the recommended operating
-  * point (nlist 4096, m 32, rerank 200, nprobe 16) drops below the
-  * asserted floor.
+  * point (nlist 4096, nprobe 16, m 64, rerank 1000 — the same tuple the
+  * `require` below gates on) drops below the asserted floor.
   *
   * The corpus is a 1000-component Gaussian mixture (centers N(0,1)^dim,
   * within-cluster noise sigma/dim; sigma 0.9 -> same-cluster cosine ~0.55,

@@ -54,15 +54,25 @@ object Bench {
       val samples = scala.collection.mutable.ArrayBuffer[Sample]()
       val maxRuns = 4
       var i = 0
+      var failed = false
       // stop once two clean-phase samples exist (the old best-of-2, now
-      // conditioned on the host actually being in a clean phase)
-      while (i < maxRuns && samples.count(_.probe >= probeFloor) < 2) {
-        val p = probeNow()
-        val t = try time(f) catch { case _: Throwable => return (-1.0, p, false) }
-        samples += Sample(t, p)
+      // conditioned on the host actually being in a clean phase). A
+      // sample is clean only when the probes on BOTH sides of it clear
+      // the floor — a throttle phase starting mid-sample fails the exit
+      // probe, so an inflated sample can't be certified clean.
+      while (i < maxRuns && !failed &&
+          samples.count(_.probe >= probeFloor) < 2) {
+        val pIn = probeNow()
+        // a run that throws stops sampling but keeps what was measured
+        try {
+          val t = time(f)
+          val pOut = probeNow()
+          samples += Sample(t, math.min(pIn, pOut))
+        } catch { case _: Throwable => failed = true }
         clearLeftovers()
         i += 1
       }
+      if (samples.isEmpty) return (-1.0, 0.0, false)
       val clean = samples.filter(_.probe >= probeFloor)
       val pool = if (clean.nonEmpty) clean else samples
       val best = pool.minBy(_.secs)

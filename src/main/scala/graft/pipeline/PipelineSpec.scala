@@ -422,15 +422,28 @@ object PipelineBuilder {
         val fname = optStr(o, "filename").get
         if (spec.stageType == "writers.gltf")
           graft.sources.MeshWriters.writeGlb(verts, faces, fname)
-        else graft.sources.MeshWriters.writePly(verts, faces, fname,
-          // PDAL spelling: storage_mode in {ascii, little endian, default}
-          binary = optStr(o, "storage_mode").exists(s =>
-            s == "little endian" || s == "binary_le" || s == "default"),
-          precision = optLong(o, "precision").getOrElse(3L).toInt,
-          dims = {
-            val d = optStrList(o, "dims")
-            if (d.isEmpty) Seq("x", "y", "z") else d
-          })
+        else {
+          // reference spellings (PlyWriter.hpp:92-99), unknown fails loudly
+          val byteOrder = optStr(o, "storage_mode")
+            .map(_.trim.toLowerCase) match {
+            case None | Some("ascii") => None
+            case Some("little endian") | Some("binary_little_endian") =>
+              Some(java.nio.ByteOrder.LITTLE_ENDIAN)
+            case Some("big endian") | Some("binary_big_endian") =>
+              Some(java.nio.ByteOrder.BIG_ENDIAN)
+            case Some(other) => throw new IllegalArgumentException(
+              s"writers.ply: unknown storage_mode '$other' (expected ascii, " +
+              "little endian/binary_little_endian, or big endian/binary_big_endian)")
+          }
+          graft.sources.MeshWriters.writePly(verts, faces, fname,
+            binary = byteOrder.isDefined,
+            precision = optLong(o, "precision").getOrElse(3L).toInt,
+            dims = {
+              val d = optStrList(o, "dims")
+              if (d.isEmpty) Seq("x", "y", "z") else d
+            },
+            byteOrder = byteOrder.getOrElse(java.nio.ByteOrder.LITTLE_ENDIAN))
+        }
         in
       case "writers.ogr" =>
         graft.sources.OgrWriter.writeGeoJson(in, optStr(o, "filename").get,

@@ -71,10 +71,17 @@ object StacReader {
 
   /** Depth-first catalog walk. `catalog_ids` prunes SUB-catalog subtrees
     * (the root is always entered, like the reference which has already
-    * opened it to know its type). */
+    * opened it to know its type). `visited` (normalized absolute paths)
+    * makes the walk DAG/cycle-safe: a node reachable by two parents is
+    * read once (reading it twice would duplicate its items' data), and a
+    * self- or mutually-referencing catalog terminates instead of
+    * overflowing the stack. */
   private def collectItems(path: String, catalogIds: Seq[String],
-      isRoot: Boolean = true): Seq[Item] = {
+      isRoot: Boolean = true,
+      visited: scala.collection.mutable.Set[String] =
+        scala.collection.mutable.Set.empty): Seq[Item] = {
     val p = Paths.get(path)
+    if (!visited.add(p.toAbsolutePath.normalize().toString)) return Nil
     val json = JsonMethods.parse(Files.readString(p))
     def str(v: JValue): Option[String] =
       v match { case JString(s) => Some(s); case _ => None }
@@ -89,7 +96,8 @@ object StacReader {
           case JArray(links) => links.flatMap { l =>
             (str(l \ "rel"), str(l \ "href")) match {
               case (Some(rel), Some(href)) if rel == "child" || rel == "item" =>
-                collectItems(resolve(p, href), catalogIds, isRoot = false)
+                collectItems(resolve(p, href), catalogIds, isRoot = false,
+                  visited = visited)
               case _ => Nil
             }
           }

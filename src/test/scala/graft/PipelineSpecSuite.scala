@@ -249,6 +249,50 @@ class PipelineSpecSuite extends AnyFunSuite {
       spark, s"$dir/catalog.json", itemIds = Seq("nope")))
   }
 
+  test("readers.stac: cyclic/diamond child links terminate and dedupe " +
+      "(each item read once)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("stac-cyc").toString
+    graft.core.Synth.docs(spark, 50, seed = 77,
+      bounds = (0.0, 0.0, 10.0, 10.0)).write.parquet(s"$dir/itemA.parquet")
+    Files.writeString(Paths.get(s"$dir/A.json"),
+      """{"type":"Feature","id":"item-A","bbox":[0,0,10,10],
+          "properties":{},"assets":{"data":{"href":"itemA.parquet"}}}""")
+    // sub1 <-> sub2 mutual cycle; BOTH also link item A (diamond)
+    Files.writeString(Paths.get(s"$dir/sub1.json"),
+      """{"type":"Catalog","id":"sub1","links":[
+          {"rel":"child","href":"sub2.json"},{"rel":"item","href":"A.json"}]}""")
+    Files.writeString(Paths.get(s"$dir/sub2.json"),
+      """{"type":"Catalog","id":"sub2","links":[
+          {"rel":"child","href":"sub1.json"},{"rel":"item","href":"A.json"}]}""")
+    Files.writeString(Paths.get(s"$dir/catalog.json"),
+      """{"type":"Catalog","id":"root","links":[
+          {"rel":"child","href":"catalog.json"},
+          {"rel":"child","href":"sub1.json"}]}""")
+    val out = graft.sources.StacReader.read(spark, s"$dir/catalog.json")
+    assert(out.count() == 50) // once, not twice — and no stack overflow
+  }
+
+  test("writers.ply: big endian storage_mode writes a BE file; unknown " +
+      "storage_mode fails loudly (PlyWriter.hpp:92-99)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("plybe").toString
+    PipelineBuilder.run(spark,
+      s"""{"pipeline":[
+         {"type":"readers.faux","mode":"uniform","count":60,"seed":13},
+         {"type":"writers.ply","filename":"$dir/be.ply",
+          "storage_mode":"big endian"}]}""")
+    val hdr = new String(Files.readAllBytes(Paths.get(s"$dir/be.ply"))
+      .take(200).toArray, "US-ASCII")
+    assert(hdr.contains("format binary_big_endian 1.0"))
+    val e = intercept[IllegalArgumentException](PipelineBuilder.run(spark,
+      s"""{"pipeline":[
+         {"type":"readers.faux","mode":"uniform","count":60,"seed":13},
+         {"type":"writers.ply","filename":"$dir/x.ply",
+          "storage_mode":"little-endian"}]}"""))
+    assert(e.getMessage.contains("storage_mode"))
+  }
+
   test("writers.ply / writers.gltf pipeline stages: single-input TIN rebuild " +
       "and two-input [vertices, faces] DAG (PlyWriter.cpp:48, GltfWriter.cpp:55)") {
     import java.nio.file.{Files, Paths}
