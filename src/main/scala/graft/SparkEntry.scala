@@ -1003,7 +1003,19 @@ object SparkEntry {
           col("meta.width").as("w"), col("meta.height").as("h"),
           col("meta.sample_rate").as("rate"), col("meta.n_frames").as("frames"),
           length(col("content")).as("blen"), col("dec_w"), col("dec_h"))
-    })
+    }),
+    "q91_fps" -> ((s, d) =>
+      // farthest-point sampling k=8 over the exact-integer subset; the
+      // oracle replays the greedy via a recursive CTE with the same
+      // (min-dist DESC, id ASC) argmax tie-break
+      Fps(pts3(s, d).filter(col("order_key") < 500), 8)
+        .select("order_key")),
+    "q92_voxel_center" -> ((s, d) =>
+      // voxeldownsize center mode: kept coords snap to voxel centers —
+      // (floor + 0.5) * cell is exact dyadic arithmetic in both engines
+      Voxel.downsize(pts3(s, d), cell = 250.0, mode = "center",
+          origin = Some((0.0, 0.0, 0.0)))
+        .select(col("order_key"), col("x"), col("y"), col("z")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2212,6 +2224,41 @@ object SparkEntry {
             CAST(1 AS INT) AS frames, CAST(272 AS INT) AS blen,
             CAST(64 + seed % 192 AS INT) AS dec_w,
             CAST(64 + (seed >> 3) % 192 AS INT) AS dec_h
-          FROM hh"""
+          FROM hh""",
+    // sequential farthest-point greedy as a recursive CTE: each level's
+    // window argmax is the next pick; mind folds via the same LEAST
+    "q91_fps" ->
+      s"""WITH RECURSIVE p AS (SELECT order_key AS id, x, y, z
+            FROM ($pts3Sql) WHERE order_key < 500),
+          f AS (SELECT * FROM p ORDER BY id LIMIT 1),
+          r AS (
+            SELECT 1 AS it, p.id, p.x, p.y, p.z,
+              (p.x-f.x)*(p.x-f.x) + (p.y-f.y)*(p.y-f.y) + (p.z-f.z)*(p.z-f.z)
+                AS mind,
+              f.id AS picked
+            FROM p, f WHERE p.id <> f.id
+            UNION ALL
+            SELECT it + 1, id, x, y, z,
+              LEAST(mind, (x-bx)*(x-bx) + (y-by)*(y-by) + (z-bz)*(z-bz)) AS mind,
+              bid AS picked
+            FROM (
+              SELECT r.*,
+                FIRST_VALUE(id) OVER (ORDER BY mind DESC, id ASC) AS bid,
+                FIRST_VALUE(x) OVER (ORDER BY mind DESC, id ASC) AS bx,
+                FIRST_VALUE(y) OVER (ORDER BY mind DESC, id ASC) AS by,
+                FIRST_VALUE(z) OVER (ORDER BY mind DESC, id ASC) AS bz
+              FROM r)
+            WHERE id <> bid AND it < 8
+          )
+          SELECT DISTINCT picked AS order_key FROM r""",
+    // first point per voxel, coords snapped to (floor + 0.5) * cell
+    "q92_voxel_center" ->
+      s"""WITH p AS ($pts3Sql),
+          k AS (SELECT MIN(order_key) AS order_key,
+            FLOOR(x / 250) AS vx, FLOOR(y / 250) AS vy, FLOOR(z / 250) AS vz
+            FROM p GROUP BY 2, 3, 4)
+          SELECT order_key, (vx + 0.5) * 250.0 + 0.0 AS x,
+            (vy + 0.5) * 250.0 + 0.0 AS y, (vz + 0.5) * 250.0 + 0.0 AS z
+          FROM k"""
   )
 }

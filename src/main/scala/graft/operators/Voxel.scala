@@ -105,7 +105,14 @@ object Voxel {
   * O(log n) for shuffled order (dependency-chain depth).
   */
 object Sample {
-  def apply(df: DataFrame, radius: Double): DataFrame = {
+  /** GRAFT_SAMPLE_LOCAL_EDGES overrides; 0 pins the distributed loop. */
+  private[graft] val localEdgeLimit: Long =
+    sys.env.get("GRAFT_SAMPLE_LOCAL_EDGES").map(_.toLong).getOrElse(1L << 21)
+
+  def apply(df: DataFrame, radius: Double): DataFrame =
+    apply(df, radius, localEdgeLimit)
+
+  def apply(df: DataFrame, radius: Double, localLimit: Long): DataFrame = {
     val spark = df.sparkSession
     val pts = df.select("order_key", "x", "y", "z")
     // candidate conflict pairs (earlier -> later) via 3x3x3 cell join
@@ -134,6 +141,33 @@ object Sample {
       .filter(d2 < radius * radius)
       .select(col("ak"), col("bk"))
       .transform(d => graft.core.Mat(d))
+
+    // Local fast path: when the CONFLICT EDGE list fits the driver, run
+    // the sequential greedy directly over it — it IS the reference
+    // semantics (SampleFilter.cpp processes points in order), and only
+    // edge-endpoint keys matter: a point with no conflict edge is kept
+    // unconditionally and never collected. The distributed fixpoint below
+    // stays as the scale path (round count = dependency-chain depth).
+    if (pairs.count() <= localLimit) {
+      import spark.implicits._
+      val edges = pairs.select(col("ak"), col("bk")).as[(Long, Long)].collect()
+      // group earlier-conflicts by the later endpoint, walk keys ascending
+      val byLater = new scala.collection.mutable.LongMap[List[Long]]()
+      edges.foreach { case (ak, bk) =>
+        byLater(ak) = bk :: byLater.getOrElse(ak, Nil)
+      }
+      val keys = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct.sorted
+      val kept = scala.collection.mutable.HashSet.empty[Long]
+      val rejected = Array.newBuilder[Long]
+      keys.foreach { k =>
+        if (byLater.getOrElse(k, Nil).exists(kept.contains)) rejected += k
+        else kept.add(k)
+      }
+      val rej = spark.createDataset(rejected.result().toSeq)
+        .toDF("order_key")
+      return df.join(broadcast(rej), Seq("order_key"), "left_anti")
+    }
 
     // fixpoint: decided(k) with kept flag
     var decided = pts.select(col("order_key").as("k"))

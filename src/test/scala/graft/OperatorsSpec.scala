@@ -57,6 +57,10 @@ class OperatorsSpec extends AnyFunSuite {
       if (ok) seqKept += p
     }
     assert(kept == seqKept.map(_._1).toSet)
+    // distributed fixpoint (localLimit = 0 pins it) == local greedy
+    val dist = Sample(small, 150.0, localLimit = 0)
+      .select("order_key").collect().map(_.getLong(0)).toSet
+    assert(dist == kept)
   }
 
   test("fps picks spread-out points deterministically") {
