@@ -87,8 +87,14 @@ object Dedup {
     // per call) with a single shuffle; the mega-bucket cap becomes a
     // plain size filter with identical semantics (members of a bucket
     // larger than maxBucket generate no pairs from that bucket).
+    // cappedCollectList bounds the aggregation buffer at maxBucket + 1
+    // elements per group, so a degenerate bucket holding a large slice
+    // of the corpus never materializes an unbounded list on an executor
+    // — it arrives as exactly maxBucket + 1 ids and the size filter
+    // drops it, same semantics as an uncapped collect + filter.
     val cand = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(sort_array(graft.functions.F.cappedCollectList(
+        col("id"), maxBucket)).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
       .select(col("id_a"),

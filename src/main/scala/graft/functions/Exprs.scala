@@ -320,6 +320,51 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** collect_list with a HARD per-group element cap: once a group has
+  * cap + 1 elements, further inputs are dropped (cap + 1, not cap, so a
+  * `size(...) <= cap` filter downstream can still DETECT the overflow
+  * and discard the group). Built for LSH mega-buckets: a degenerate
+  * bucket holding a large fraction of the corpus must not materialize an
+  * unbounded ArrayBuffer in the aggregation buffer — with the cap, both
+  * the partial (map-side) and final buffers are bounded at cap + 1
+  * elements per group no matter how skewed the data. Which cap + 1
+  * elements survive is arbitrary; callers only ever drop such groups. */
+case class CappedCollectList(
+    child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.Collect[
+    scala.collection.mutable.ArrayBuffer[Any]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(cap > 0, "cappedCollectList: cap must be positive")
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Any] =
+    scala.collection.mutable.ArrayBuffer.empty
+  override protected lazy val bufferElementType: DataType = child.dataType
+  override def convertToBufferElement(value: Any): Any =
+    org.apache.spark.sql.catalyst.InternalRow.copyValue(value)
+  override def update(buffer: scala.collection.mutable.ArrayBuffer[Any],
+      input: org.apache.spark.sql.catalyst.InternalRow):
+      scala.collection.mutable.ArrayBuffer[Any] =
+    if (buffer.length > cap) buffer else super.update(buffer, input)
+  override def merge(buffer: scala.collection.mutable.ArrayBuffer[Any],
+      other: scala.collection.mutable.ArrayBuffer[Any]):
+      scala.collection.mutable.ArrayBuffer[Any] = {
+    val room = cap + 1 - buffer.length
+    if (room <= 0) buffer
+    else buffer ++= (if (other.length <= room) other else other.take(room))
+  }
+  override def eval(buffer: scala.collection.mutable.ArrayBuffer[Any]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer.toArray)
+  override def prettyName: String = "capped_collect_list"
+  override def withNewMutableAggBufferOffset(newOffset: Int):
+      org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int):
+      org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-level API over the custom expressions. */
 object F {
   import GraftBridge.{column, expression}
@@ -330,6 +375,10 @@ object F {
 
   def minhashSig(c: Column, numHashes: Int = 64, shingle: Int = 3): Column =
     column(MinHashSigExpr(expression(c), numHashes, shingle))
+
+  /** collect_list bounded at cap + 1 elements per group (skew-safe). */
+  def cappedCollectList(c: Column, cap: Int): Column =
+    column(CappedCollectList(expression(c), cap).toAggregateExpression())
 
   def cellId(x: Column, y: Column, ox: Double, oy: Double, len: Double,
       morton: Boolean = false): Column =

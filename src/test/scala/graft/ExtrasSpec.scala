@@ -142,6 +142,21 @@ class ExtrasSpec extends AnyFunSuite {
     assert(!cp.exists(p => p._1 >= 100L && p._2 >= 100L), "mega-bucket must be dropped")
   }
 
+  test("cappedCollectList bounds every group buffer at cap+1 (skew safety)") {
+    import spark.implicits._
+    // hot group: 3000 rows spread over many partitions; cold group: 4 rows
+    val df = spark.range(0, 3000).select(lit("hot").as("k"), col("id"))
+      .repartition(16)
+      .union(Seq(("cold", 7L), ("cold", 5L), ("cold", 6L), ("cold", 8L))
+        .toDF("k", "id"))
+    val agg = df.groupBy("k")
+      .agg(graft.functions.F.cappedCollectList(col("id"), 10).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // hot group arrives as EXACTLY cap+1 elements -> size<=cap detects it
+    assert(agg("hot").length == 11)
+    assert(agg("cold").sorted == Seq(5L, 6L, 7L, 8L)) // cold kept exactly
+  }
+
   test("simhash hamming pairs on near-identical docs") {
     import spark.implicits._
     val base = "spark catalyst optimizer pushes filters below joins for columnar scans " * 3
