@@ -227,7 +227,12 @@ object Cluster {
 object Dbscan {
   def apply(df: DataFrame, eps: Double, minPoints: Long,
       outCol: String = "cluster_id"): DataFrame = {
-    val counts = RadiusCount(df, eps)
+    // ONE radius join feeds both the core-point counts and the border
+    // assignment (was two identical 27-cell joins); neighbor count =
+    // self-excluded pair count + 1 (self always matches d2 = 0 <= r^2)
+    val pairs = graft.core.Mat(RadiusCount.pairs(df, eps))
+    val counts = pairs.groupBy(col("pk").as("order_key"))
+      .agg((count(lit(1)) + 1L).as("__rc"))
     val core = df.join(counts, Seq("order_key"), "left")
       .filter(coalesce(col("__rc"), lit(1L)) >= minPoints)
       .drop("__rc")
@@ -236,7 +241,6 @@ object Dbscan {
       .select(col("order_key").as("ck"), col("__ccid"))
     // border points: smallest cluster id among in-eps cores (deterministic
     // tie-break on the id, matching the oracle/test contract)
-    val pairs = RadiusCount.pairs(df, eps)
     val toCore = pairs.join(coreClusters, pairs("qk") === coreClusters("ck"))
       .groupBy(col("pk")).agg(min("__ccid").as("__bcid"))
     df.join(coreClusters.select(col("ck").as("order_key"), col("__ccid")),

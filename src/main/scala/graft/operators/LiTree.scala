@@ -155,17 +155,19 @@ object LiTree {
     require(done, s"litree: $maxRounds dominance rounds exhausted with points " +
       "remaining (pathological monotone height gradient) — raise the bound or " +
       "pre-tile the input")
-    // number accepted trees in the reference's processing order
+    // number accepted trees in the reference's processing order; the
+    // seed -> tree-id map is a tiny broadcast-joined table (codegen'd
+    // hash join), not a per-row udf
     val order = accepted.sortBy(s => (-s._2, s._1)).zipWithIndex
-      .map { case ((sk, _, _), i) => (sk, (i + 1).toLong) }.toMap
-    val orderB = spark.sparkContext.broadcast(order)
-    val idOf = udf((sk: Long) => orderB.value.getOrElse(sk, 0L))
+      .map { case ((sk, _, _), i) => (sk, (i + 1).toLong) }
+    val orderDf = spark.createDataset(order.toSeq).toDF("__sk", "__tid")
     val asg =
       if (assignments.isEmpty)
         spark.emptyDataset[(Long, Long)].toDF("__pk", "__sk")
       else assignments.reduce(_ unionByName _)
-    df.join(asg.select(col("__pk"), idOf(col("__sk")).as("cluster_id")),
-        col("order_key") === col("__pk"), "left")
+    val labeled = asg.join(broadcast(orderDf), Seq("__sk"), "left")
+      .select(col("__pk"), coalesce(col("__tid"), lit(0L)).as("cluster_id"))
+    df.join(labeled, col("order_key") === col("__pk"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), lit(0L)))
       .drop("__pk")
   }
