@@ -1015,7 +1015,25 @@ object SparkEntry {
       // (floor + 0.5) * cell is exact dyadic arithmetic in both engines
       Voxel.downsize(pts3(s, d), cell = 250.0, mode = "center",
           origin = Some((0.0, 0.0, 0.0)))
-        .select(col("order_key"), col("x"), col("y"), col("z")))
+        .select(col("order_key"), col("x"), col("y"), col("z"))),
+    "q93_dartthrowing" -> ((s, d) => {
+      // relaxationdartthrowing in a provable regime: 300 cells spaced
+      // 1000 apart, each holding A(0,0) < B(+300,0) < C(0,+600) in
+      // insertion order; min cross-cell distance 700. r0=700 keeps only
+      // the A's (300 < 600 target), the decayed r1=490 keeps A+C (600 >=
+      // target, stop) — so the full two-round shrink loop runs and the
+      // surviving set has the closed form {A, C}.
+      val p = t(s, d, "events").filter(col("event_id") < 900).select(
+        col("event_id").as("order_key"),
+        ((col("event_id") % 300) * 1000 +
+          when(floor(col("event_id") / 300) === 1, 300.0).otherwise(0.0))
+          .cast("double").as("x"),
+        when(floor(col("event_id") / 300) === 2, 600.0).otherwise(0.0)
+          .cast("double").as("y"),
+        lit(0.0).as("z"))
+      RelaxationDartThrowing(p, targetCount = 600, startRadius = 700.0,
+        decay = 0.7).select("order_key")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2259,6 +2277,12 @@ object SparkEntry {
             FROM p GROUP BY 2, 3, 4)
           SELECT order_key, (vx + 0.5) * 250.0 + 0.0 AS x,
             (vy + 0.5) * 250.0 + 0.0 AS y, (vz + 0.5) * 250.0 + 0.0 AS z
-          FROM k"""
+          FROM k""",
+    // the shrink loop's surviving set in the planted regime: every A
+    // (ids 0-299, kept first) and every C (600-899, 600 >= 490 from A);
+    // the B's (300-599) conflict with their kept A at distance 300
+    "q93_dartthrowing" ->
+      """SELECT event_id AS order_key FROM events
+          WHERE event_id < 900 AND NOT (event_id >= 300 AND event_id < 600)"""
   )
 }
