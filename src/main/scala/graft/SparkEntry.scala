@@ -1033,6 +1033,125 @@ object SparkEntry {
         lit(0.0).as("z"))
       RelaxationDartThrowing(p, targetCount = 600, startRadius = 700.0,
         decay = 0.7).select("order_key")
+    }),
+    "q94_delta" -> ((s, d) => {
+      // kernels.delta (DeltaKernel.cpp:45): per-point nearest-neighbor
+      // distance between two disjoint clouds, both directions. d2 values
+      // are exact integer-valued doubles, sqrt is IEEE-correctly-rounded
+      // in any engine, so the hash gate is exact.
+      val p = pts3(s, d)
+      val a = p.filter(col("order_key").between(1, 1500))
+        .select("order_key", "x", "y", "z")
+      val b = p.filter(col("order_key").between(1501, 3000))
+        .select("order_key", "x", "y", "z")
+      graft.pipeline.CloudMetrics.delta(a, b).withColumn("dir", lit("ab"))
+        .unionByName(
+          graft.pipeline.CloudMetrics.delta(b, a).withColumn("dir", lit("ba")))
+        .select(col("dir"), col("order_key"), col("nn_dist"))
+    }),
+    "q95_hausdorff_chamfer" -> ((s, d) => {
+      // kernels.hausdorff / kernels.chamfer (HausdorffKernel.cpp:48,
+      // ChamferKernel.cpp:46): both aggregates run on raw squared
+      // distances (exact integers -> order-independent sums), so the
+      // one-row result is bit-exact against any engine.
+      val p = pts3(s, d)
+      val a = p.filter(col("order_key").between(1, 1500))
+        .select("order_key", "x", "y", "z")
+      val b = p.filter(col("order_key").between(1501, 3000))
+        .select("order_key", "x", "y", "z")
+      val h = graft.pipeline.CloudMetrics.hausdorff(a, b)
+      val c = graft.pipeline.CloudMetrics.chamfer(a, b)
+      s.range(1).select(lit(h).as("hausdorff"), lit(c).as("chamfer"))
+    }),
+    "q96_randomize" -> ((s, d) => {
+      // filters.randomize: seeded deterministic shuffle — the splitmix64
+      // finalizer is pure 64-bit arithmetic the oracle replays in HUGEINT
+      // mod-2^64 SQL; x identifies the source row (7919 coprime to 1e4).
+      Randomize(pts(s, d).select("order_key", "x"), seed = 12345L)
+        .select(col("x"), col("order_key").as("shuffle_rank"))
+    }),
+    "q97_eval_metrics" -> ((s, d) => {
+      // kernels.eval (EvalKernel.cpp:48): per-class support/correct/recall
+      // of a deterministically perturbed prediction vs truth.
+      val base = t(s, d, "events").select(col("event_id").as("order_key"),
+        (col("event_id") % 5 + 1).cast("int").as("classification"))
+      val pred = base.withColumn("classification",
+        when(col("order_key") % 7 === 0, (col("classification") % 5) + 1)
+          .otherwise(col("classification")))
+      graft.pipeline.EvalKernel.metrics(pred, base)
+    }),
+    "q98_tindex_merge" -> ((s, d) => {
+      // kernels.tindex create+merge through the gate: four spatially
+      // banded files, an index over them, then a bounds merge that prunes
+      // two files by bbox before any data read (pruning itself is
+      // asserted in PipelineSpecSuite; the gate hashes the merged rows).
+      val p = pts(s, d).select("order_key", "x", "y")
+      val base = s"/tmp/graft-tidx-${Integer.toHexString(d.hashCode)}"
+      val files = (0 until 4).map { i =>
+        val f = s"$base/f$i"
+        p.filter(col("x") >= i * 2500 && col("x") < (i + 1) * 2500)
+          .write.mode("overwrite").parquet(f)
+        f
+      }
+      graft.pipeline.TIndexKernel.create(s, s"$base/index", files)
+      graft.pipeline.TIndexKernel.merge(s, s"$base/index",
+        0.0, 0.0, 4000.0, 10000.0)
+    }),
+    "q99_stream_density" -> ((s, d) => {
+      // Structured Streaming through the oracle gate: the watermarked
+      // windowed tile-density aggregation (streaming/DocStream.scala) over
+      // a file-arrival source, Trigger.AvailableNow to completion, memory
+      // sink in complete mode — the finite-input result equals the batch
+      // group-by the oracle computes.
+      val in = t(s, d, "events").select(
+        ((col("event_id") * 7919) % 10000).cast("double").as("x"),
+        ((col("event_id") * 104729) % 10000).cast("double").as("y"),
+        ((col("event_id") * 131) % 1000).cast("double").as("z"),
+        ((col("event_id") % 5000) * 7).cast("double").as("gps_time"))
+      val dir = s"/tmp/graft-stream-${Integer.toHexString(d.hashCode)}"
+      in.write.mode("overwrite").parquet(dir)
+      val stream = s.readStream.schema(in.schema).parquet(dir)
+      val agg = graft.streaming.DocStream.tileDensity(
+        stream, length = 1000.0, ox = 0.0, oy = 0.0)
+      val qn = s"q99_sink_${Integer.toHexString(d.hashCode)}"
+      agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table(qn).select(col("window.start").cast("long").as("win_start"),
+        col("tile_id"), col("n"), col("mean_z"))
+    }),
+    "q100_ogr_roundtrip" -> ((s, d) => {
+      // writers.ogr GeoJSONSeq round trip: distributed to_json emit, read
+      // back as newline JSON; Jackson's shortest-round-trip double
+      // formatting makes the coordinates exact through the text hop.
+      val p = pts(s, d).filter(col("order_key") < 4000)
+        .select(col("order_key"), col("x"), col("y"),
+          lit(0.0).as("z"), col("value"))
+      val path = s"/tmp/graft-ogr-${Integer.toHexString(d.hashCode)}"
+      graft.sources.OgrWriter.writeGeoJson(p, path, attrDims = Seq("value"))
+      s.read.json(path).select(
+        element_at(col("geometry.coordinates"), 1).as("x"),
+        element_at(col("geometry.coordinates"), 2).as("y"),
+        col("properties.value").as("value"))
+    }),
+    "q101_text_roundtrip" -> ((s, d) => {
+      // readers.text + writers.text via the PIPELINE dialect itself
+      // (PipelineBuilder runs both JSON specs): CSV doubles round-trip
+      // exactly (shortest-repr write, full-precision parse).
+      val h = Integer.toHexString(d.hashCode)
+      pts(s, d).select("order_key", "x", "y", "value")
+        .createOrReplaceTempView(s"q101_in_$h")
+      val csv = s"/tmp/graft-text-$h"
+      graft.pipeline.PipelineBuilder.run(s, s"""{"pipeline":[
+        {"type":"readers.view","view":"q101_in_$h"},
+        {"type":"filters.range","limits":"order_key[0:4999]"},
+        {"type":"writers.text","filename":"$csv"}]}""")
+      graft.pipeline.PipelineBuilder.run(s, s"""{"pipeline":[
+        {"type":"readers.text","filename":"$csv"}]}""")
+        .select(col("order_key").cast("long").as("order_key"),
+          col("x").cast("double").as("x"), col("y").cast("double").as("y"),
+          col("value").cast("double").as("value"))
     })
   )
 
@@ -2283,6 +2402,90 @@ object SparkEntry {
     // the B's (300-599) conflict with their kept A at distance 300
     "q93_dartthrowing" ->
       """SELECT event_id AS order_key FROM events
-          WHERE event_id < 900 AND NOT (event_id >= 300 AND event_id < 600)"""
+          WHERE event_id < 900 AND NOT (event_id >= 300 AND event_id < 600)""",
+    // d2 is an exact integer in double, min/max/avg over it are exact and
+    // order-independent, sqrt is correctly rounded — both kernels' math
+    // reduces to the same bits in any engine
+    "q94_delta" ->
+      s"""WITH p AS ($pts3Sql),
+          a AS (SELECT * FROM p WHERE order_key BETWEEN 1 AND 1500),
+          b AS (SELECT * FROM p WHERE order_key BETWEEN 1501 AND 3000),
+          dab AS (SELECT a.order_key,
+              MIN((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)+(a.z-b.z)*(a.z-b.z)) AS md
+            FROM a, b GROUP BY 1),
+          dba AS (SELECT b.order_key,
+              MIN((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)+(b.z-a.z)*(b.z-a.z)) AS md
+            FROM b, a GROUP BY 1)
+          SELECT 'ab' AS dir, order_key, sqrt(md) AS nn_dist FROM dab
+          UNION ALL
+          SELECT 'ba' AS dir, order_key, sqrt(md) AS nn_dist FROM dba""",
+    "q95_hausdorff_chamfer" ->
+      s"""WITH p AS ($pts3Sql),
+          a AS (SELECT * FROM p WHERE order_key BETWEEN 1 AND 1500),
+          b AS (SELECT * FROM p WHERE order_key BETWEEN 1501 AND 3000),
+          dab AS (SELECT a.order_key,
+              MIN((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)+(a.z-b.z)*(a.z-b.z)) AS md
+            FROM a, b GROUP BY 1),
+          dba AS (SELECT b.order_key,
+              MIN((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)+(b.z-a.z)*(b.z-a.z)) AS md
+            FROM b, a GROUP BY 1)
+          SELECT sqrt(GREATEST((SELECT MAX(md) FROM dab),
+                               (SELECT MAX(md) FROM dba))) AS hausdorff,
+            (SELECT AVG(md) FROM dab) + (SELECT AVG(md) FROM dba) AS chamfer""",
+    // splitmix64 replayed in HUGEINT mod-2^64 arithmetic: 64x64-bit
+    // multiply split hi/lo 32 to stay under the 128-bit ceiling; the rank
+    // orders on the SIGNED reinterpretation (Spark longs), key tiebreak
+    "q96_randomize" ->
+      """WITH p AS (SELECT event_id AS k,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x FROM events),
+          s0 AS (SELECT k, x, (CAST(k + 12345 AS HUGEINT)
+              + 11400714819323198485) % 18446744073709551616 AS z0 FROM p),
+          s1 AS (SELECT k, x, xor(z0, z0 // 1073741824) AS x1 FROM s0),
+          m1 AS (SELECT k, x, (((x1 // 4294967296 * 13787848793156543929)
+              % 4294967296) * 4294967296 + (x1 % 4294967296)
+              * 13787848793156543929) % 18446744073709551616 AS z1 FROM s1),
+          s2 AS (SELECT k, x, xor(z1, z1 // 134217728) AS x2 FROM m1),
+          m2 AS (SELECT k, x, (((x2 // 4294967296 * 10723151780598845931)
+              % 4294967296) * 4294967296 + (x2 % 4294967296)
+              * 10723151780598845931) % 18446744073709551616 AS z2 FROM s2),
+          f AS (SELECT k, x, xor(z2, z2 // 2147483648) AS u FROM m2),
+          g AS (SELECT k, x, CASE WHEN u >= 9223372036854775808
+              THEN u - 18446744073709551616 ELSE u END AS sgn FROM f)
+          SELECT x, ROW_NUMBER() OVER (ORDER BY sgn, k) - 1 AS shuffle_rank
+          FROM g""",
+    "q97_eval_metrics" ->
+      """WITH b AS (SELECT event_id AS k,
+            CAST(event_id % 5 + 1 AS INT) AS truth FROM events),
+          p AS (SELECT k, truth, CASE WHEN k % 7 = 0
+              THEN CAST((truth % 5) + 1 AS INT) ELSE truth END AS pred FROM b)
+          SELECT truth, COUNT(*) AS support,
+            CAST(SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+              AS correct,
+            CAST(SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*) AS recall
+          FROM p GROUP BY truth""",
+    "q98_tindex_merge" ->
+      s"""SELECT order_key, x, y FROM ($ptsSql)
+          WHERE x >= 0 AND x <= 4000""",
+    // batch equivalent of the finite stream: epoch-aligned 600s windows,
+    // packed (cx<<32|cy) tile id over non-negative integer-valued coords
+    "q99_stream_density" ->
+      """WITH p AS (SELECT (event_id % 5000) * 7 AS gt,
+            (event_id * 7919) % 10000 AS xi,
+            (event_id * 104729) % 10000 AS yi,
+            CAST((event_id * 131) % 1000 AS DOUBLE) AS z FROM events)
+          SELECT (gt // 600) * 600 AS win_start,
+            (xi // 1000) * 4294967296 + (yi // 1000) AS tile_id,
+            COUNT(*) AS n, AVG(z) AS mean_z
+          FROM p GROUP BY 1, 2""",
+    "q100_ogr_roundtrip" ->
+      """SELECT CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+          CAST((event_id * 104729) % 10000 AS DOUBLE) AS y, value
+          FROM events WHERE event_id < 4000""",
+    "q101_text_roundtrip" ->
+      """SELECT event_id AS order_key,
+          CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+          CAST((event_id * 104729) % 10000 AS DOUBLE) AS y, value
+          FROM events WHERE event_id BETWEEN 0 AND 4999"""
   )
 }

@@ -193,10 +193,13 @@ object Decimation {
 }
 
 /** filters.randomize (filters/RandomizeFilter.cpp:41): deterministic
-  * seeded shuffle — new order = rank of a seeded hash of the old key. */
+  * seeded shuffle — new order = rank of a seeded hash of the old key.
+  * The hash is the codegen'd splitmix64 finalizer (engine-independent
+  * arithmetic, so an external engine can replay the permutation). */
 object Randomize {
   def apply(df: DataFrame, seed: Long): DataFrame = {
-    val hashed = df.withColumn("__h", xxhash64(lit(seed), col("order_key")))
+    val hashed = df.withColumn("__h",
+      graft.functions.F.mix64(col("order_key") + lit(seed)))
     Order.globalRankBy(hashed, Seq(col("__h").asc, col("order_key").asc), "__newkey")
       .drop("__h").drop("order_key").withColumnRenamed("__newkey", "order_key")
   }

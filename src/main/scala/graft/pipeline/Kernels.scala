@@ -154,25 +154,28 @@ object InfoKernel {
   * HausdorffKernel.cpp:48, ChamferKernel.cpp:46): nearest-neighbor
   * difference metrics between two clouds — one kNN join each way. */
 object CloudMetrics {
-  private def nnDist(a: DataFrame, b: DataFrame): DataFrame =
+  private def nnD2(a: DataFrame, b: DataFrame): DataFrame =
     KnnJoin.knn(a.select("order_key", "x", "y", "z"), b, 1, valueCol = "order_key")
       .select(col("order_key"),
-        sqrt(try_element_at(col("knn"), lit(1)).getField("d2")).as("nn_dist"))
+        try_element_at(col("knn"), lit(1)).getField("d2").as("nn_d2"))
 
   /** Per-point deltas of src vs candidate (kernels.delta). */
-  def delta(src: DataFrame, cand: DataFrame): DataFrame = nnDist(src, cand)
+  def delta(src: DataFrame, cand: DataFrame): DataFrame =
+    nnD2(src, cand).select(col("order_key"), sqrt(col("nn_d2")).as("nn_dist"))
 
-  /** Hausdorff = max over both directed nearest-neighbor distances. */
+  /** Hausdorff = max over both directed nearest-neighbor distances.
+    * sqrt is monotone, so max commutes with it exactly. */
   def hausdorff(a: DataFrame, b: DataFrame): Double = {
-    val d1 = nnDist(a, b).agg(max("nn_dist")).head().getDouble(0)
-    val d2 = nnDist(b, a).agg(max("nn_dist")).head().getDouble(0)
-    math.max(d1, d2)
+    val d1 = nnD2(a, b).agg(max("nn_d2")).head().getDouble(0)
+    val d2 = nnD2(b, a).agg(max("nn_d2")).head().getDouble(0)
+    math.sqrt(math.max(d1, d2))
   }
 
-  /** Chamfer = sum of mean squared NN distances both ways. */
+  /** Chamfer = sum of mean squared NN distances both ways — averaged on
+    * the raw squared distances (no sqrt-then-square rounding). */
   def chamfer(a: DataFrame, b: DataFrame): Double = {
-    val d1 = nnDist(a, b).agg(avg(col("nn_dist") * col("nn_dist"))).head().getDouble(0)
-    val d2 = nnDist(b, a).agg(avg(col("nn_dist") * col("nn_dist"))).head().getDouble(0)
+    val d1 = nnD2(a, b).agg(avg("nn_d2")).head().getDouble(0)
+    val d2 = nnD2(b, a).agg(avg("nn_d2")).head().getDouble(0)
     d1 + d2
   }
 }
@@ -200,7 +203,7 @@ object EvalKernel {
       dim: String = "classification"): DataFrame = {
     val p = pred.select(col("order_key"), col(dim).as("pred"))
     val t = truth.select(col("order_key"), col(dim).as("truth"))
-    val j = p.join(t, "order_key").cache()
+    val j = p.join(t, "order_key") // single action downstream — no cache
     j.groupBy("truth").agg(
       count(lit(1)).as("support"),
       sum(when(col("pred") === col("truth"), 1).otherwise(0)).as("correct"),
