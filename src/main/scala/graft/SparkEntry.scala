@@ -79,6 +79,45 @@ object SparkEntry {
        CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
        CAST((event_id * 131) % 1000 AS DOUBLE) AS z FROM events"""
 
+  /** Oracle for the spans flagship (q62 direct / q104 via GraftTable). */
+  private val spansFlagshipSql =
+    """WITH docs AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
+            event_id % 4 AS cls0 FROM events),
+          cropped AS (SELECT * FROM docs
+            WHERE x >= 2000.5 AND x <= 7000.5 AND y >= 2000.5 AND y <= 7000.5),
+          cand AS (SELECT * FROM cropped WHERE order_key % 3 = 0),
+          pairs AS (SELECT q.order_key AS qid, c.order_key AS cid, c.cls0 AS v,
+            (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y) AS d2
+            FROM cropped q CROSS JOIN cand c),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY d2, cid) AS rnk FROM pairs),
+          hits AS (SELECT * FROM ranked WHERE rnk <= 3),
+          votes AS (SELECT qid, v, COUNT(*) AS c FROM hits GROUP BY qid, v),
+          best AS (SELECT qid, v, c, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY c DESC, v ASC) AS rn FROM votes),
+          win AS (SELECT qid, v AS newcls FROM best WHERE rn = 1 AND c > 1.5),
+          spansq AS (SELECT event_id AS order_key,
+            array_to_string(list_transform(generate_series(0, event_id % 5), i ->
+              (CASE ((event_id * 31 + i * 7) % 4) WHEN 0 THEN 'text'
+                 WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'table' END)
+              || ':' ||
+              (CASE WHEN ((event_id * 31 + i * 7) % 4) = 0
+                 THEN 'tok' || CAST((event_id * 31 + i * 7) % 101 AS VARCHAR)
+                 ELSE '' END)
+              || ':' ||
+              (CASE WHEN ((event_id * 31 + i * 7) % 4) <> 0
+                 THEN 'm/' || CAST((event_id * 31 + i * 7) % 997 AS VARCHAR)
+                 ELSE '' END)
+              || ':' || CAST(i * 97 + (event_id * 31 + i * 7) % 97 AS VARCHAR)
+            ), '|') AS span_seq FROM events)
+          SELECT c.order_key, CAST(FLOOR(c.x / 1000) AS INT) AS tx,
+            CAST(FLOOR(c.y / 1000) AS INT) AS ty,
+            CAST(COALESCE(w.newcls, c.cls0) AS BIGINT) AS cls, s.span_seq
+          FROM cropped c LEFT JOIN win w ON w.qid = c.order_key
+          JOIN spansq s ON s.order_key = c.order_key"""
+
   /** Spans-bearing doc table (the BASELINE input_hint shape): span payload
     * is a pure integer function of order_key so DuckDB rebuilds it exactly
     * — 1..5 spans/doc, kinds cycling {text,image,audio,table}, strictly
@@ -103,6 +142,25 @@ object SparkEntry {
           .otherwise(lit("")).as("media_ref"),
         (i * 97 + h % 97).cast("int").as("offset"))
     }))
+
+  /** The north-rule flagship over a spans-bearing doc table: crop ->
+    * splitter -> kNN-classify (candidates = every 3rd cropped doc),
+    * serializing the span sequence for the byte-for-byte invariant.
+    * Shared by q62 (direct) and q104 (through the GraftTable layer). */
+  private def spansFlagship(docs: DataFrame): DataFrame = {
+    val cropped = Crop.box2d(docs, 2000.5, 2000.5, 7000.5, 7000.5)
+    val tiled = Splitter(cropped, length = 1000.0, origin = Some((0.0, 0.0)))
+    val cand = cropped.filter(col("order_key") % 3 === 0)
+    val cls = NeighborClassifier(tiled, k = 3, candidates = Some(cand),
+      cellSize = 500.0)
+    cls.select(col("order_key"),
+      graft.functions.F.cellX(col("tile_id")).as("tx"),
+      graft.functions.F.cellY(col("tile_id")).as("ty"),
+      col("classification").cast("long").as("cls"),
+      concat_ws("|", transform(col("spans"), sp => concat_ws(":",
+        sp.getField("kind"), sp.getField("text"), sp.getField("media_ref"),
+        sp.getField("offset").cast("string")))).as("span_seq"))
+  }
 
   /** Flagship: crop -> splitter -> kNN-classify over a synthesized doc
     * table (the BASELINE.json pipeline at smoke scale). */
@@ -706,19 +764,31 @@ object SparkEntry {
       // sequence (kind, text, media_ref, offset in order) must survive
       // every stage byte-for-byte. Spans are pure integer functions of
       // order_key so the DuckDB oracle rebuilds them exactly.
+      spansFlagship(spansDocs(s, d))
+    }),
+    "q104_table_pipeline" -> ((s, d) => {
+      // The same north-rule flagship, but THROUGH the snapshot-table
+      // layer: the spans-bearing doc table is committed to a GraftTable
+      // in four x-banded snapshots, read back at head with
+      // manifest-level file pruning (the crop bbox never opens the
+      // x>=7500 band's files — required below), then crop -> splitter
+      // -> kNN runs over the table read. Emits exactly q62's rows: the
+      // span-sequence invariant survives the table layer
+      // byte-for-byte, so the two queries share one oracle.
+      val root = s"/tmp/graft-table-pipe-${Integer.toHexString(d.hashCode)}"
+      val rp = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rp)) // fresh table per run
+        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
       val docs = spansDocs(s, d)
-      val cropped = Crop.box2d(docs, 2000.5, 2000.5, 7000.5, 7000.5)
-      val tiled = Splitter(cropped, length = 1000.0, origin = Some((0.0, 0.0)))
-      val cand = cropped.filter(col("order_key") % 3 === 0)
-      val cls = NeighborClassifier(tiled, k = 3, candidates = Some(cand),
-        cellSize = 500.0)
-      cls.select(col("order_key"),
-        graft.functions.F.cellX(col("tile_id")).as("tx"),
-        graft.functions.F.cellY(col("tile_id")).as("ty"),
-        col("classification").cast("long").as("cls"),
-        concat_ws("|", transform(col("spans"), sp => concat_ws(":",
-          sp.getField("kind"), sp.getField("text"), sp.getField("media_ref"),
-          sp.getField("offset").cast("string")))).as("span_seq"))
+      for (b <- 0 until 4)
+        graft.sources.GraftTable.commit(
+          docs.filter(col("x") >= b * 2500.0 && col("x") < (b + 1) * 2500.0), root)
+      val (tbl, filesRead, filesTotal) = graft.sources.GraftTable.readBox(
+        s, root, 2000.5, 2000.5, 7000.5, 7000.5)
+      require(filesRead < filesTotal,
+        s"manifest pruning expected: read $filesRead of $filesTotal files")
+      spansFlagship(tbl)
     }),
     "q63_overlay" -> ((s, d) => {
       // first-match-wins polygon dim assignment; .5 bounds vs integer
@@ -1114,6 +1184,7 @@ object SparkEntry {
       val agg = graft.streaming.DocStream.tileDensity(
         stream, length = 1000.0, ox = 0.0, oy = 0.0)
       val qn = s"q99_sink_${Integer.toHexString(d.hashCode)}"
+      s.catalog.dropTempView(qn) // repeat runs: don't reuse a stale sink
       agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1134,6 +1205,74 @@ object SparkEntry {
         element_at(col("geometry.coordinates"), 1).as("x"),
         element_at(col("geometry.coordinates"), 2).as("y"),
         col("properties.value").as("value"))
+    }),
+    "q102_asof_media_join" -> ((s, d) => {
+      // Streaming AS-OF media join (flatMapGroupsWithState + event-time
+      // timeout) through the gate. Single-batch regime (one file per
+      // side): matched docs emit in the data batch; the trailing no-data
+      // batch advances the watermark to max_ts - 600s, flushing older
+      // unmatched docs left-outer. Docs unmatched AND inside the last
+      // 600s stay in state by design — the oracle reproduces exactly
+      // that emit set. The ref count scales with the table (n/100+1, odd
+      // so every residue class mod 4 carries media) keeping versions/ref
+      // ~25 at any sf — under the state cap, so no as-of match is ever
+      // evicted and the emit set is exactly the declarative as-of.
+      // Event times are shifted +1000 off epoch 0: a row whose event
+      // time EQUALS the current watermark is late by Spark's stateful
+      // late-row filter, and the initial watermark is epoch 0 — an
+      // unshifted ts=0 media row is silently dropped in batch 1.
+      val h = Integer.toHexString(d.hashCode)
+      val ev = t(s, d, "events")
+      val refs = ev.agg(max("event_id")).head.getLong(0) / 100L + 2L
+      val media = ev.filter(col("event_id") % 4 === 0).select(
+        concat(lit("m/"), col("event_id") % refs).as("media_ref"),
+        (col("event_id") + 1000L).as("ts"),
+        concat(lit("v"), col("event_id") + 1000L).as("meta"))
+      val docs = ev.filter(col("event_id") % 4 =!= 0).select(
+        concat(lit("m/"), col("event_id") % refs).as("media_ref"),
+        (col("event_id") + 1000L).as("ts"),
+        col("event_id").as("doc_id"))
+      val (mDir, dDir) = (s"/tmp/graft-asof-m-$h", s"/tmp/graft-asof-d-$h")
+      media.coalesce(1).write.mode("overwrite").parquet(mDir)
+      docs.coalesce(1).write.mode("overwrite").parquet(dDir)
+      val out = graft.streaming.DocStream.asOfJoinMedia(s,
+        s.readStream.schema(docs.schema).parquet(dDir),
+        s.readStream.schema(media.schema).parquet(mDir),
+        maxMediaHistory = 64) // ~25 versions/ref by construction; margin
+      val qn = s"q102_sink_$h"
+      s.catalog.dropTempView(qn) // repeat runs: don't append to a stale sink
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // data batch: matched docs emit
+        q.processAllAvailable() // no-data batch: timeout flush past the wm
+      } finally q.stop()
+      s.table(qn).select(col("doc_id"), col("media_ref"), col("doc_ts"),
+        coalesce(col("media_ts"), lit(-1L)).as("media_ts"),
+        coalesce(col("meta"), lit("")).as("meta"))
+    }),
+    "q103_snapshot_table" -> ((s, d) => {
+      // GraftTable (Iceberg-style snapshot/manifest layer): two appended
+      // commits, a bbox read of each VERSION (time travel), tagged and
+      // unioned; the v1 read must NOT see the v2 rows. File-level
+      // manifest pruning is asserted in GraftTableSpec; the gate hashes
+      // the row-visibility semantics.
+      val root = s"/tmp/graft-table-${Integer.toHexString(d.hashCode)}"
+      val rp = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rp)) // fresh table per run
+        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      val p = pts(s, d).select("order_key", "x", "y")
+      val v1 = graft.sources.GraftTable.commit(
+        p.filter(col("order_key") < 5000), root)
+      val v2 = graft.sources.GraftTable.commit(
+        p.filter(col("order_key") >= 5000), root)
+      val (r1, _, _) = graft.sources.GraftTable.readBox(
+        s, root, 0, 0, 3000, 10000, asOf = Some(v1))
+      val (r2, _, _) = graft.sources.GraftTable.readBox(
+        s, root, 0, 0, 3000, 10000, asOf = Some(v2))
+      r1.withColumn("snap", lit(1)).unionByName(r2.withColumn("snap", lit(2)))
+        .select("snap", "order_key", "x", "y")
     }),
     "q101_text_roundtrip" -> ((s, d) => {
       // readers.text + writers.text via the PIPELINE dialect itself
@@ -2007,43 +2146,10 @@ object SparkEntry {
     // crop -> splitter -> kNN-vote replicated relationally; spans rebuilt
     // from the same integer recurrence (kind cycle, tok/media payloads,
     // offset affine) and serialized with the same ':'/'|' separators
-    "q62_spans_pipeline" ->
-      """WITH docs AS (SELECT event_id AS order_key,
-            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
-            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
-            event_id % 4 AS cls0 FROM events),
-          cropped AS (SELECT * FROM docs
-            WHERE x >= 2000.5 AND x <= 7000.5 AND y >= 2000.5 AND y <= 7000.5),
-          cand AS (SELECT * FROM cropped WHERE order_key % 3 = 0),
-          pairs AS (SELECT q.order_key AS qid, c.order_key AS cid, c.cls0 AS v,
-            (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y) AS d2
-            FROM cropped q CROSS JOIN cand c),
-          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-            ORDER BY d2, cid) AS rnk FROM pairs),
-          hits AS (SELECT * FROM ranked WHERE rnk <= 3),
-          votes AS (SELECT qid, v, COUNT(*) AS c FROM hits GROUP BY qid, v),
-          best AS (SELECT qid, v, c, ROW_NUMBER() OVER (PARTITION BY qid
-            ORDER BY c DESC, v ASC) AS rn FROM votes),
-          win AS (SELECT qid, v AS newcls FROM best WHERE rn = 1 AND c > 1.5),
-          spansq AS (SELECT event_id AS order_key,
-            array_to_string(list_transform(generate_series(0, event_id % 5), i ->
-              (CASE ((event_id * 31 + i * 7) % 4) WHEN 0 THEN 'text'
-                 WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'table' END)
-              || ':' ||
-              (CASE WHEN ((event_id * 31 + i * 7) % 4) = 0
-                 THEN 'tok' || CAST((event_id * 31 + i * 7) % 101 AS VARCHAR)
-                 ELSE '' END)
-              || ':' ||
-              (CASE WHEN ((event_id * 31 + i * 7) % 4) <> 0
-                 THEN 'm/' || CAST((event_id * 31 + i * 7) % 997 AS VARCHAR)
-                 ELSE '' END)
-              || ':' || CAST(i * 97 + (event_id * 31 + i * 7) % 97 AS VARCHAR)
-            ), '|') AS span_seq FROM events)
-          SELECT c.order_key, CAST(FLOOR(c.x / 1000) AS INT) AS tx,
-            CAST(FLOOR(c.y / 1000) AS INT) AS ty,
-            CAST(COALESCE(w.newcls, c.cls0) AS BIGINT) AS cls, s.span_seq
-          FROM cropped c LEFT JOIN win w ON w.qid = c.order_key
-          JOIN spansq s ON s.order_key = c.order_key""",
+    "q62_spans_pipeline" -> spansFlagshipSql,
+    // q104 = q62 through the GraftTable snapshot layer: same emit set,
+    // same oracle — the table round trip must be invisible to the rows
+    "q104_table_pipeline" -> spansFlagshipSql,
     // .5 polygon bounds vs integer coords: no boundary ties, so the
     // first-match-wins cascade is two half-plane CASE arms
     "q63_overlay" ->
@@ -2486,6 +2592,34 @@ object SparkEntry {
       """SELECT event_id AS order_key,
           CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
           CAST((event_id * 104729) % 10000 AS DOUBLE) AS y, value
-          FROM events WHERE event_id BETWEEN 0 AND 4999"""
+          FROM events WHERE event_id BETWEEN 0 AND 4999""",
+    // the as-of emit set of the finite stream: matched docs pair with the
+    // LATEST media at-or-before their ts; unmatched docs emit left-outer
+    // only once the final watermark (max event time - 600s) passes them
+    "q102_asof_media_join" ->
+      """WITH r AS (SELECT MAX(event_id) // 100 + 2 AS refs FROM events),
+          media AS (SELECT 'm/' || CAST(event_id % (SELECT refs FROM r) AS VARCHAR) AS ref,
+            event_id + 1000 AS ts FROM events WHERE event_id % 4 = 0),
+          docs AS (SELECT 'm/' || CAST(event_id % (SELECT refs FROM r) AS VARCHAR) AS ref,
+            event_id + 1000 AS ts, event_id AS doc_id FROM events
+            WHERE event_id % 4 <> 0),
+          m AS (SELECT d.doc_id, d.ref, d.ts,
+            (SELECT MAX(m2.ts) FROM media m2
+              WHERE m2.ref = d.ref AND m2.ts <= d.ts) AS mts FROM docs d)
+          SELECT doc_id, ref AS media_ref, ts AS doc_ts,
+            COALESCE(mts, -1) AS media_ts,
+            CASE WHEN mts IS NULL THEN ''
+                 ELSE 'v' || CAST(mts AS VARCHAR) END AS meta
+          FROM m
+          WHERE mts IS NOT NULL
+             OR ts < (SELECT MAX(event_id) + 1000 FROM events) - 600""",
+    "q103_snapshot_table" ->
+      """WITH p AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y FROM events)
+          SELECT 1 AS snap, order_key, x, y FROM p
+            WHERE order_key < 5000 AND x <= 3000
+          UNION ALL
+          SELECT 2 AS snap, order_key, x, y FROM p WHERE x <= 3000"""
   )
 }

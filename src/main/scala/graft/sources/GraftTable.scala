@@ -1,0 +1,241 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot table over plain parquet — the table format the
+  * north rule's "Iceberg table of interleaved documents" reduces to with
+  * the jars available offline (no Iceberg runtime; the layout mirrors its
+  * metadata tree 1:1 so a real catalog can adopt the same shape):
+  *
+  *   <root>/data/<uuid>-N.parquet        immutable data files
+  *   <root>/manifests/m-<uuid>.parquet   per-commit file list + stats
+  *                                       (rows, bbox, order_key interval)
+  *   <root>/snapshots/v<N>.json          manifest list + parent pointer
+  *   <root>/VERSION                      current-version pointer (atomic
+  *                                       rename commit)
+  *
+  * Commit protocol (crash-safe, optimistic):
+  *   1. stage data files, move them under data/ (new names, never reused)
+  *   2. write the manifest parquet (one distributed job computes per-file
+  *      stats via input_file_name grouping — no per-file driver loop)
+  *   3. allocate the next version with an EXCLUSIVE create of
+  *      snapshots/v<N>.json — two racing committers cannot both win N;
+  *      the loser re-reads the head and retries on the parent it lost to
+  *   4. flip VERSION via atomic temp-write + rename
+  * A crash before (3) leaves orphan data/manifest files that no snapshot
+  * references — invisible to readers, never a corrupt table.
+  *
+  * Reads resolve a snapshot (head or explicit time-travel version), union
+  * its manifests, prune FILES by bbox/rows stats against the predicate,
+  * and scan only survivors — manifest-level pruning one level below
+  * CellStore's partition-value pruning (EptReader.cpp:200-269 page walk).
+  * Manifests are parquet: at 10^12-doc scale the file list is itself a
+  * distributed table; only surviving paths are collected (as Iceberg's
+  * planner does).
+  */
+object GraftTable {
+
+  case class Snapshot(version: Int, parent: Int, manifests: Seq[String])
+
+  private def versionFile(root: String) = Paths.get(root, "VERSION")
+
+  /** Current head version, or 0 when the table is empty/new. */
+  def currentVersion(root: String): Int = {
+    val vf = versionFile(root)
+    if (Files.exists(vf)) new String(Files.readAllBytes(vf), "UTF-8").trim.toInt
+    else 0
+  }
+
+  def snapshot(root: String, version: Int): Snapshot = {
+    val f = Paths.get(root, "snapshots", s"v$version.json")
+    require(Files.exists(f), s"graft table $root has no snapshot v$version")
+    val txt = new String(Files.readAllBytes(f), "UTF-8")
+    // flat, self-written JSON — parse with the same tiny scanner style the
+    // pipeline dialect uses rather than a full parser dependency
+    val parent = "\"parent\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
+    val ms = "\"manifests\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt).get.group(1)
+    val paths = "\"([^\"]+)\"".r.findAllMatchIn(ms).map(_.group(1)).toSeq
+    Snapshot(version, parent, paths)
+  }
+
+  /** Append `df` as a new snapshot (overwrite = drop parent manifests).
+    * Returns the committed version. */
+  def commit(df: DataFrame, root: String, overwrite: Boolean = false,
+      tag: Option[String] = None): Int = {
+    val spark = df.sparkSession
+    Files.createDirectories(Paths.get(root, "data"))
+    Files.createDirectories(Paths.get(root, "manifests"))
+    Files.createDirectories(Paths.get(root, "snapshots"))
+    val commitId = UUID.randomUUID().toString.take(8)
+
+    // 1. stage + adopt data files under never-reused names
+    val staging = s"$root/.staging-$commitId"
+    df.write.mode("overwrite").parquet(staging)
+    val parts = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    val adopted = parts.zipWithIndex.map { case (p, i) =>
+      val dst = Paths.get(root, "data", s"$commitId-$i.parquet")
+      Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+      dst.toString
+    }
+    Files.walk(Paths.get(staging)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+
+    // 2. one distributed job computes per-file stats for the manifest
+    val hasXY = df.columns.contains("x") && df.columns.contains("y")
+    val hasOrder = df.columns.contains("order_key")
+    val statsDf = spark.read.parquet(adopted: _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"),
+        (if (hasXY) min("x") else lit(null).cast("double")).as("min_x"),
+        (if (hasXY) max("x") else lit(null).cast("double")).as("max_x"),
+        (if (hasXY) min("y") else lit(null).cast("double")).as("min_y"),
+        (if (hasXY) max("y") else lit(null).cast("double")).as("max_y"),
+        (if (hasOrder) min("order_key") else lit(null).cast("long")).as("min_key"),
+        (if (hasOrder) max("order_key") else lit(null).cast("long")).as("max_key"))
+    val manifest = s"$root/manifests/m-$commitId.parquet"
+    statsDf.repartition(1).write.mode("overwrite").parquet(manifest)
+
+    // 3+4. optimistic snapshot allocation + pointer flip
+    var committed = -1
+    while (committed < 0) {
+      val parent = currentVersion(root)
+      val next = parent + 1
+      val base = if (overwrite || parent == 0) Nil
+                 else snapshot(root, parent).manifests
+      val manifests = base :+ manifest
+      val tagField = tag.map(t => s""", "tag": "$t"""").getOrElse("")
+      val json =
+        s"""{"version": $next, "parent": $parent$tagField, "manifests": [${
+          manifests.map("\"" + _ + "\"").mkString(", ")}]}"""
+      val snapPath = Paths.get(root, "snapshots", s"v$next.json")
+      try {
+        // CREATE_NEW is the CAS: exactly one committer owns version `next`
+        Files.write(snapPath, json.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        val tmp = Paths.get(root, s".VERSION-$commitId")
+        Files.write(tmp, next.toString.getBytes("UTF-8"))
+        Files.move(tmp, versionFile(root), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        committed = next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race
+          // the winner's VERSION flip may still be in flight; wait for the
+          // pointer to reach (or pass) the contested version before retrying
+          while (currentVersion(root) < next) Thread.sleep(1)
+      }
+    }
+    committed
+  }
+
+  /** The manifest table of a snapshot (default: head). */
+  def manifests(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(root))
+    require(v > 0, s"graft table $root is empty (no committed snapshot)")
+    spark.read.parquet(snapshot(root, v).manifests: _*)
+  }
+
+  /** Full-table read of a snapshot. */
+  def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val files = manifests(spark, root, asOf).select("path")
+      .collect().map(_.getString(0)).toIndexedSeq
+    spark.read.parquet(files: _*)
+  }
+
+  /** Idempotent commit keyed by `tag` (e.g. a streaming batch id): if a
+    * snapshot already carries the tag, return its version without
+    * writing — the exactly-once hook for foreachBatch sinks, where a
+    * failed microbatch is replayed with the same batchId. Retries are
+    * serial per sink by Structured Streaming's contract; concurrent
+    * DISTINCT-tag committers stay safe via the usual CAS. */
+  def commitIfAbsent(df: DataFrame, root: String, tag: String): Int = {
+    require(!tag.contains('"'), s"tag must not contain quotes: $tag")
+    taggedVersion(root, tag).getOrElse(commit(df, root, tag = Some(tag)))
+  }
+
+  private def taggedVersion(root: String, tag: String): Option[Int] = {
+    val dir = Paths.get(root, "snapshots")
+    if (!Files.exists(dir)) return None
+    val needle = s""""tag": "$tag""""
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .find(p => new String(Files.readAllBytes(p), "UTF-8").contains(needle))
+      .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt)
+  }
+
+  /** Compaction: rewrite the head snapshot's rows into `numFiles` data
+    * files and commit the result as a NEW snapshot (overwrite manifests,
+    * rows identical). History is preserved — prior versions still
+    * time-travel until expireSnapshots drops them. */
+  def compact(spark: SparkSession, root: String, numFiles: Int = 1): Int =
+    commit(read(spark, root).repartition(numFiles), root, overwrite = true)
+
+  /** Expire all snapshots older than the newest `keepLast`, then delete
+    * every data/manifest file no surviving snapshot references (Iceberg's
+    * expire_snapshots + remove_orphan_files). Returns the number of
+    * physical files deleted. Crash-safe in the same way as commit:
+    * snapshot jsons are deleted first, so a crash mid-vacuum leaves only
+    * unreferenced-but-present files — invisible to readers. */
+  def expireSnapshots(spark: SparkSession, root: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the head snapshot")
+    val head = currentVersion(root)
+    val keep = ((head - keepLast + 1) max 1) to head
+    val snapDir = Paths.get(root, "snapshots")
+    Files.list(snapDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .filter(p => !keep.contains(
+        p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt))
+      .foreach(Files.delete(_))
+    // live set = every manifest of every surviving snapshot + every data
+    // path those manifests list (one distributed read, not a driver loop)
+    def canon(s: String): String = {
+      // manifest `path` values are input_file_name() URIs; snapshot
+      // manifest entries are plain paths — normalize both to one form
+      val raw = if (s.startsWith("file:")) new java.net.URI(s).getPath else s
+      Paths.get(raw).toAbsolutePath.normalize.toString
+    }
+    val liveManifestSeq = keep.flatMap(v => snapshot(root, v).manifests)
+    val liveManifests = liveManifestSeq.map(canon).toSet
+    val liveData: Set[String] =
+      if (liveManifestSeq.isEmpty) Set.empty
+      else spark.read.parquet(liveManifestSeq: _*)
+        .select("path").collect().map(r => canon(r.getString(0))).toSet
+    var deleted = 0
+    def sweep(dir: Path, live: Set[String]): Unit =
+      if (Files.exists(dir)) Files.list(dir).iterator().asScala
+        .filterNot(p => live.contains(canon(p.toString))).toSeq.foreach { p =>
+          if (Files.isDirectory(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => { Files.deleteIfExists(q); deleted += 1 })
+          else { Files.delete(p); deleted += 1 }
+        }
+    sweep(Paths.get(root, "data"), liveData)
+    sweep(Paths.get(root, "manifests"), liveManifests)
+    deleted
+  }
+
+  /** Bbox read with manifest-level FILE pruning: only files whose stats
+    * rectangle intersects the box are opened; the exact predicate stays
+    * as a residual. Returns (df, filesRead, filesTotal) so callers can
+    * assert the pruning actually happened. */
+  def readBox(spark: SparkSession, root: String, minx: Double, miny: Double,
+      maxx: Double, maxy: Double, asOf: Option[Int] = None)
+      : (DataFrame, Long, Long) = {
+    val m = manifests(spark, root, asOf)
+    val total = m.count()
+    val hits = m.filter(col("min_x") <= maxx && col("max_x") >= minx &&
+        col("min_y") <= maxy && col("max_y") >= miny)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val df =
+      if (hits.isEmpty) read(spark, root, asOf).filter(lit(false))
+      else spark.read.parquet(hits: _*)
+        .filter(col("x") >= minx && col("x") <= maxx &&
+          col("y") >= miny && col("y") <= maxy)
+    (df, hits.length.toLong, total)
+  }
+}

@@ -47,4 +47,19 @@ object ExactlyOnceSink {
         writeBatch(batch.toDF(), path, batchId); ()
       }
       .start()
+
+  /** Stream into a GraftTable: one snapshot per microbatch, idempotent
+    * by batchId tag — a replayed batch finds its tagged snapshot and
+    * commits nothing, so checkpointed offsets + tagged commits give
+    * exactly-once table appends (Iceberg's commit-dedup pattern), and
+    * every microbatch becomes a time-travelable version. */
+  def graftTable(stream: DataFrame, root: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.sources.GraftTable.commitIfAbsent(
+          batch.toDF(), root, tag = s"batch-$batchId"); ()
+      }
+      .start()
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftTable
+
+/** Snapshot-table layer: commit/append/time-travel/pruning/CAS races. */
+class GraftTableSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshRoot(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-table-").toString
+    p
+  }
+
+  private def cloud(n: Int, offX: Double = 0.0) =
+    spark.range(n).select(col("id").as("order_key"),
+      (col("id") % 100 + offX).cast("double").as("x"),
+      (col("id") % 37).cast("double").as("y"),
+      lit(0.0).as("z"))
+
+  test("commit + read round trip; append stacks snapshots; time travel reads the past") {
+    val root = freshRoot()
+    val v1 = GraftTable.commit(cloud(1000), root)
+    assert(v1 == 1)
+    assert(GraftTable.read(spark, root).count() == 1000)
+    val v2 = GraftTable.commit(cloud(500, offX = 1000.0), root)
+    assert(v2 == 2)
+    assert(GraftTable.read(spark, root).count() == 1500)
+    // time travel: v1 still reads exactly its own rows
+    assert(GraftTable.read(spark, root, asOf = Some(1)).count() == 1000)
+    // overwrite drops history from the new head but v2 stays readable
+    val v3 = GraftTable.commit(cloud(10), root, overwrite = true)
+    assert(v3 == 3)
+    assert(GraftTable.read(spark, root).count() == 10)
+    assert(GraftTable.read(spark, root, asOf = Some(2)).count() == 1500)
+  }
+
+  test("manifest stats prune files: bbox read opens only intersecting files") {
+    val root = freshRoot()
+    // 4 spatially banded commits -> >= 4 files with disjoint x ranges
+    for (i <- 0 until 4)
+      GraftTable.commit(cloud(200).withColumn("x", col("x") + i * 1000), root)
+    val (df, read, total) = GraftTable.readBox(spark, root, 0, 0, 99, 100)
+    assert(df.count() == 200)
+    assert(total >= 4 && read < total,
+      s"expected file pruning: read $read of $total")
+    // miss everything: zero files read, empty result, schema intact
+    val (miss, r2, _) = GraftTable.readBox(spark, root, 5e6, 5e6, 6e6, 6e6)
+    assert(r2 == 0 && miss.count() == 0 && miss.columns.contains("order_key"))
+  }
+
+  test("orphaned data/manifest files from a crashed commit are invisible") {
+    val root = freshRoot()
+    GraftTable.commit(cloud(100), root)
+    // simulate a crash after step 2 (files + manifest on disk, no snapshot)
+    cloud(999).write.mode("overwrite")
+      .parquet(s"$root/manifests/m-deadbeef.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Files.list(java.nio.file.Paths.get(root, "data")).findFirst().get(),
+      java.nio.file.Paths.get(root, "data", "orphan-0.parquet"))
+    assert(GraftTable.read(spark, root).count() == 100)
+  }
+
+  test("compact rewrites the head into fewer files; rows identical; history preserved") {
+    val root = freshRoot()
+    for (i <- 0 until 5) GraftTable.commit(cloud(100, offX = i * 1000.0), root)
+    val before = GraftTable.read(spark, root)
+    val beforeRows = before.orderBy("order_key", "x").collect().toSeq
+    val filesBefore = GraftTable.manifests(spark, root).count()
+    val v = GraftTable.compact(spark, root, numFiles = 1)
+    assert(v == 6)
+    val after = GraftTable.read(spark, root)
+    assert(after.orderBy("order_key", "x").collect().toSeq == beforeRows)
+    assert(GraftTable.manifests(spark, root).count() < filesBefore)
+    // pre-compaction snapshot still time-travels
+    assert(GraftTable.read(spark, root, asOf = Some(5)).count() == 500)
+  }
+
+  test("expireSnapshots + vacuum: expired versions gone, orphans deleted, head intact") {
+    val root = freshRoot()
+    for (i <- 0 until 4) GraftTable.commit(cloud(100, offX = i * 1000.0), root)
+    GraftTable.compact(spark, root) // v5 references only its own files
+    val dataBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "data")).count()
+    val deleted = GraftTable.expireSnapshots(spark, root, keepLast = 1)
+    assert(deleted > 0)
+    val dataAfter = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "data")).count()
+    assert(dataAfter < dataBefore)
+    assert(GraftTable.read(spark, root).count() == 400) // head unchanged
+    intercept[IllegalArgumentException] { // expired version unreadable
+      GraftTable.read(spark, root, asOf = Some(2)).count()
+    }
+    // a second vacuum is a no-op: nothing live was swept
+    assert(GraftTable.expireSnapshots(spark, root, keepLast = 1) == 0)
+  }
+
+  test("commitIfAbsent is idempotent per tag (streaming exactly-once replay)") {
+    val root = freshRoot()
+    val v1 = GraftTable.commitIfAbsent(cloud(100), root, tag = "batch-0")
+    val v1b = GraftTable.commitIfAbsent(cloud(100), root, tag = "batch-0") // replay
+    assert(v1 == 1 && v1b == 1)
+    assert(GraftTable.read(spark, root).count() == 100) // not doubled
+    val v2 = GraftTable.commitIfAbsent(cloud(50), root, tag = "batch-1")
+    assert(v2 == 2 && GraftTable.read(spark, root).count() == 150)
+  }
+
+  test("racing committers: every version is owned by exactly one commit, no rows lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    val versions = Await.result(Future.sequence((1 to 6).map { i =>
+      Future(GraftTable.commit(
+        cloud(50).withColumn("order_key", col("order_key") + i * 1000), root))
+    }), 120.seconds).toList
+    assert(versions.sorted == (1 to 6).toList, s"versions: $versions")
+    assert(GraftTable.currentVersion(root) == 6)
+    assert(GraftTable.read(spark, root).count() == 300)
+    // each historical snapshot sees exactly its prefix of the appends
+    for (v <- 1 to 6)
+      assert(GraftTable.read(spark, root, asOf = Some(v)).count() == 50L * v)
+  }
+}

@@ -141,6 +141,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming GraftTable sink: one snapshot per microbatch, restart " +
+      "from checkpoint replays without duplicate appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsink").toString
+    val root = s"$dir/table"; val ckpt = s"$dir/ckpt"
+    val in = MemoryStream[(Long, Double, Double)]
+    val q1 = graft.streaming.ExactlyOnceSink.graftTable(
+      in.toDF().toDF("order_key", "x", "y"), root, ckpt)
+    try {
+      in.addData((1L, 1.0, 2.0), (2L, 3.0, 4.0))
+      q1.processAllAvailable()
+      in.addData((3L, 5.0, 6.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    import graft.sources.GraftTable
+    assert(GraftTable.currentVersion(root) == 2) // one snapshot per batch
+    assert(GraftTable.read(spark, root).count() == 3)
+    // time travel to the first microbatch
+    assert(GraftTable.read(spark, root, asOf = Some(1)).count() == 2)
+    // a replay of an already-committed batch is a no-op (checkpoint
+    // restart path): same tag -> same version, rows not doubled
+    assert(GraftTable.commitIfAbsent(
+      Seq((9L, 9.0, 9.0)).toDF("order_key", "x", "y"), root, "batch-1") == 2)
+    assert(GraftTable.read(spark, root).count() == 3)
+  }
+
   test("streaming exact dedup within watermark: first doc per normalized " +
       "fingerprint kept, later duplicates dropped across microbatches") {
     import spark.implicits._
