@@ -125,8 +125,21 @@ object GraftTable {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => // lost the race
           // the winner's VERSION flip may still be in flight; wait for the
-          // pointer to reach (or pass) the contested version before retrying
-          while (currentVersion(root) < next) Thread.sleep(1)
+          // pointer to reach (or pass) the contested version before
+          // retrying — but BOUNDED: a winner that died between snapshot
+          // allocation and pointer flip must not livelock every later
+          // committer. Recovery is a manual roll-forward (validate
+          // snapshots/v<next>.json, then write VERSION), never automatic:
+          // the orphan json may be a partial write.
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (currentVersion(root) < next) {
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"graft table $root: snapshot v$next exists but VERSION " +
+                s"never advanced (committer died mid-flip?) — validate " +
+                s"snapshots/v$next.json and roll VERSION forward manually")
+            Thread.sleep(1)
+          }
       }
     }
     committed
@@ -158,6 +171,9 @@ object GraftTable {
     taggedVersion(root, tag).getOrElse(commit(df, root, tag = Some(tag)))
   }
 
+  /** Linear scan over snapshot jsons — fine for the microbatch cadence
+    * this backs (hundreds of versions); a tag->version index file would
+    * amortize it if commit volume ever grows past that. */
   private def taggedVersion(root: String, tag: String): Option[Int] = {
     val dir = Paths.get(root, "snapshots")
     if (!Files.exists(dir)) return None
@@ -228,6 +244,10 @@ object GraftTable {
       : (DataFrame, Long, Long) = {
     val m = manifests(spark, root, asOf)
     val total = m.count()
+    // NULL stats only arise when that commit HAD no x/y columns (stats
+    // are computed from the committed rows themselves), so none of its
+    // rows could pass the bbox residual — pruning them is exact, not a
+    // guess. A null-failing predicate is therefore the wanted behavior.
     val hits = m.filter(col("min_x") <= maxx && col("max_x") >= minx &&
         col("min_y") <= maxy && col("max_y") >= miny)
       .select("path").collect().map(_.getString(0)).toIndexedSeq

@@ -104,4 +104,27 @@ class PlanSpec extends AnyFunSuite {
     val (read, total) = graft.sources.CellStore.scanPartitionCounts(cropped)
     assert(read < total, s"no partition pruning: read $read of $total")
   }
+
+  test("GraftTable.readBox: manifest prunes files above the scan, and the " +
+      "residual bbox predicate still pushes into the surviving parquet " +
+      "footers (two-level pruning)") {
+    val root = java.nio.file.Files.createTempDirectory("plantable").toString
+    val pts = spark.range(4000).select(col("id").as("order_key"),
+      (col("id") % 100).cast("double").as("x"),
+      (col("id") % 37).cast("double").as("y"))
+    for (b <- 0 until 4) // disjoint x bands -> manifest-prunable files
+      graft.sources.GraftTable.commit(
+        pts.withColumn("x", col("x") + b * 1000.0), root)
+    val (df, filesRead, filesTotal) = graft.sources.GraftTable.readBox(
+      spark, root, 0, 0, 99, 100)
+    assert(filesRead < filesTotal,
+      s"manifest-level pruning missing: read $filesRead of $filesTotal")
+    df.collect()
+    val ss = fileScans(df)
+    assert(ss.nonEmpty, "no file scan in plan")
+    val pushed = ss.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(x,0") &&
+      pushed.contains("LessThanOrEqual(x,99"),
+      s"residual bbox not pushed into the parquet scan: $pushed")
+  }
 }
