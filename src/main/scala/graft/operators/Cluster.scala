@@ -227,12 +227,13 @@ object Cluster {
 object Dbscan {
   def apply(df: DataFrame, eps: Double, minPoints: Long,
       outCol: String = "cluster_id"): DataFrame = {
-    // ONE radius join feeds both the core-point counts and the border
-    // assignment (was two identical 27-cell joins); neighbor count =
-    // self-excluded pair count + 1 (self always matches d2 = 0 <= r^2)
-    val pairs = graft.core.Mat(RadiusCount.pairs(df, eps))
-    val counts = pairs.groupBy(col("pk").as("order_key"))
-      .agg((count(lit(1)) + 1L).as("__rc"))
+    // Two LAZY radius joins beat one materialized pair set: in-eps pairs
+    // are quadratic in local density (near-clique clusters make millions
+    // of them), but both consumers aggregate in place — the 27-cell join
+    // streams through a partial agg and nothing pair-shaped is ever
+    // persisted. A Mat(pairs) variant measured 2.7x SLOWER at sf0.1
+    // purely on the cache write of the ~20M-row pair set.
+    val counts = RadiusCount(df, eps)
     val core = df.join(counts, Seq("order_key"), "left")
       .filter(coalesce(col("__rc"), lit(1L)) >= minPoints)
       .drop("__rc")
@@ -241,6 +242,7 @@ object Dbscan {
       .select(col("order_key").as("ck"), col("__ccid"))
     // border points: smallest cluster id among in-eps cores (deterministic
     // tie-break on the id, matching the oracle/test contract)
+    val pairs = RadiusCount.pairs(df, eps)
     val toCore = pairs.join(coreClusters, pairs("qk") === coreClusters("ck"))
       .groupBy(col("pk")).agg(min("__ccid").as("__bcid"))
     df.join(coreClusters.select(col("ck").as("order_key"), col("__ccid")),

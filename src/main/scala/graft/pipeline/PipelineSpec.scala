@@ -161,6 +161,21 @@ object PipelineBuilder {
         // readers.memoryview analog (io/MemoryViewReader.cpp:50): read a
         // registered temp view / catalog table by name
         readerOpts(spark.table(optStr(o, "view").orElse(optStr(o, "table")).get))
+      case "readers.graft" =>
+        // snapshot-table read (the Iceberg-style GraftTable layer):
+        // `asof` time-travels to a version; `bounds` (PDAL 2D grammar)
+        // prunes FILES via manifest stats before any data is opened,
+        // with the exact predicate left as a pushed-down residual
+        val root = optStr(o, "root").orElse(optStr(o, "filename")).get
+        val asOf = optLong(o, "asof").map(_.toInt)
+        val df = optStr(o, "bounds") match {
+          case Some(s) =>
+            val n = boundsNums(s)
+            graft.sources.GraftTable.readBox(
+              spark, root, n(0), n(2), n(1), n(3), asOf)._1
+          case None => graft.sources.GraftTable.read(spark, root, asOf)
+        }
+        readerOpts(df)
       case "readers.stac" =>
         // io/StacReader.cpp:126-151 option surface; bounds uses the PDAL
         // 2D bounds grammar and prunes items before any data read
@@ -511,6 +526,21 @@ object PipelineBuilder {
       case "writers.text" =>
         in.write.mode("overwrite").option("header", "true")
           .csv(optStr(o, "filename").get); in
+      case "writers.graft" =>
+        // snapshot-table commit: append (default) stacks a new version,
+        // mode=overwrite starts history over; `commit_tag` makes the
+        // commit idempotent (a rerun with the same tag commits nothing).
+        // Named commit_tag because bare `tag` is PDAL's stage-tag option
+        // and is consumed by the pipeline parser before stages see it.
+        val root = optStr(o, "root").orElse(optStr(o, "filename")).get
+        val over = optStr(o, "mode").contains("overwrite")
+        optStr(o, "commit_tag") match {
+          case Some(tg) =>
+            require(!over, "writers.graft: commit_tag implies append mode")
+            graft.sources.GraftTable.commitIfAbsent(in, root, tg)
+          case None => graft.sources.GraftTable.commit(in, root, over)
+        }
+        in
       case other => throw new IllegalArgumentException(s"unknown stage type: $other")
     } catch {
       // the cause rides along: a NoSuchElementException thrown deep inside

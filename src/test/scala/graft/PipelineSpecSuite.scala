@@ -473,4 +473,37 @@ class PipelineSpecSuite extends AnyFunSuite {
       assert(graft.pipeline.ShellStage.lastOutput.contains("graft-shell-ok"))
     } finally sys.props.remove("graft.allow.shell")
   }
+
+  test("readers.graft / writers.graft: snapshot-table commits and " +
+      "time-travel + bounds reads through the pipeline dialect") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/tbl"
+    Seq((1L, 10.0, 10.0), (2L, 20.0, 20.0))
+      .toDF("order_key", "x", "y").createOrReplaceTempView("gt_a")
+    Seq((3L, 3000.0, 30.0)).toDF("order_key", "x", "y")
+      .createOrReplaceTempView("gt_b")
+    // two append commits through the writer stage (second is tagged)
+    PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.view","view":"gt_a"},
+       {"type":"writers.graft","root":"$root"}]}""")
+    PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.view","view":"gt_b"},
+       {"type":"writers.graft","root":"$root","commit_tag":"b0"}]}""")
+    // a rerun of the tagged commit is a no-op (idempotent replay)
+    PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.view","view":"gt_b"},
+       {"type":"writers.graft","root":"$root","commit_tag":"b0"}]}""")
+    assert(graft.sources.GraftTable.currentVersion(root) == 2)
+    // head read sees both commits; bounds prunes the x=3000 file
+    val head = PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.graft","root":"$root"}]}""")
+    assert(head.count() == 3)
+    val boxed = PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.graft","root":"$root","bounds":"([0,100],[0,100])"}]}""")
+    assert(boxed.select("order_key").as[Long].collect().toSet == Set(1L, 2L))
+    // time travel to v1 through the reader option
+    val v1 = PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.graft","root":"$root","asof":1}]}""")
+    assert(v1.count() == 2)
+  }
 }
