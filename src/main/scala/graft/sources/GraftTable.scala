@@ -85,18 +85,17 @@ object GraftTable {
     Files.walk(Paths.get(staging)).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
 
-    // 2. one distributed job computes per-file stats for the manifest
-    val hasXY = df.columns.contains("x") && df.columns.contains("y")
-    val hasOrder = df.columns.contains("order_key")
-    val statsDf = spark.read.parquet(adopted: _*)
-      .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"),
-        (if (hasXY) min("x") else lit(null).cast("double")).as("min_x"),
-        (if (hasXY) max("x") else lit(null).cast("double")).as("max_x"),
-        (if (hasXY) min("y") else lit(null).cast("double")).as("min_y"),
-        (if (hasXY) max("y") else lit(null).cast("double")).as("max_y"),
-        (if (hasOrder) min("order_key") else lit(null).cast("long")).as("min_key"),
-        (if (hasOrder) max("order_key") else lit(null).cast("long")).as("max_key"))
+    // 2. per-file stats come from the parquet FOOTERS of the staged
+    //    files (row-group min/max/count cover exactly what the manifest
+    //    needs) — a distributed metadata-only pass, no second scan of
+    //    the data just written. This is what Iceberg's writer-side stat
+    //    collection reduces to after the fact.
+    import spark.implicits._
+    val statsDf = spark.createDataset(spark.sparkContext
+        .parallelize(adopted, 1 max (adopted.size min 64))
+        .map(footerStats))
+      .toDF("path", "rows", "min_x", "max_x", "min_y", "max_y",
+        "min_key", "max_key")
     val manifest = s"$root/manifests/m-$commitId.parquet"
     statsDf.repartition(1).write.mode("overwrite").parquet(manifest)
 
@@ -143,6 +142,57 @@ object GraftTable {
       }
     }
     committed
+  }
+
+  /** Manifest stats for one data file, read from its parquet footer.
+    * Column absent -> None (a bbox can PRUNE such files exactly: the
+    * commit had no such column, so no row can match). Column present
+    * but a chunk lacks usable stats (e.g. doubles with NaNs — parquet
+    * omits min/max) -> the infinite interval, which intersects every
+    * box: such files are always read, never wrongly pruned. */
+  private def footerStats(path: String)
+      : (String, Long, Option[Double], Option[Double], Option[Double],
+         Option[Double], Option[Long], Option[Long]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // Number-valued so long stats stay exact (no double round trip for
+      // keys past 2^53); ±Inf narrows to Long.Min/MaxValue per the JLS,
+      // which is exactly the always-read sentinel a long range wants
+      def range(name: String): Option[(Number, Number)] = {
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == name)
+        if (chunks.isEmpty) None // column absent from the file
+        else {
+          val ss = chunks.map(_.getStatistics)
+          val nums = scala.util.Try {
+            require(ss.forall(s => s != null && s.hasNonNullValue))
+            (ss.map(_.genericGetMin.asInstanceOf[Number]), // CCE if non-numeric
+             ss.map(_.genericGetMax.asInstanceOf[Number]))
+          }.toOption
+          nums match {
+            case Some((mins, maxs)) if mins.head.isInstanceOf[java.lang.Long] =>
+              Some((mins.map(_.longValue).min: java.lang.Long,
+                    maxs.map(_.longValue).max: java.lang.Long))
+            case Some((mins, maxs)) =>
+              Some((mins.map(_.doubleValue).min: java.lang.Double,
+                    maxs.map(_.doubleValue).max: java.lang.Double))
+            case None => // NaN-suppressed or non-numeric stats: never prune
+              Some((Double.NegativeInfinity: java.lang.Double,
+                    Double.PositiveInfinity: java.lang.Double))
+          }
+        }
+      }
+      val (x, y, k) = (range("x"), range("y"), range("order_key"))
+      (path, rows,
+        x.map(_._1.doubleValue), x.map(_._2.doubleValue),
+        y.map(_._1.doubleValue), y.map(_._2.doubleValue),
+        k.map(_._1.longValue), k.map(_._2.longValue))
+    } finally r.close()
   }
 
   /** The manifest table of a snapshot (default: head). */

@@ -50,6 +50,31 @@ class GraftTableSpec extends AnyFunSuite {
     assert(r2 == 0 && miss.count() == 0 && miss.columns.contains("order_key"))
   }
 
+  test("footer-derived manifest stats equal a row scan of the data files") {
+    val root = freshRoot()
+    GraftTable.commit(cloud(5000).repartition(5), root) // several files
+    val m = GraftTable.manifests(spark, root).collect()
+    assert(m.length >= 2)
+    for (r <- m) {
+      val f = spark.read.parquet(r.getAs[String]("path"))
+      val a = f.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
+        min("order_key"), max("order_key")).head
+      assert(r.getAs[Long]("rows") == a.getLong(0))
+      assert(r.getAs[Double]("min_x") == a.getDouble(1))
+      assert(r.getAs[Double]("max_x") == a.getDouble(2))
+      assert(r.getAs[Double]("min_y") == a.getDouble(3))
+      assert(r.getAs[Double]("max_y") == a.getDouble(4))
+      assert(r.getAs[Long]("min_key") == a.getLong(5))
+      assert(r.getAs[Long]("max_key") == a.getLong(6))
+    }
+    // a commit without x/y columns -> NULL bbox stats (prunable exactly)
+    import spark.implicits._
+    GraftTable.commit(Seq((1L, "a")).toDF("order_key", "tag"), root)
+    val m2 = GraftTable.manifests(spark, root)
+      .filter(col("min_x").isNull).collect()
+    assert(m2.length == 1 && m2.head.getAs[Long]("min_key") == 1L)
+  }
+
   test("orphaned data/manifest files from a crashed commit are invisible") {
     val root = freshRoot()
     GraftTable.commit(cloud(100), root)
