@@ -39,7 +39,14 @@ import scala.jdk.CollectionConverters._
   */
 object GraftTable {
 
-  case class Snapshot(version: Int, parent: Int, manifests: Seq[String])
+  /** `schema` is the path of the committed DataFrame's schema json —
+    * the snapshot PINS its schema (Iceberg semantics): a head read
+    * applies the latest commit's schema to every data file, so files
+    * from before a column was added surface it as nulls, and time
+    * travel reads with the schema of its era. Absent in pre-evolution
+    * tables: those fall back to parquet inference. */
+  case class Snapshot(version: Int, parent: Int, manifests: Seq[String],
+      schema: Option[String] = None)
 
   private def versionFile(root: String) = Paths.get(root, "VERSION")
 
@@ -59,7 +66,9 @@ object GraftTable {
     val parent = "\"parent\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
     val ms = "\"manifests\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt).get.group(1)
     val paths = "\"([^\"]+)\"".r.findAllMatchIn(ms).map(_.group(1)).toSeq
-    Snapshot(version, parent, paths)
+    val schema = "\"schema\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(txt).map(_.group(1))
+    Snapshot(version, parent, paths, schema)
   }
 
   /** Append `df` as a new snapshot (overwrite = drop parent manifests).
@@ -91,13 +100,21 @@ object GraftTable {
     //    the data just written. This is what Iceberg's writer-side stat
     //    collection reduces to after the fact.
     import spark.implicits._
+    // FooterStats is a NAMED function object, not a lambda: streaming
+    // microbatch threads (foreachBatch -> commit) run under a classloader
+    // where ClosureCleaner cannot always load lambda class bytes
+    // ("capturingClassReader is null"); named classes skip cleaning.
     val statsDf = spark.createDataset(spark.sparkContext
         .parallelize(adopted, 1 max (adopted.size min 64))
-        .map(footerStats))
+        .map(FooterStats))
       .toDF("path", "rows", "min_x", "max_x", "min_y", "max_y",
         "min_key", "max_key")
     val manifest = s"$root/manifests/m-$commitId.parquet"
     statsDf.repartition(1).write.mode("overwrite").parquet(manifest)
+    // the committed schema rides in its own file (schema json contains
+    // quotes; the snapshot json stays regex-parsable by referencing it)
+    val schemaPath = s"$root/manifests/m-$commitId.schema.json"
+    Files.write(Paths.get(schemaPath), df.schema.json.getBytes("UTF-8"))
 
     // 3+4. optimistic snapshot allocation + pointer flip
     var committed = -1
@@ -109,7 +126,7 @@ object GraftTable {
       val manifests = base :+ manifest
       val tagField = tag.map(t => s""", "tag": "$t"""").getOrElse("")
       val json =
-        s"""{"version": $next, "parent": $parent$tagField, "manifests": [${
+        s"""{"version": $next, "parent": $parent$tagField, "schema": "$schemaPath", "manifests": [${
           manifests.map("\"" + _ + "\"").mkString(", ")}]}"""
       val snapPath = Paths.get(root, "snapshots", s"v$next.json")
       try {
@@ -150,6 +167,12 @@ object GraftTable {
     * but a chunk lacks usable stats (e.g. doubles with NaNs — parquet
     * omits min/max) -> the infinite interval, which intersects every
     * box: such files are always read, never wrongly pruned. */
+  private object FooterStats extends (String =>
+      (String, Long, Option[Double], Option[Double], Option[Double],
+       Option[Double], Option[Long], Option[Long])) with Serializable {
+    def apply(path: String) = footerStats(path)
+  }
+
   private def footerStats(path: String)
       : (String, Long, Option[Double], Option[Double], Option[Double],
          Option[Double], Option[Long], Option[Long]) = {
@@ -203,11 +226,28 @@ object GraftTable {
     spark.read.parquet(snapshot(root, v).manifests: _*)
   }
 
+  /** Reader with the snapshot's pinned schema applied (files predating
+    * a column addition surface it as nulls; time travel reads with the
+    * schema of its era). Pre-evolution snapshots fall back to parquet
+    * schema inference. */
+  private def readerFor(spark: SparkSession, root: String,
+      asOf: Option[Int]): org.apache.spark.sql.DataFrameReader = {
+    val v = asOf.getOrElse(currentVersion(root))
+    require(v > 0, s"graft table $root is empty (no committed snapshot)")
+    snapshot(root, v).schema match {
+      case Some(p) if Files.exists(Paths.get(p)) =>
+        spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case _ => spark.read
+    }
+  }
+
   /** Full-table read of a snapshot. */
   def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
     val files = manifests(spark, root, asOf).select("path")
       .collect().map(_.getString(0)).toIndexedSeq
-    spark.read.parquet(files: _*)
+    readerFor(spark, root, asOf).parquet(files: _*)
   }
 
   /** Idempotent commit keyed by `tag` (e.g. a streaming batch id): if a
@@ -265,8 +305,11 @@ object GraftTable {
       val raw = if (s.startsWith("file:")) new java.net.URI(s).getPath else s
       Paths.get(raw).toAbsolutePath.normalize.toString
     }
-    val liveManifestSeq = keep.flatMap(v => snapshot(root, v).manifests)
-    val liveManifests = liveManifestSeq.map(canon).toSet
+    val keptSnaps = keep.map(v => snapshot(root, v))
+    val liveManifestSeq = keptSnaps.flatMap(_.manifests)
+    // schema jsons live under manifests/ too — referenced ones are live
+    val liveManifests =
+      (liveManifestSeq ++ keptSnaps.flatMap(_.schema)).map(canon).toSet
     val liveData: Set[String] =
       if (liveManifestSeq.isEmpty) Set.empty
       else spark.read.parquet(liveManifestSeq: _*)
@@ -303,7 +346,7 @@ object GraftTable {
       .select("path").collect().map(_.getString(0)).toIndexedSeq
     val df =
       if (hits.isEmpty) read(spark, root, asOf).filter(lit(false))
-      else spark.read.parquet(hits: _*)
+      else readerFor(spark, root, asOf).parquet(hits: _*)
         .filter(col("x") >= minx && col("x") <= maxx &&
           col("y") >= miny && col("y") <= maxy)
     (df, hits.length.toLong, total)

@@ -87,6 +87,26 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root).count() == 100)
   }
 
+  test("schema evolution: snapshots pin their schema — new columns read " +
+      "as nulls over old files, time travel reads the old schema") {
+    val root = freshRoot()
+    GraftTable.commit(cloud(100), root)
+    GraftTable.commit(cloud(50, offX = 1000.0)
+      .withColumn("w", col("order_key") * 2), root) // column added in v2
+    val head = GraftTable.read(spark, root)
+    assert(head.columns.contains("w") && head.count() == 150)
+    assert(head.filter(col("w").isNull).count() == 100) // v1 files -> nulls
+    assert(head.filter(col("w") === col("order_key") * 2).count() == 50)
+    // time travel reads with v1's schema: no `w` column at all
+    assert(!GraftTable.read(spark, root, asOf = Some(1)).columns.contains("w"))
+    // bbox read also applies the pinned schema
+    val (boxed, _, _) = GraftTable.readBox(spark, root, 0, 0, 5000, 5000)
+    assert(boxed.columns.contains("w"))
+    // vacuum keeps the schema files of surviving snapshots readable
+    GraftTable.expireSnapshots(spark, root, keepLast = 1)
+    assert(GraftTable.read(spark, root).filter(col("w").isNull).count() == 100)
+  }
+
   test("compact rewrites the head into fewer files; rows identical; history preserved") {
     val root = freshRoot()
     for (i <- 0 until 5) GraftTable.commit(cloud(100, offX = i * 1000.0), root)
