@@ -1274,6 +1274,57 @@ object SparkEntry {
       r1.withColumn("snap", lit(1)).unionByName(r2.withColumn("snap", lit(2)))
         .select("snap", "order_key", "x", "y")
     }),
+    "q105_table_delete" -> ((s, d) => {
+      // GraftTable copy-on-write row-level delete: four x-banded commits,
+      // deleteBox removes the rows inside [2000,4000]x[0,10000] by
+      // rewriting ONLY the stats-intersecting files (require below — the
+      // outer bands' files carry their manifest rows forward untouched);
+      // the head read must show exactly the surviving rows, and the
+      // pre-delete snapshot must still read ALL rows (time travel
+      // across a delete). Emits both, tagged by snapshot.
+      val root = s"/tmp/graft-table-del-${Integer.toHexString(d.hashCode)}"
+      val rp = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rp)) // fresh table per run
+        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      val p = pts(s, d).select("order_key", "x", "y")
+      for (b <- 0 until 4)
+        graft.sources.GraftTable.commit(
+          p.filter(col("x") >= b * 2500.0 && col("x") < (b + 1) * 2500.0), root)
+      val preDelete = graft.sources.GraftTable.currentVersion(root)
+      val (_, rewritten, total) =
+        graft.sources.GraftTable.deleteBox(s, root, 2000, 0, 4000, 10000)
+      require(rewritten < total,
+        s"copy-on-write expected: rewrote $rewritten of $total files")
+      val head = graft.sources.GraftTable.read(s, root)
+      val past = graft.sources.GraftTable.read(s, root, asOf = Some(preDelete))
+      head.withColumn("snap", lit(2))
+        .unionByName(past.withColumn("snap", lit(1)))
+        .select("snap", "order_key", "x", "y")
+    }),
+    "q106_table_zorder" -> ((s, d) => {
+      // commitClustered: the SAME scattered rows committed once plain and
+      // once z-order-clustered; the clustered table's footer bboxes must
+      // prune files the scattered layout cannot (require below — this is
+      // the write-side half of the pruning story: q104 proves banded
+      // commits prune, this proves the ENGINE can CREATE the prunable
+      // layout from scattered input). Rows must be identical either way,
+      // so the emit is the clustered bbox read — clustering must be
+      // row-invisible.
+      val root = s"/tmp/graft-table-zo-${Integer.toHexString(d.hashCode)}"
+      val rp = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rp)) // fresh table per run
+        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      val p = pts(s, d).select("order_key", "x", "y").repartition(16)
+      graft.sources.GraftTable.commitClustered(p, root,
+        cellSize = 500.0, numFiles = 16)
+      val (df, filesRead, filesTotal) = graft.sources.GraftTable.readBox(
+        s, root, 2000.5, 2000.5, 4000.5, 4000.5)
+      require(filesRead < filesTotal,
+        s"z-order pruning expected: read $filesRead of $filesTotal files")
+      df.select("order_key", "x", "y")
+    }),
     "q101_text_roundtrip" -> ((s, d) => {
       // readers.text + writers.text via the PIPELINE dialect itself
       // (PipelineBuilder runs both JSON specs): CSV doubles round-trip
@@ -2620,6 +2671,24 @@ object SparkEntry {
           SELECT 1 AS snap, order_key, x, y FROM p
             WHERE order_key < 5000 AND x <= 3000
           UNION ALL
-          SELECT 2 AS snap, order_key, x, y FROM p WHERE x <= 3000"""
+          SELECT 2 AS snap, order_key, x, y FROM p WHERE x <= 3000""",
+    // copy-on-write delete: head (snap 2) = survivors of the closed box;
+    // the pre-delete snapshot (snap 1) still reads every row
+    "q105_table_delete" ->
+      """WITH p AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y FROM events)
+          SELECT 2 AS snap, order_key, x, y FROM p
+            WHERE NOT (x >= 2000 AND x <= 4000)
+          UNION ALL
+          SELECT 1 AS snap, order_key, x, y FROM p""",
+    // z-order clustering is row-invisible: the bbox read of the clustered
+    // table is exactly the residual predicate
+    "q106_table_zorder" ->
+      """WITH p AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y FROM events)
+          SELECT order_key, x, y FROM p
+          WHERE x >= 2000.5 AND x <= 4000.5 AND y >= 2000.5 AND y <= 4000.5"""
   )
 }

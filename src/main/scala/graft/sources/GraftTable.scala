@@ -20,8 +20,8 @@ import scala.jdk.CollectionConverters._
   *
   * Commit protocol (crash-safe, optimistic):
   *   1. stage data files, move them under data/ (new names, never reused)
-  *   2. write the manifest parquet (one distributed job computes per-file
-  *      stats via input_file_name grouping — no per-file driver loop)
+  *   2. write the manifest parquet (per-file stats read from the staged
+  *      files' parquet FOOTERS — metadata-only, no second data scan)
   *   3. allocate the next version with an EXCLUSIVE create of
   *      snapshots/v<N>.json — two racing committers cannot both win N;
   *      the loser re-reads the head and retries on the parent it lost to
@@ -75,11 +75,26 @@ object GraftTable {
     * Returns the committed version. */
   def commit(df: DataFrame, root: String, overwrite: Boolean = false,
       tag: Option[String] = None): Int = {
+    val commitId = UUID.randomUUID().toString.take(8)
+    val (manifest, schemaPath) = stageCommit(df, root, commitId)
+    allocate(root, commitId, schemaPath, tag, parent => {
+      val base = if (overwrite || parent == 0) Nil
+                 else snapshot(root, parent).manifests
+      base :+ manifest
+    })
+  }
+
+  /** Steps 1+2 of the commit protocol: stage `df`'s rows as immutable
+    * data files, derive their manifest from parquet footers, and write
+    * the pinned-schema json. Returns (manifestPath, schemaPath). Until
+    * a snapshot references them, everything written here is invisible
+    * orphan data — crash-safe by construction. */
+  private def stageCommit(df: DataFrame, root: String, commitId: String)
+      : (String, String) = {
     val spark = df.sparkSession
     Files.createDirectories(Paths.get(root, "data"))
     Files.createDirectories(Paths.get(root, "manifests"))
     Files.createDirectories(Paths.get(root, "snapshots"))
-    val commitId = UUID.randomUUID().toString.take(8)
 
     // 1. stage + adopt data files under never-reused names
     val staging = s"$root/.staging-$commitId"
@@ -115,15 +130,21 @@ object GraftTable {
     // quotes; the snapshot json stays regex-parsable by referencing it)
     val schemaPath = s"$root/manifests/m-$commitId.schema.json"
     Files.write(Paths.get(schemaPath), df.schema.json.getBytes("UTF-8"))
+    (manifest, schemaPath)
+  }
 
-    // 3+4. optimistic snapshot allocation + pointer flip
+  /** Steps 3+4: optimistic snapshot allocation + pointer flip.
+    * `manifestsFor(parent)` yields the new snapshot's manifest list given
+    * the parent it will be committed on — re-evaluated on every CAS
+    * retry so losers rebuild against the head they actually lost to
+    * (and can throw if their work is invalid on the new head). */
+  private def allocate(root: String, commitId: String, schemaPath: String,
+      tag: Option[String], manifestsFor: Int => Seq[String]): Int = {
     var committed = -1
     while (committed < 0) {
       val parent = currentVersion(root)
       val next = parent + 1
-      val base = if (overwrite || parent == 0) Nil
-                 else snapshot(root, parent).manifests
-      val manifests = base :+ manifest
+      val manifests = manifestsFor(parent)
       val tagField = tag.map(t => s""", "tag": "$t"""").getOrElse("")
       val json =
         s"""{"version": $next, "parent": $parent$tagField, "schema": "$schemaPath", "manifests": [${
@@ -280,6 +301,69 @@ object GraftTable {
     * time-travel until expireSnapshots drops them. */
   def compact(spark: SparkSession, root: String, numFiles: Int = 1): Int =
     commit(read(spark, root).repartition(numFiles), root, overwrite = true)
+
+  /** Commit with Z-order clustering: rows are range-partitioned and
+    * sorted on the Morton code of their (x, y) cell, so each data file
+    * covers a spatially tight range and its FOOTER bbox becomes a sharp
+    * pruning predicate. This is the Iceberg write pattern a 100-TB
+    * spatial table needs — without it, every file's bbox is the whole
+    * extent and readBox degenerates to a full scan. One extra range
+    * shuffle (sampled bounds) per commit; the Morton key is the
+    * codegen'd CellIdExpr, never a UDF. */
+  def commitClustered(df: DataFrame, root: String, cellSize: Double,
+      numFiles: Int, tag: Option[String] = None): Int = {
+    require(cellSize > 0 && numFiles >= 1,
+      s"commitClustered needs cellSize > 0 and numFiles >= 1")
+    val key = graft.functions.F.cellId(col("x"), col("y"), 0.0, 0.0,
+      cellSize, morton = true)
+    commit(df.repartitionByRange(numFiles, key).sortWithinPartitions(key),
+      root, tag = tag)
+  }
+
+  /** Copy-on-write row-level delete: remove every row inside the closed
+    * box and commit the result as a new snapshot. Only files whose
+    * manifest stats INTERSECT the box are rewritten; untouched files
+    * carry their manifest rows forward verbatim (data files are
+    * immutable, so their stats stay exact — no footer re-read, no data
+    * re-scan). Null-stat files (their commit had no x/y columns) cannot
+    * hold a row inside the box and are kept as-is. At 10^12 rows this
+    * is the difference between rewriting a handful of files and
+    * rewriting the table. Serializable isolation: if another commit
+    * lands between planning and the CAS, the delete aborts with
+    * ConcurrentModificationException rather than silently dropping the
+    * concurrent append's files — the caller retries on the new head.
+    * Returns (version, filesRewritten, filesTotal); a delete touching
+    * nothing returns the head unchanged with filesRewritten = 0. */
+  def deleteBox(spark: SparkSession, root: String, minx: Double,
+      miny: Double, maxx: Double, maxy: Double): (Int, Long, Long) = {
+    val base = currentVersion(root)
+    require(base > 0, s"graft table $root is empty (no committed snapshot)")
+    val m = spark.read.parquet(snapshot(root, base).manifests: _*)
+    val total = m.count()
+    val touch = col("min_x") <= maxx && col("max_x") >= minx &&
+      col("min_y") <= maxy && col("max_y") >= miny
+    val touched = m.filter(touch).select("path")
+      .collect().map(_.getString(0)).toIndexedSeq
+    if (touched.isEmpty) return (base, 0L, total)
+    val commitId = UUID.randomUUID().toString.take(8)
+    val keepManifest = s"$root/manifests/m-$commitId-keep.parquet"
+    m.filter(not(coalesce(touch, lit(false)))).repartition(1)
+      .write.mode("overwrite").parquet(keepManifest)
+    // survivors of the touched files; rows with null x/y cannot be
+    // inside the box, so a null predicate keeps them (coalesce false)
+    val inside = col("x") >= minx && col("x") <= maxx &&
+      col("y") >= miny && col("y") <= maxy
+    val survivors = readerFor(spark, root, Some(base)).parquet(touched: _*)
+      .filter(not(coalesce(inside, lit(false))))
+    val (newManifest, schemaPath) = stageCommit(survivors, root, commitId)
+    val v = allocate(root, commitId, schemaPath, None, parent => {
+      if (parent != base) throw new java.util.ConcurrentModificationException(
+        s"graft table $root advanced v$base -> v$parent during deleteBox; " +
+        "retry the delete on the new head")
+      Seq(keepManifest, newManifest)
+    })
+    (v, touched.size.toLong, total)
+  }
 
   /** Expire all snapshots older than the newest `keepLast`, then delete
     * every data/manifest file no surviving snapshot references (Iceberg's

@@ -151,6 +151,94 @@ class GraftTableSpec extends AnyFunSuite {
     assert(v2 == 2 && GraftTable.read(spark, root).count() == 150)
   }
 
+  test("deleteBox: copy-on-write delete rewrites only intersecting files; " +
+      "history time-travels; vacuum reclaims replaced files") {
+    val root = freshRoot()
+    // 4 disjoint x bands, one file each -> the delete box touches exactly one
+    for (i <- 0 until 4)
+      GraftTable.commit(
+        cloud(200).withColumn("x", col("x") + i * 1000).coalesce(1), root)
+    val (v, rewritten, total) =
+      GraftTable.deleteBox(spark, root, 1000, 0, 1099, 100)
+    assert(v == 5 && total == 4 && rewritten == 1,
+      s"expected 1 of 4 files rewritten, got $rewritten of $total")
+    // band 1 (x in [1000,1099]) is fully inside the box -> 600 rows left
+    val after = GraftTable.read(spark, root)
+    assert(after.count() == 600)
+    assert(after.filter(col("x") >= 1000 && col("x") <= 1099).count() == 0)
+    // untouched bands byte-identical (their manifest rows carried forward)
+    assert(after.filter(col("x") < 1000).count() == 200)
+    // pre-delete snapshot still reads all 800 rows
+    assert(GraftTable.read(spark, root, asOf = Some(4)).count() == 800)
+    // a partial delete keeps the survivors of the rewritten file
+    val (_, rw2, _) = GraftTable.deleteBox(spark, root, 0, 0, 49, 100)
+    assert(rw2 == 1)
+    val after2 = GraftTable.read(spark, root)
+    assert(after2.filter(col("x") < 1000).count() ==
+      cloud(200).filter(col("x") >= 50).count())
+    // a miss is a no-op: head unchanged, nothing rewritten
+    val head = GraftTable.currentVersion(root)
+    val (v3, rw3, _) = GraftTable.deleteBox(spark, root, 5e6, 5e6, 6e6, 6e6)
+    assert(v3 == head && rw3 == 0)
+    // vacuum after expiry physically drops the replaced band-1 files
+    GraftTable.expireSnapshots(spark, root, keepLast = 1)
+    assert(GraftTable.read(spark, root).count() == after2.count())
+  }
+
+  test("deleteBox aborts on a concurrent commit instead of dropping its files") {
+    val root = freshRoot()
+    GraftTable.commit(cloud(100), root)
+    // plan the delete against v1, then land a concurrent append before
+    // the CAS by racing: simulate via a commit between planning and
+    // allocate — deleteBox re-reads the head inside the CAS loop, so a
+    // head moved past the planning version must abort. Drive it by
+    // running both concurrently until the abort is observed (the
+    // interleaving is forced by the CAS loop's parent check, not luck:
+    // any commit that lands first moves the head and trips it).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val del = Future(GraftTable.deleteBox(spark, root, 0, 0, 50, 100))
+    val add = Future(GraftTable.commit(cloud(10, offX = 5000.0), root))
+    Await.ready(Future.sequence(Seq(
+      del.map(_ => ()).recover { case _ => () },
+      add.map(_ => ()).recover { case _ => () })), 120.seconds)
+    // either ordering is legal; what is NOT legal is a delete that
+    // committed while silently losing the append's rows
+    val rows = GraftTable.read(spark, root).count()
+    val delWon = del.value.get.isSuccess
+    if (delWon && add.value.get.isSuccess)
+      assert(rows == cloud(100).filter(col("x") > 50).count() + 10)
+    else if (delWon) assert(rows == cloud(100).filter(col("x") > 50).count())
+    else assert(rows == 110) // delete aborted, append intact
+  }
+
+  test("commitClustered: z-ordered files give sharp footer bboxes -> " +
+      "fewer files opened than an unclustered commit of the same rows") {
+    val root1 = freshRoot(); val root2 = freshRoot()
+    // scattered points: every hash partition spans the whole extent
+    val pts = spark.range(20000).select(
+      col("id").as("order_key"),
+      ((col("id") * 7919) % 10000).cast("double").as("x"),
+      ((col("id") * 104729) % 10000).cast("double").as("y"))
+      .repartition(16)
+    GraftTable.commit(pts, root1)
+    GraftTable.commitClustered(pts, root2, cellSize = 500.0, numFiles = 16)
+    val (a, readPlain, totPlain) =
+      GraftTable.readBox(spark, root1, 2000, 2000, 3000, 3000)
+    val (b, readClus, totClus) =
+      GraftTable.readBox(spark, root2, 2000, 2000, 3000, 3000)
+    assert(totPlain == 16 && totClus == 16)
+    // identical rows either way (clustering is row-invisible)
+    assert(a.orderBy("order_key").collect().toSeq ==
+      b.orderBy("order_key").collect().toSeq)
+    // unclustered: every file covers the extent -> no pruning possible;
+    // clustered: the 1k x 1k box must skip most of the 16 files
+    assert(readPlain == totPlain, s"scattered layout should not prune")
+    assert(readClus <= totClus / 2,
+      s"z-order should prune: read $readClus of $totClus")
+  }
+
   test("racing committers: every version is owned by exactly one commit, no rows lost") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
