@@ -1325,6 +1325,47 @@ object SparkEntry {
         s"z-order pruning expected: read $filesRead of $filesTotal files")
       df.select("order_key", "x", "y")
     }),
+    "q107_dedup_resolve" -> ((s, d) => {
+      // Transitive dup-group resolution (Dedup.resolveComponents over the
+      // shared Components CC): pairs are CHAINS — consecutive doc_ids
+      // within each normalized-text-equal group — so the engine must walk
+      // real multi-hop components (it cannot shortcut to a groupBy); the
+      // oracle knows the closed form (equality groups) and labels each
+      // doc with the group min. Engine-independent pair regime, same
+      // hash-collision caveat as q22 (green there).
+      val docs = t(s, d, "documents")
+      val fp = docs.withColumn("__fp",
+        xxhash64(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      val w = Window.partitionBy("__fp").orderBy("doc_id")
+      val pairs = fp.select(col("doc_id"), lag("doc_id", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      Dedup.resolveComponents(docs, pairs)
+        .select(col("doc_id"), col("dup_group"),
+          when(col("dup_group") === col("doc_id"), 1L).otherwise(0L)
+            .as("canonical"))
+    }),
+    "q108_table_incremental" -> ((s, d) => {
+      // GraftTable incremental read (Iceberg incremental scan): three
+      // banded commits; the delta v1 -> head must be exactly the rows of
+      // commits 2+3 — the downstream-consumer contract at 10^12 rows
+      // (process the delta since the last checkpointed version, never a
+      // full re-read). The non-append loud failure is spec-covered.
+      val root = s"/tmp/graft-table-inc-${Integer.toHexString(d.hashCode)}"
+      val rp = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rp)) // fresh table per run
+        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      val p = pts(s, d).select("order_key", "x", "y")
+      val v1 = graft.sources.GraftTable.commit(
+        p.filter(col("order_key") < 3000), root)
+      graft.sources.GraftTable.commit(
+        p.filter(col("order_key") >= 3000 && col("order_key") < 6000), root)
+      graft.sources.GraftTable.commit(
+        p.filter(col("order_key") >= 6000), root)
+      graft.sources.GraftTable.readIncremental(s, root, fromVersion = v1)
+        .select("order_key", "x", "y")
+    }),
     "q101_text_roundtrip" -> ((s, d) => {
       // readers.text + writers.text via the PIPELINE dialect itself
       // (PipelineBuilder runs both JSON specs): CSV doubles round-trip
@@ -2689,6 +2730,21 @@ object SparkEntry {
             CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
             CAST((event_id * 104729) % 10000 AS DOUBLE) AS y FROM events)
           SELECT order_key, x, y FROM p
-          WHERE x >= 2000.5 AND x <= 4000.5 AND y >= 2000.5 AND y <= 4000.5"""
+          WHERE x >= 2000.5 AND x <= 4000.5 AND y >= 2000.5 AND y <= 4000.5""",
+    // transitive dup-group resolution: the engine walks chain pairs with
+    // real CC; the oracle knows the closed form (equality groups)
+    "q107_dedup_resolve" ->
+      """SELECT doc_id,
+            MIN(doc_id) OVER (PARTITION BY norm) AS dup_group,
+            CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY norm)
+                 THEN 1 ELSE 0 END AS BIGINT) AS canonical
+         FROM (SELECT doc_id, REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g')
+                 AS norm FROM documents)""",
+    // incremental scan v1 -> head == exactly the rows of commits 2+3
+    "q108_table_incremental" ->
+      """SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y
+         FROM events WHERE event_id >= 3000"""
   )
 }

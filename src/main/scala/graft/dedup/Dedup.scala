@@ -126,6 +126,43 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Transitive dup-GROUP resolution over a near-dup pair set: connected
+    * components of the pair graph, each doc labeled with the MIN doc id
+    * of its component (`groupCol`), canonical = (id == group). This is
+    * the end state a training pipeline actually consumes — pairwise
+    * drop-the-larger (minhashDedup) keeps BOTH survivors of a
+    * star-shaped component {5,6,7} with pairs (5,7),(6,7) only, while
+    * the component rule collapses it to one. Ids must be long-valued
+    * (the documents table's doc_id is). Runs on the shared Components
+    * machinery: driver union-find when the pair set fits (near-dup pair
+    * sets are tiny next to the corpus), distributed min-label
+    * propagation with pointer jumping past the edge limit — never a
+    * driver-side transitive closure over the corpus. */
+  def resolveComponents(df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", groupCol: String = "dup_group"): DataFrame =
+    resolveComponents(df, pairs, idCol, groupCol,
+      graft.operators.Components.localEdgeLimit)
+
+  /** edgeLimit-pinned variant (0 = distributed label propagation) so the
+    * fast==distributed differential is testable like Cluster's. */
+  private[graft] def resolveComponents(df: DataFrame, pairs: DataFrame,
+      idCol: String, groupCol: String, edgeLimit: Long): DataFrame = {
+    val p = pairs.columns
+    val (labels, small) = graft.operators.Components.minLabels(
+      pairs.select(col(p(0)), col(p(1))), edgeLimit)
+    val lbl = labels.select(col("k").as(idCol), col("lbl").as("__grp"))
+    df.join(if (small) broadcast(lbl) else lbl, Seq(idCol), "left")
+      .withColumn(groupCol, coalesce(col("__grp"), col(idCol).cast("long")))
+      .drop("__grp")
+  }
+
+  /** Corpus after component resolution: exactly one canonical doc (the
+    * min id) survives per connected near-dup component. */
+  def dedupCanonical(df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    resolveComponents(df, pairs, idCol, "__dg")
+      .filter(col("__dg") === col(idCol).cast("long")).drop("__dg")
+
   /** 64-bit SimHash fingerprint of the token stream — per-bit vote sums
     * folded into a long. Column-valued shift amounts need the SQL surface
     * (the Scala `shiftright` helper only takes Int), so this is one SQL

@@ -47,8 +47,7 @@ object Cluster {
     * than the point set, and each propagation round is a fixed-cost
     * Spark job, so small graphs are pure job overhead. Env
     * GRAFT_CC_LOCAL_EDGES overrides; 0 pins the distributed loop. */
-  private[graft] val localEdgeLimit: Long =
-    sys.env.get("GRAFT_CC_LOCAL_EDGES").map(_.toLong).getOrElse(1L << 21)
+  private[graft] val localEdgeLimit: Long = Components.localEdgeLimit
 
   def apply(df: DataFrame, tolerance: Double, minPoints: Long = 1,
       outCol: String = "cluster_id"): DataFrame =
@@ -123,83 +122,15 @@ object Cluster {
     val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by")) +
       (col("az") - col("bz")) * (col("az") - col("bz"))
-    val rootEdges = graft.core.Mat(
+    // 3. global labels over the CONTRACTED graph only (Components: driver
+    //    union-find fast path under edgeLimit, min-label propagation with
+    //    pointer jumping past it). Node ids are point keys and every
+    //    local root is the MIN key of its cell component, so the
+    //    converged global label (min point key of the whole component)
+    //    equals the min node id of the connected root graph.
+    val (labels, labelsSmall) = Components.minLabels(
       a.join(b, Seq("cx", "cy", "cz")).filter(d2 <= r2)
-        .select(col("ra"), col("rb")).filter(col("ra") =!= col("rb")).distinct())
-    val eCnt = rootEdges.count()
-    // 3. global labels over the CONTRACTED graph only. Node ids are point
-    //    keys and every local root is the MIN key of its cell component,
-    //    so the converged global label (min point key of the whole
-    //    component) equals the min node id of the connected root graph —
-    //    both paths below compute exactly that.
-    val (labels, labelsSmall) = if (edgeLimit > 0 && eCnt <= edgeLimit) {
-      // LOCAL FAST PATH: the contracted edge list fits the driver — one
-      // union-find pass replaces O(log diameter) propagation rounds
-      // (each a fixed-cost job). Result broadcast back for step 4.
-      // primitive-tuple encoder collect (~16 bytes/edge on the wire, no
-      // boxed Rows) + open-addressed primitive LongMap: 2^21 edges stay
-      // ~32 MB driver-side, matching the localEdgeLimit doc's budget
-      import spark.implicits._
-      val es = rootEdges.select(col("ra"), col("rb")).as[(Long, Long)].collect()
-      val parent = new scala.collection.mutable.LongMap[Long](es.length * 2)
-      def find(x0: Long): Long = {
-        var x = x0
-        var p = parent.getOrElse(x, x)
-        while (p != x) {
-          val gp = parent.getOrElse(p, p)
-          parent(x) = gp // path halving (value update only, no resize)
-          x = p; p = parent.getOrElse(x, x)
-        }
-        x
-      }
-      es.foreach { case (ra, rb) =>
-        if (!parent.contains(ra)) parent(ra) = ra
-        if (!parent.contains(rb)) parent(rb) = rb
-        val fa = find(ra); val fb = find(rb)
-        if (fa != fb) { if (fa < fb) parent(fb) = fa else parent(fa) = fb }
-      }
-      // union-by-min-id: the final find root IS the min key of the
-      // component. Keys snapshotted first — find() path-halves in place.
-      val keys = parent.keysIterator.toArray
-      val out = keys.map(k => (k, find(k)))
-      // broadcast of the label map only while it is actually broadcast-
-      // sized; a near-limit map (up to ~2*edgeLimit entries) falls back
-      // to a shuffled join rather than forcing a giant broadcast
-      (spark.createDataset(out.toIndexedSeq).toDF("k", "lbl"),
-        out.length <= (1 << 21))
-    } else {
-      val edges = graft.core.Mat(
-        rootEdges.select(col("ra").as("pk"), col("rb").as("qk"))
-          .unionAll(rootEdges.select(col("rb").as("pk"), col("ra").as("qk"))))
-      // distributed min-label propagation with pointer jumping
-      var labels = graft.core.Mat(
-        edges.select(col("pk").as("k")).distinct().withColumn("lbl", col("k")))
-      var changed = 1L
-      while (changed > 0) {
-        // min over neighbor labels
-        val nbrMin = edges.join(labels, edges("qk") === labels("k"))
-          .groupBy(col("pk").as("k")).agg(min("lbl").as("nlbl"))
-        // lazily persisted: the jump join reads prop on BOTH sides (rows +
-        // parents projection) inside the one counted job below — the cache
-        // dedupes the aggregate/join compute without adding a job barrier
-        val prop = labels.join(nbrMin, Seq("k"), "left")
-          .select(col("k"), col("lbl").as("__old"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // pointer jump: follow the label's own label (labels are root keys)
-        val parents = prop.select(col("k").as("lbl"), col("lbl").as("__plbl"))
-        // change count rides the materialization pass: one job per round
-        val (jumped, ch) = graft.core.Mat.withChangedCount(
-          prop.join(parents, Seq("lbl"), "left")
-            .select(col("k"), coalesce(col("__plbl"), col("lbl")).as("lbl"),
-              col("__old")),
-          col("lbl") =!= col("__old"))
-        prop.unpersist(false) // jumped is materialized; round cache done
-        changed = ch
-        labels = jumped.select("k", "lbl")
-      }
-      (labels, false)
-    }
+        .select(col("ra"), col("rb")), edgeLimit)
     // 4. point label = its local root's global label (roots without any
     //    cross-cell edge keep themselves)
     val lblSide = labels.select(col("k").as("lroot"), col("lbl"))

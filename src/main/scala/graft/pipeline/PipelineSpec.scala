@@ -165,15 +165,27 @@ object PipelineBuilder {
         // snapshot-table read (the Iceberg-style GraftTable layer):
         // `asof` time-travels to a version; `bounds` (PDAL 2D grammar)
         // prunes FILES via manifest stats before any data is opened,
-        // with the exact predicate left as a pushed-down residual
+        // with the exact predicate left as a pushed-down residual;
+        // `since_version` reads the incremental APPEND delta
+        // (since, asof] instead of a full snapshot — with `bounds` then
+        // applied as a plain residual over the delta
         val root = optStr(o, "root").orElse(optStr(o, "filename")).get
         val asOf = optLong(o, "asof").map(_.toInt)
-        val df = optStr(o, "bounds") match {
-          case Some(s) =>
+        val since = optLong(o, "since_version").map(_.toInt)
+        val df = (since, optStr(o, "bounds")) match {
+          case (Some(fv), b) =>
+            val inc = graft.sources.GraftTable.readIncremental(
+              spark, root, fv, asOf.getOrElse(-1))
+            b.map { s =>
+              val n = boundsNums(s)
+              inc.filter(col("x") >= n(0) && col("x") <= n(1) &&
+                col("y") >= n(2) && col("y") <= n(3))
+            }.getOrElse(inc)
+          case (None, Some(s)) =>
             val n = boundsNums(s)
             graft.sources.GraftTable.readBox(
               spark, root, n(0), n(2), n(1), n(3), asOf)._1
-          case None => graft.sources.GraftTable.read(spark, root, asOf)
+          case (None, None) => graft.sources.GraftTable.read(spark, root, asOf)
         }
         readerOpts(df)
       case "readers.stac" =>

@@ -271,6 +271,41 @@ object GraftTable {
     readerFor(spark, root, asOf).parquet(files: _*)
   }
 
+  /** Incremental read: exactly the rows APPENDED after `fromVersion`, up
+    * to and including `toVersion` (default: head) — Iceberg's incremental
+    * scan. At 10^12 rows this is what downstream consumers actually run:
+    * process the delta since the last checkpointed version, never a full
+    * re-read. Append commits carry the parent's manifests forward, so the
+    * delta is precisely the manifest-set difference; that identity breaks
+    * the moment a snapshot in (from, to] dropped or rewrote a parent
+    * manifest (overwrite / compaction / deleteBox), and this FAILS LOUDLY
+    * there instead of returning rows that were merely reshuffled between
+    * files — resolve such boundaries with a full read of the target
+    * snapshot. fromVersion = 0 reads everything up to `toVersion`. */
+  def readIncremental(spark: SparkSession, root: String, fromVersion: Int,
+      toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion < 0) currentVersion(root) else toVersion
+    require(to > 0, s"graft table $root is empty (no committed snapshot)")
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"incremental range v$fromVersion -> v$to is not a forward range")
+    val fromM: Set[String] =
+      if (fromVersion == 0) Set.empty
+      else snapshot(root, fromVersion).manifests.toSet
+    val toS = snapshot(root, to)
+    val missing = fromM -- toS.manifests.toSet
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"graft table $root: history v$fromVersion -> v$to is not append-only " +
+      s"(${missing.size} manifest(s) of v$fromVersion were dropped/rewritten " +
+      "by an overwrite, compaction or delete) — incremental read is " +
+      "undefined across that boundary; full-read the target snapshot")
+    val delta = toS.manifests.filterNot(fromM)
+    if (delta.isEmpty) // same-version range: empty, with the snapshot's schema
+      return read(spark, root, Some(to)).filter(lit(false))
+    val files = spark.read.parquet(delta: _*).select("path")
+      .collect().map(_.getString(0)).toIndexedSeq
+    readerFor(spark, root, Some(to)).parquet(files: _*)
+  }
+
   /** Idempotent commit keyed by `tag` (e.g. a streaming batch id): if a
     * snapshot already carries the tag, return its version without
     * writing — the exactly-once hook for foreachBatch sinks, where a

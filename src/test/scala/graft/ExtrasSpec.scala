@@ -142,6 +142,29 @@ class ExtrasSpec extends AnyFunSuite {
     assert(!cp.exists(p => p._1 >= 100L && p._2 >= 100L), "mega-bucket must be dropped")
   }
 
+  test("resolveComponents: transitive dup groups, star collapse, local==distributed") {
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3-4 (no direct 1-4 pair), star {5,6,7} with pairs only
+    // through 7, singleton 8, pair 9-10; 11, 12 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 7L), (6L, 7L),
+      (9L, 10L)).toDF("id_a", "id_b")
+    val groups = Dedup.resolveComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("dup_group"))).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L, 10L -> 9L,
+      11L -> 11L, 12L -> 12L))
+    // the pairwise drop-the-larger rule keeps BOTH 5 and 6 of the star;
+    // component resolution keeps exactly one canonical doc per component
+    val canon = Dedup.dedupCanonical(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(canon == Set(1L, 5L, 8L, 9L, 11L, 12L))
+    // distributed label-propagation path (edgeLimit 0) is identical
+    val dist = Dedup.resolveComponents(docs, pairs, "doc_id", "dup_group", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("dup_group"))).toMap
+    assert(dist == groups)
+  }
+
   test("cappedCollectList bounds every group buffer at cap+1 (skew safety)") {
     import spark.implicits._
     // hot group: 3000 rows spread over many partitions; cold group: 4 rows

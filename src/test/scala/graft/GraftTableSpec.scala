@@ -36,6 +36,41 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root, asOf = Some(2)).count() == 1500)
   }
 
+  test("readIncremental: exact append delta; empty same-version range; " +
+      "loud failure across non-append history") {
+    val root = freshRoot()
+    val v1 = GraftTable.commit(cloud(1000), root)
+    GraftTable.commit(cloud(500, offX = 1000.0), root)
+    val v3 = GraftTable.commit(cloud(200, offX = 2000.0), root)
+    // delta v1 -> head is exactly commits 2+3 (by their disjoint x bands)
+    val delta = GraftTable.readIncremental(spark, root, v1)
+    assert(delta.count() == 700)
+    assert(delta.filter(col("x") < 1000.0).count() == 0)
+    // explicit toVersion bounds the delta from above
+    assert(GraftTable.readIncremental(spark, root, v1, v1 + 1).count() == 500)
+    // from == to: empty, schema intact
+    val empty = GraftTable.readIncremental(spark, root, v3, v3)
+    assert(empty.count() == 0 && empty.columns.contains("x"))
+    // fromVersion 0 = everything
+    assert(GraftTable.readIncremental(spark, root, 0).count() == 1700)
+    // compaction rewrites parent manifests -> incremental across it must
+    // fail loudly, not return reshuffled rows as if they were new
+    val v4 = GraftTable.compact(spark, root)
+    val ex = intercept[IllegalStateException] {
+      GraftTable.readIncremental(spark, root, v1, v4)
+    }
+    assert(ex.getMessage.contains("not append-only"))
+    // ...but appends AFTER the compaction are incremental again
+    GraftTable.commit(cloud(50, offX = 3000.0), root)
+    assert(GraftTable.readIncremental(spark, root, v4).count() == 50)
+    // delete is a non-append boundary too
+    val pre = GraftTable.currentVersion(root)
+    GraftTable.deleteBox(spark, root, 0, 0, 50, 50)
+    intercept[IllegalStateException] {
+      GraftTable.readIncremental(spark, root, pre)
+    }
+  }
+
   test("manifest stats prune files: bbox read opens only intersecting files") {
     val root = freshRoot()
     // 4 spatially banded commits -> >= 4 files with disjoint x ranges

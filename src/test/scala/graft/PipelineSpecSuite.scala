@@ -505,5 +505,14 @@ class PipelineSpecSuite extends AnyFunSuite {
     val v1 = PipelineBuilder.run(spark, s"""{"pipeline":[
        {"type":"readers.graft","root":"$root","asof":1}]}""")
     assert(v1.count() == 2)
+    // incremental delta since v1 = exactly the v2 append; bounds applies
+    // as a residual over the delta
+    val inc = PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.graft","root":"$root","since_version":1}]}""")
+    assert(inc.select("order_key").as[Long].collect().toSet == Set(3L))
+    val incBoxed = PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.graft","root":"$root","since_version":1,
+        "bounds":"([0,100],[0,100])"}]}""")
+    assert(incBoxed.count() == 0)
   }
 }
