@@ -20,6 +20,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fresh /tmp root for a table-backed query: wiped per run so reruns
+    * never see a prior run's snapshots. Closes the walk stream. */
+  private def freshTmp(prefix: String, dir: String): String = {
+    val root = s"/tmp/$prefix-${Integer.toHexString(dir.hashCode)}"
+    val rp = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(rp)) {
+      val s = java.nio.file.Files.walk(rp)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+    root
+  }
+
   /** events -> point table: integer-derived coords (exact in any engine),
     * order_key = event_id. */
   private def pts(s: SparkSession, dir: String): DataFrame =
@@ -775,11 +789,7 @@ object SparkEntry {
       // -> kNN runs over the table read. Emits exactly q62's rows: the
       // span-sequence invariant survives the table layer
       // byte-for-byte, so the two queries share one oracle.
-      val root = s"/tmp/graft-table-pipe-${Integer.toHexString(d.hashCode)}"
-      val rp = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rp)) // fresh table per run
-        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      val root = freshTmp("graft-table-pipe", d)
       val docs = spansDocs(s, d)
       for (b <- 0 until 4)
         graft.sources.GraftTable.commit(
@@ -1257,11 +1267,7 @@ object SparkEntry {
       // unioned; the v1 read must NOT see the v2 rows. File-level
       // manifest pruning is asserted in GraftTableSpec; the gate hashes
       // the row-visibility semantics.
-      val root = s"/tmp/graft-table-${Integer.toHexString(d.hashCode)}"
-      val rp = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rp)) // fresh table per run
-        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      val root = freshTmp("graft-table", d)
       val p = pts(s, d).select("order_key", "x", "y")
       val v1 = graft.sources.GraftTable.commit(
         p.filter(col("order_key") < 5000), root)
@@ -1282,11 +1288,7 @@ object SparkEntry {
       // the head read must show exactly the surviving rows, and the
       // pre-delete snapshot must still read ALL rows (time travel
       // across a delete). Emits both, tagged by snapshot.
-      val root = s"/tmp/graft-table-del-${Integer.toHexString(d.hashCode)}"
-      val rp = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rp)) // fresh table per run
-        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      val root = freshTmp("graft-table-del", d)
       val p = pts(s, d).select("order_key", "x", "y")
       for (b <- 0 until 4)
         graft.sources.GraftTable.commit(
@@ -1311,12 +1313,11 @@ object SparkEntry {
       // layout from scattered input). Rows must be identical either way,
       // so the emit is the clustered bbox read — clustering must be
       // row-invisible.
-      val root = s"/tmp/graft-table-zo-${Integer.toHexString(d.hashCode)}"
-      val rp = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rp)) // fresh table per run
-        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      val p = pts(s, d).select("order_key", "x", "y").repartition(16)
+      val root = freshTmp("graft-table-zo", d)
+      // scattered input needs no explicit pre-shuffle: commitClustered
+      // range-repartitions on the Morton key regardless of incoming
+      // partitioning, so an extra repartition here is a wasted shuffle
+      val p = pts(s, d).select("order_key", "x", "y")
       graft.sources.GraftTable.commitClustered(p, root,
         cellSize = 500.0, numFiles = 16)
       val (df, filesRead, filesTotal) = graft.sources.GraftTable.readBox(
@@ -1351,11 +1352,7 @@ object SparkEntry {
       // commits 2+3 — the downstream-consumer contract at 10^12 rows
       // (process the delta since the last checkpointed version, never a
       // full re-read). The non-append loud failure is spec-covered.
-      val root = s"/tmp/graft-table-inc-${Integer.toHexString(d.hashCode)}"
-      val rp = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(rp)) // fresh table per run
-        java.nio.file.Files.walk(rp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      val root = freshTmp("graft-table-inc", d)
       val p = pts(s, d).select("order_key", "x", "y")
       val v1 = graft.sources.GraftTable.commit(
         p.filter(col("order_key") < 3000), root)

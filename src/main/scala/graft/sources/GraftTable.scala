@@ -115,13 +115,20 @@ object GraftTable {
     //    the data just written. This is what Iceberg's writer-side stat
     //    collection reduces to after the fact.
     import spark.implicits._
-    // FooterStats is a NAMED function object, not a lambda: streaming
-    // microbatch threads (foreachBatch -> commit) run under a classloader
-    // where ClosureCleaner cannot always load lambda class bytes
-    // ("capturingClassReader is null"); named classes skip cleaning.
+    // the session's Hadoop conf rides along as serializable (key, value)
+    // pairs — a bare `new Configuration()` on the executor would miss
+    // spark.hadoop.* filesystem settings (s3a credentials, endpoints)
+    // and break stats collection on any non-default filesystem
+    val confProps: Array[(String, String)] = {
+      val hc = spark.sessionState.newHadoopConf()
+      val it = hc.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     val statsDf = spark.createDataset(spark.sparkContext
         .parallelize(adopted, 1 max (adopted.size min 64))
-        .map(FooterStats))
+        .map(FooterStats(confProps)))
       .toDF("path", "rows", "min_x", "max_x", "min_y", "max_y",
         "min_key", "max_key")
     val manifest = s"$root/manifests/m-$commitId.parquet"
@@ -187,19 +194,26 @@ object GraftTable {
     * commit had no such column, so no row can match). Column present
     * but a chunk lacks usable stats (e.g. doubles with NaNs — parquet
     * omits min/max) -> the infinite interval, which intersects every
-    * box: such files are always read, never wrongly pruned. */
-  private object FooterStats extends (String =>
+    * box: such files are always read, never wrongly pruned.
+    *
+    * A NAMED case class, not a lambda: streaming microbatch threads
+    * (foreachBatch -> commit) run under a classloader where
+    * ClosureCleaner cannot always load lambda class bytes
+    * ("capturingClassReader is null"); named classes skip cleaning. */
+  private case class FooterStats(confProps: Array[(String, String)])
+      extends (String =>
       (String, Long, Option[Double], Option[Double], Option[Double],
        Option[Double], Option[Long], Option[Long])) with Serializable {
-    def apply(path: String) = footerStats(path)
+    def apply(path: String) = footerStats(path, confProps)
   }
 
-  private def footerStats(path: String)
+  private def footerStats(path: String, confProps: Array[(String, String)])
       : (String, Long, Option[Double], Option[Double], Option[Double],
          Option[Double], Option[Long], Option[Long]) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    confProps.foreach { case (k, v) => conf.set(k, v) }
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.fs.Path(path), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
@@ -299,8 +313,19 @@ object GraftTable {
       "by an overwrite, compaction or delete) — incremental read is " +
       "undefined across that boundary; full-read the target snapshot")
     val delta = toS.manifests.filterNot(fromM)
-    if (delta.isEmpty) // same-version range: empty, with the snapshot's schema
-      return read(spark, root, Some(to)).filter(lit(false))
+    if (delta.isEmpty) return toS.schema match {
+      // same-version range (the steady-state "no new data" poll): build
+      // the empty frame from the pinned schema without collecting the
+      // live file list; pre-evolution tables fall back to a lazy
+      // filter(false) full read
+      case Some(p) if Files.exists(Paths.get(p)) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.DataType
+            .fromJson(new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case _ => read(spark, root, Some(to)).filter(lit(false))
+    }
     val files = spark.read.parquet(delta: _*).select("path")
       .collect().map(_.getString(0)).toIndexedSeq
     readerFor(spark, root, Some(to)).parquet(files: _*)
