@@ -331,6 +331,36 @@ object GraftTable {
     readerFor(spark, root, Some(to)).parquet(files: _*)
   }
 
+  /** Checkpointed incremental consumption — the table-level resume loop a
+    * downstream pipeline runs forever: read the append delta since the
+    * version recorded in `checkpointFile`, hand it to `f(delta, fromV,
+    * toV)`, and advance the checkpoint (atomic temp+rename) only after
+    * `f` returns. A crash inside `f` or before the flip replays the SAME
+    * delta next call — at-least-once for arbitrary side effects,
+    * exactly-once when `f`'s sink is idempotent on (fromV, toV] (e.g.
+    * commitIfAbsent tagged with the version range). Returns (fromV, toV);
+    * fromV == toV means no new data and `f` was not called. */
+  def processDelta(spark: SparkSession, root: String, checkpointFile: String)
+      (f: (DataFrame, Int, Int) => Unit): (Int, Int) = {
+    val cp = Paths.get(checkpointFile)
+    val from =
+      if (Files.exists(cp)) new String(Files.readAllBytes(cp), "UTF-8").trim.toInt
+      else 0
+    val to = currentVersion(root)
+    require(to >= from,
+      s"checkpoint $checkpointFile is at v$from but $root's head is v$to — " +
+      "the checkpoint belongs to a different (or rolled-back) table")
+    if (to > from) {
+      f(readIncremental(spark, root, from, to), from, to)
+      val tmp = Paths.get(checkpointFile + ".tmp")
+      if (cp.getParent != null) Files.createDirectories(cp.getParent)
+      Files.write(tmp, to.toString.getBytes("UTF-8"))
+      Files.move(tmp, cp, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    (from, to)
+  }
+
   /** Idempotent commit keyed by `tag` (e.g. a streaming batch id): if a
     * snapshot already carries the tag, return its version without
     * writing — the exactly-once hook for foreachBatch sinks, where a

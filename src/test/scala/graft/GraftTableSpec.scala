@@ -71,6 +71,35 @@ class GraftTableSpec extends AnyFunSuite {
     }
   }
 
+  test("processDelta: checkpointed consumption replays a crashed delta, " +
+      "advances only on success, no-ops when idle") {
+    val root = freshRoot()
+    val cp = root + "/consumer.ckpt"
+    GraftTable.commit(cloud(1000), root)
+    GraftTable.commit(cloud(500, offX = 1000.0), root)
+    var seen = Seq.empty[(Long, Int, Int)]
+    // first consumption: everything (checkpoint starts at 0)
+    val (f1, t1) = GraftTable.processDelta(spark, root, cp) { (df, a, b) =>
+      seen :+= ((df.count(), a, b))
+    }
+    assert((f1, t1) == (0, 2) && seen == Seq((1500L, 0, 2)))
+    // idle poll: f not called, checkpoint untouched
+    val (f2, t2) = GraftTable.processDelta(spark, root, cp)((_, _, _) =>
+      fail("must not be called with no new data"))
+    assert((f2, t2) == (2, 2))
+    // new append, but the consumer CRASHES mid-delta: checkpoint must
+    // not advance, and the next call replays the same delta
+    GraftTable.commit(cloud(200, offX = 2000.0), root)
+    intercept[RuntimeException] {
+      GraftTable.processDelta(spark, root, cp)((_, _, _) =>
+        throw new RuntimeException("consumer crash"))
+    }
+    val (f3, t3) = GraftTable.processDelta(spark, root, cp) { (df, a, b) =>
+      seen :+= ((df.count(), a, b))
+    }
+    assert((f3, t3) == (2, 3) && seen.last == ((200L, 2, 3)))
+  }
+
   test("manifest stats prune files: bbox read opens only intersecting files") {
     val root = freshRoot()
     // 4 spatially banded commits -> >= 4 files with disjoint x ranges
