@@ -573,7 +573,15 @@ object Ann {
       book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
     }.toSeq.toDF("sub", "cent", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // format marker: codes are RESIDUAL (IVFADC) since the round-3
+    // encoding change; searchPqIndex adds <q, centroid> back and would
+    // silently mis-rank a raw-code index, so the reader refuses any
+    // index that does not declare this format
+    Seq((pqIndexFormat, m)).toDF("format", "m")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/format")
   }
+
+  private val pqIndexFormat = "ivfadc-residual-v2"
 
   /** Query a persisted IVF-PQ index: probed cells -> partition-pruned
     * column-pruned code scan -> ADC top-rerank -> exact rerank against
@@ -583,6 +591,12 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       flatLimit: Int = 2048, wsuper: Int = 8): DataFrame = {
     import spark.implicits._
+    val fmt = scala.util.Try(spark.read.parquet(s"$path/format")
+      .select("format").head().getString(0)).getOrElse("<missing>")
+    require(fmt == pqIndexFormat,
+      s"PQ index at $path declares format '$fmt' but this reader needs " +
+      s"'$pqIndexFormat' (residual/IVFADC codes) — rebuild the index with " +
+      "writePqIndex; scoring raw codes as residuals would silently mis-rank")
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
     val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))

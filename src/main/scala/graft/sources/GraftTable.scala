@@ -50,6 +50,12 @@ object GraftTable {
 
   private def versionFile(root: String) = Paths.get(root, "VERSION")
 
+  /** NIO directory streams must be closed — unclosed ones leak a file
+    * descriptor per call until finalization (streaming sinks commit once
+    * per microbatch, so the leak compounds fast). */
+  private def withStream[S <: java.util.stream.BaseStream[_, _], R](s: S)(f: S => R): R =
+    try f(s) finally s.close()
+
   /** Current head version, or 0 when the table is empty/new. */
   def currentVersion(root: String): Int = {
     val vf = versionFile(root)
@@ -99,15 +105,17 @@ object GraftTable {
     // 1. stage + adopt data files under never-reused names
     val staging = s"$root/.staging-$commitId"
     df.write.mode("overwrite").parquet(staging)
-    val parts = Files.list(Paths.get(staging)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    val parts = withStream(Files.list(Paths.get(staging)))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString))
     val adopted = parts.zipWithIndex.map { case (p, i) =>
       val dst = Paths.get(root, "data", s"$commitId-$i.parquet")
       Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
       dst.toString
     }
-    Files.walk(Paths.get(staging)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    withStream(Files.walk(Paths.get(staging)))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p)))
 
     // 2. per-file stats come from the parquet FOOTERS of the staged
     //    files (row-group min/max/count cover exactly what the manifest
@@ -147,6 +155,14 @@ object GraftTable {
     * (and can throw if their work is invalid on the new head). */
   private def allocate(root: String, commitId: String, schemaPath: String,
       tag: Option[String], manifestsFor: Int => Seq[String]): Int = {
+    // the tag is interpolated into regex-parsed JSON: quotes or brackets
+    // would corrupt the snapshot's manifests parse SILENTLY (the [^\]]*
+    // manifest regex would match the tag's bracket), so reject anything
+    // outside a safe charset up front
+    tag.foreach(t => require(
+      t.nonEmpty && t.forall(c => c > ' ' && "\"[]\\{}".indexOf(c) < 0),
+      s"commit tag must be non-empty printable text without " +
+        s"quotes/brackets/backslashes (got '$t')"))
     var committed = -1
     while (committed < 0) {
       val parent = currentVersion(root)
@@ -278,11 +294,30 @@ object GraftTable {
     }
   }
 
-  /** Full-table read of a snapshot. */
+  /** Empty frame carrying the snapshot's pinned schema, or None for a
+    * pre-evolution snapshot (no schema json). */
+  private def pinnedEmpty(spark: SparkSession, root: String, v: Int)
+      : Option[DataFrame] =
+    snapshot(root, v).schema.filter(p => Files.exists(Paths.get(p))).map { p =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType
+          .fromJson(new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+
+  /** Full-table read of a snapshot. A snapshot referencing zero data
+    * files (e.g. an empty first streaming microbatch was committed) is a
+    * valid empty table, not a schema-inference error. */
   def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(root))
     val files = manifests(spark, root, asOf).select("path")
       .collect().map(_.getString(0)).toIndexedSeq
-    readerFor(spark, root, asOf).parquet(files: _*)
+    if (files.isEmpty)
+      pinnedEmpty(spark, root, v).getOrElse(throw new IllegalStateException(
+        s"graft table $root v$v references no data files and pins no " +
+        "schema (pre-evolution empty table) — nothing to infer a schema from"))
+    else readerFor(spark, root, asOf).parquet(files: _*)
   }
 
   /** Incremental read: exactly the rows APPENDED after `fromVersion`, up
@@ -313,21 +348,16 @@ object GraftTable {
       "by an overwrite, compaction or delete) — incremental read is " +
       "undefined across that boundary; full-read the target snapshot")
     val delta = toS.manifests.filterNot(fromM)
-    if (delta.isEmpty) return toS.schema match {
-      // same-version range (the steady-state "no new data" poll): build
-      // the empty frame from the pinned schema without collecting the
-      // live file list; pre-evolution tables fall back to a lazy
-      // filter(false) full read
-      case Some(p) if Files.exists(Paths.get(p)) =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.DataType
-            .fromJson(new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-      case _ => read(spark, root, Some(to)).filter(lit(false))
-    }
+    // same-version range (the steady-state "no new data" poll): build the
+    // empty frame from the pinned schema without collecting the live file
+    // list; pre-evolution tables fall back to a lazy filter(false) read
+    if (delta.isEmpty) return pinnedEmpty(spark, root, to)
+      .getOrElse(read(spark, root, Some(to)).filter(lit(false)))
     val files = spark.read.parquet(delta: _*).select("path")
       .collect().map(_.getString(0)).toIndexedSeq
+    if (files.isEmpty) // appended manifests may list zero files (empty commit)
+      return pinnedEmpty(spark, root, to)
+        .getOrElse(read(spark, root, Some(to)).filter(lit(false)))
     readerFor(spark, root, Some(to)).parquet(files: _*)
   }
 
@@ -379,10 +409,10 @@ object GraftTable {
     val dir = Paths.get(root, "snapshots")
     if (!Files.exists(dir)) return None
     val needle = s""""tag": "$tag""""
-    Files.list(dir).iterator().asScala
+    withStream(Files.list(dir))(_.iterator().asScala
       .filter(_.getFileName.toString.matches("v\\d+\\.json"))
       .find(p => new String(Files.readAllBytes(p), "UTF-8").contains(needle))
-      .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt)
+      .map(_.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt))
   }
 
   /** Compaction: rewrite the head snapshot's rows into `numFiles` data
@@ -461,16 +491,22 @@ object GraftTable {
     * physical files deleted. Crash-safe in the same way as commit:
     * snapshot jsons are deleted first, so a crash mid-vacuum leaves only
     * unreferenced-but-present files — invisible to readers. */
-  def expireSnapshots(spark: SparkSession, root: String, keepLast: Int = 1): Int = {
+  def expireSnapshots(spark: SparkSession, root: String, keepLast: Int = 1,
+      orphanGraceMs: Long = 3600L * 1000): Int = {
     require(keepLast >= 1, "must keep at least the head snapshot")
     val head = currentVersion(root)
-    val keep = ((head - keepLast + 1) max 1) to head
+    // keep only versions whose snapshot STILL EXISTS: an earlier expiry
+    // may have dropped part of the nominal keep window, and calling
+    // snapshot() on a dropped version would throw (vacuum must never be
+    // wedged by its own past runs)
+    val keep = (((head - keepLast + 1) max 1) to head).filter(v =>
+      Files.exists(Paths.get(root, "snapshots", s"v$v.json")))
     val snapDir = Paths.get(root, "snapshots")
-    Files.list(snapDir).iterator().asScala
+    withStream(Files.list(snapDir))(_.iterator().asScala
       .filter(_.getFileName.toString.matches("v\\d+\\.json"))
       .filter(p => !keep.contains(
         p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toInt))
-      .foreach(Files.delete(_))
+      .toSeq).foreach(Files.delete(_))
     // live set = every manifest of every surviving snapshot + every data
     // path those manifests list (one distributed read, not a driver loop)
     def canon(s: String): String = {
@@ -489,12 +525,23 @@ object GraftTable {
       else spark.read.parquet(liveManifestSeq: _*)
         .select("path").collect().map(r => canon(r.getString(0))).toSet
     var deleted = 0
+    // orphanGraceMs: a file younger than the grace window is NEVER swept
+    // even when unreferenced — it may belong to a commit that has staged
+    // its data (steps 1-2) but not yet won the snapshot CAS (step 3);
+    // deleting it would corrupt that commit the moment its CAS lands.
+    // Iceberg's remove_orphan_files has the same older-than guard. Tests
+    // pass 0 to observe immediate deletion in a quiesced table.
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    def oldEnough(p: Path): Boolean =
+      scala.util.Try(Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .getOrElse(false)
     def sweep(dir: Path, live: Set[String]): Unit =
-      if (Files.exists(dir)) Files.list(dir).iterator().asScala
-        .filterNot(p => live.contains(canon(p.toString))).toSeq.foreach { p =>
+      if (Files.exists(dir)) withStream(Files.list(dir))(_.iterator().asScala
+        .filterNot(p => live.contains(canon(p.toString)))
+        .filter(oldEnough).toSeq).foreach { p =>
           if (Files.isDirectory(p))
-            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-              .forEach(q => { Files.deleteIfExists(q); deleted += 1 })
+            withStream(Files.walk(p))(_.sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => { Files.deleteIfExists(q); deleted += 1 }))
           else { Files.delete(p); deleted += 1 }
         }
     sweep(Paths.get(root, "data"), liveData)

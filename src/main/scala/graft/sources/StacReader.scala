@@ -62,7 +62,10 @@ object StacReader {
     }
     val union = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     bounds match { // bounds propagate into the point filter like :133-134
-      case Some((x0, y0, x1, y1)) if union.columns.contains("x") =>
+      // both coordinate columns must exist — an x-only schema would make
+      // the y reference an unresolved-column crash instead of a skip
+      case Some((x0, y0, x1, y1))
+          if union.columns.contains("x") && union.columns.contains("y") =>
         union.filter(col("x") >= x0 && col("x") <= x1 &&
           col("y") >= y0 && col("y") <= y1)
       case _ => union

@@ -100,6 +100,29 @@ class GraftTableSpec extends AnyFunSuite {
     assert((f3, t3) == (2, 3) && seen.last == ((200L, 2, 3)))
   }
 
+  test("an empty commit is a valid empty table (streaming's empty first " +
+      "microbatch), and unsafe tags are rejected") {
+    val root = freshRoot()
+    GraftTable.commit(cloud(0), root) // e.g. an empty first microbatch
+    val empty = GraftTable.read(spark, root)
+    assert(empty.count() == 0 && empty.columns.contains("x"))
+    assert(GraftTable.readBox(spark, root, 0, 0, 10, 10)._1.count() == 0)
+    assert(GraftTable.readIncremental(spark, root, 0).count() == 0)
+    // the table recovers normally once data arrives
+    GraftTable.commit(cloud(100), root)
+    assert(GraftTable.read(spark, root).count() == 100)
+    assert(GraftTable.read(spark, root, asOf = Some(1)).count() == 0)
+    // a tag with JSON-corrupting characters fails loudly at commit time
+    // (the snapshot json is regex-parsed: a bracketed tag would silently
+    // truncate the manifests array instead)
+    intercept[IllegalArgumentException] {
+      GraftTable.commit(cloud(10), root, tag = Some("bad[0]tag"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.commit(cloud(10), root, tag = Some("""with"quote"""))
+    }
+  }
+
   test("manifest stats prune files: bbox read opens only intersecting files") {
     val root = freshRoot()
     // 4 spatially banded commits -> >= 4 files with disjoint x ranges
@@ -167,7 +190,7 @@ class GraftTableSpec extends AnyFunSuite {
     val (boxed, _, _) = GraftTable.readBox(spark, root, 0, 0, 5000, 5000)
     assert(boxed.columns.contains("w"))
     // vacuum keeps the schema files of surviving snapshots readable
-    GraftTable.expireSnapshots(spark, root, keepLast = 1)
+    GraftTable.expireSnapshots(spark, root, keepLast = 1, orphanGraceMs = 0)
     assert(GraftTable.read(spark, root).filter(col("w").isNull).count() == 100)
   }
 
@@ -192,7 +215,7 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.compact(spark, root) // v5 references only its own files
     val dataBefore = java.nio.file.Files.list(
       java.nio.file.Paths.get(root, "data")).count()
-    val deleted = GraftTable.expireSnapshots(spark, root, keepLast = 1)
+    val deleted = GraftTable.expireSnapshots(spark, root, keepLast = 1, orphanGraceMs = 0)
     assert(deleted > 0)
     val dataAfter = java.nio.file.Files.list(
       java.nio.file.Paths.get(root, "data")).count()
@@ -202,7 +225,7 @@ class GraftTableSpec extends AnyFunSuite {
       GraftTable.read(spark, root, asOf = Some(2)).count()
     }
     // a second vacuum is a no-op: nothing live was swept
-    assert(GraftTable.expireSnapshots(spark, root, keepLast = 1) == 0)
+    assert(GraftTable.expireSnapshots(spark, root, keepLast = 1, orphanGraceMs = 0) == 0)
   }
 
   test("commitIfAbsent is idempotent per tag (streaming exactly-once replay)") {
@@ -245,7 +268,7 @@ class GraftTableSpec extends AnyFunSuite {
     val (v3, rw3, _) = GraftTable.deleteBox(spark, root, 5e6, 5e6, 6e6, 6e6)
     assert(v3 == head && rw3 == 0)
     // vacuum after expiry physically drops the replaced band-1 files
-    GraftTable.expireSnapshots(spark, root, keepLast = 1)
+    GraftTable.expireSnapshots(spark, root, keepLast = 1, orphanGraceMs = 0)
     assert(GraftTable.read(spark, root).count() == after2.count())
   }
 
