@@ -217,6 +217,26 @@ object KnnJoin {
 
   /** Supercell (incl. one-cell halo shell) candidate row set at cell
     * size h — what one first-binning cogroup task receives. */
+  /** Density-targeted cell size from an extent row — ONE implementation
+    * shared by the broadcast and distributed paths: the two must stay
+    * bit-identical for the broadcast==distributed differential guarantee
+    * (KnnSpec), so the formula lives in exactly one place. `fallback` is
+    * the caller's extent scale for degenerate estimates (broadcast: the
+    * candidate bbox; distributed: the query-union bbox). */
+  private def estimateCellSize(cellSize: Double, k: Int, n: Long,
+      exRaw: Double, eyRaw: Double, ez: Double, fallback: Double): Double = {
+    val h0raw =
+      if (cellSize > 0) cellSize
+      else {
+        val target = math.max(64.0, k * 4.0)
+        val ex = math.max(exRaw, 1e-9)
+        val ey = math.max(eyRaw, 1e-9)
+        if (ez <= 1e-12) math.sqrt(ex * ey * target / n)
+        else math.cbrt(ex * ey * ez * target / n)
+      }
+    if (h0raw.isNaN || h0raw <= 1e-12) fallback / 16 else h0raw
+  }
+
   private def superRows(cand: DataFrame, h: Double, valueCol: String): DataFrame = {
     val withCells = cand.select(col("x"), col("y"), col("z"),
       col("order_key").as("cid"), col(valueCol).cast("double").as("v"),
@@ -234,17 +254,21 @@ object KnnJoin {
     * holding more than `cap` candidates, with their salt factor (capped
     * at 64 groups) — the per-task input bound AQE cannot provide for
     * Dataset.cogroup. Two stages: a task region (supercell + 1-cell
-    * shell, S+2 cells per axis) spans at most 2 supercells per axis =
-    * 8 base supercells, so a task can exceed cap only if one of those 8
-    * exceeds cap/8 — the cheap non-exploded count gates the exact (3.4x
-    * exploded) one, and uniform data pays one slim map-side-combined
-    * aggregate and stops. */
+    * shell, S+2 cells per axis) touches at most 3 base supercells per
+    * axis (the aligned S-cell block plus one edge cell-row on each
+    * side), i.e. 27 base supercells in 3D — so a task can exceed cap
+    * only if one of those 27 exceeds cap/27. The cheap non-exploded
+    * count at that threshold gates the exact (3.4x exploded) one, and
+    * uniform data pays one slim map-side-combined aggregate and stops.
+    * (cap/8 here was unsound: 27 contributors at just over cap/27 each
+    * — all below cap/8 — could assemble a ~3x-over-cap task that
+    * escaped detection entirely.) */
   private[graft] def detectHotSupercells(cand: DataFrame, h: Double,
       cap: Int): Map[Long, Int] = {
     val basePre = cand.select(superPack(
         superC(cellCoord(col("x"), h), 0), superC(cellCoord(col("y"), h), 0),
         superC(cellCoord(col("z"), h), 0)).as("skey"))
-      .groupBy("skey").count().filter(col("count") > cap / 8)
+      .groupBy("skey").count().filter(col("count") > cap / 27)
       .limit(1).count()
     if (basePre == 0L) return Map.empty
     superRows(cand, h, "order_key").groupBy("skey").count()
@@ -300,6 +324,16 @@ object KnnJoin {
       return queries.select(col("order_key"),
         typedLit(Seq.empty[(Double, Long, Double)]).cast(hitType).as("knn"))
     }
+    // NaN coordinates are malformed input and MUST fail loudly here: a
+    // NaN poisons maxExtent, so the ring loop's coverAll exit can never
+    // fire and the distributed path loops forever, while the broadcast
+    // path would silently emit different results — Spark's max() returns
+    // NaN whenever one is present, so checking the three maxes of the
+    // one aggregate already paid costs nothing extra
+    require(!ext.getDouble(2).isNaN && !ext.getDouble(4).isNaN &&
+      !ext.getDouble(6).isNaN,
+      "knn: candidate side contains NaN coordinates — filter or repair " +
+        "them upstream (a NaN point can never match any distance predicate)")
 
     // ---- BROADCAST FAST PATH: a candidate side that fits one task's
     // memory is collected once, indexed on the driver, and broadcast —
@@ -324,23 +358,13 @@ object KnnJoin {
         lcid(i) = r.getLong(3); lcv(i) = r.getDouble(4)
         i += 1
       }
-      val hB = {
-        val h0raw =
-          if (cellSize > 0) cellSize
-          else {
-            val target = math.max(64.0, k * 4.0)
-            val ex = math.max(ext.getDouble(2) - ext.getDouble(1), 1e-9)
-            val ey = math.max(ext.getDouble(4) - ext.getDouble(3), 1e-9)
-            val ez = ext.getDouble(6) - ext.getDouble(5)
-            if (ez <= 1e-12) math.sqrt(ex * ey * target / n)
-            else math.cbrt(ex * ey * ez * target / n)
-          }
-        if (h0raw.isNaN || h0raw <= 1e-12)
-          math.max(1e-9, math.max(ext.getDouble(2) - ext.getDouble(1),
-            math.max(ext.getDouble(4) - ext.getDouble(3),
-              ext.getDouble(6) - ext.getDouble(5)))) / 16
-        else h0raw
-      }
+      val hB = estimateCellSize(cellSize, k, n,
+        ext.getDouble(2) - ext.getDouble(1),
+        ext.getDouble(4) - ext.getDouble(3),
+        ext.getDouble(6) - ext.getDouble(5),
+        math.max(1e-9, math.max(ext.getDouble(2) - ext.getDouble(1),
+          math.max(ext.getDouble(4) - ext.getDouble(3),
+            ext.getDouble(6) - ext.getDouble(5)))))
       val idx = spark.sparkContext.broadcast(
         new KnnLocalIndex(lcx, lcy, lcz, lcid, lcv, hB))
       dbg(s"broadcast fast path: n=$n h=$hB")
@@ -353,7 +377,12 @@ object KnnJoin {
           .as[(Long, Double, Double, Double)]
       val out = qDs.mapPartitions { it =>
         val ix = idx.value
-        it.map { case (qid, qx, qy, qz) => (qid, ix.query(qx, qy, qz, k)) }
+        it.map { case (qid, qx, qy, qz) =>
+          // same loud-NaN contract as the distributed path's extent check
+          if (qx.isNaN || qy.isNaN || qz.isNaN) throw new IllegalArgumentException(
+            s"knn: query $qid has NaN coordinates — filter or repair upstream")
+          (qid, ix.query(qx, qy, qz, k))
+        }
       }.toDF("order_key", "knn")
       candM.unpersist(false)
       return out
@@ -377,6 +406,10 @@ object KnnJoin {
       else {
         val qe = queriesM.agg(count(lit(1)), min("x"), max("x"), min("y"), max("y"),
           min("z"), max("z")).head()
+        require(qe.getLong(0) == 0L || (!qe.getDouble(2).isNaN &&
+          !qe.getDouble(4).isNaN && !qe.getDouble(6).isNaN),
+          "knn: query side contains NaN coordinates — filter or repair " +
+            "them upstream (a NaN query can never resolve)")
         if (qe.getLong(0) == 0L) ext
         else org.apache.spark.sql.Row(ext.getLong(0),
           math.min(ext.getDouble(1), qe.getDouble(1)), math.max(ext.getDouble(2), qe.getDouble(2)),
@@ -388,18 +421,10 @@ object KnnJoin {
 
     // cell-size estimate straight from the already-collected extent row
     // (a separate estimator aggregate would be a second identical job)
-    val h0raw =
-      if (cellSize > 0) cellSize
-      else {
-        val n = math.max(ext.getLong(0), 1L)
-        val target = math.max(64.0, k * 4.0)
-        val ex = math.max(ext.getDouble(2) - ext.getDouble(1), 1e-9)
-        val ey = math.max(ext.getDouble(4) - ext.getDouble(3), 1e-9)
-        val ez = ext.getDouble(6) - ext.getDouble(5)
-        if (ez <= 1e-12) math.sqrt(ex * ey * target / n)
-        else math.cbrt(ex * ey * ez * target / n)
-      }
-    val h0 = if (h0raw.isNaN || h0raw <= 1e-12) maxExtent / 16 else h0raw
+    val h0 = estimateCellSize(cellSize, k, math.max(ext.getLong(0), 1L),
+      ext.getDouble(2) - ext.getDouble(1),
+      ext.getDouble(4) - ext.getDouble(3),
+      ext.getDouble(6) - ext.getDouble(5), maxExtent)
 
     def candPrep(h: Double) = candM.select(
       pack3(cellCoord(col("x"), h), cellCoord(col("y"), h), cellCoord(col("z"), h)).as("cell"),
@@ -535,49 +560,55 @@ object KnnJoin {
         .as[(Long, Double, Double, Double, Long, Double, Int)]
       exploded.groupByKey(t => (t._5, t._6)).cogroup(cands.groupByKey(t => (t._1, t._7))) {
         (_, qs, cs) =>
-          // unpack candidates into primitive arrays once per cell — the
-          // inner loop below is allocation-free (hot path of the join)
-          val cBuf = cs.toArray
-          if (cBuf.isEmpty) Iterator.empty
+          // STREAM the candidates (one pass, never materialized): ring
+          // cells have no salting, so a dense cell at a coarse escalated
+          // h could hold millions of candidates — buffering them (the
+          // old cs.toArray) was the one path around the maxCellCandidates
+          // bound. Buffer the QUERIES instead (pending-set fragments,
+          // O(queries*k) memory) and push each streamed candidate through
+          // every query's insertion top-k. Candidate order per query is
+          // the same stream order as before -> bit-identical results.
+          val qBuf = qs.toArray
+          if (qBuf.isEmpty || !cs.hasNext) Iterator.empty
           else {
-            val n = cBuf.length
-            val cxA = new Array[Double](n); val cyA = new Array[Double](n)
-            val czA = new Array[Double](n); val cidA = new Array[Long](n)
-            val cvA = new Array[Double](n)
-            var j = 0
-            while (j < n) {
-              val c = cBuf(j)
-              cxA(j) = c._2; cyA(j) = c._3; czA(j) = c._4
-              cidA(j) = c._5; cvA(j) = c._6
-              j += 1
-            }
-            qs.map { case (qid, qx, qy, qz, _, _) =>
-              // fixed-size insertion-sorted top-k on primitive arrays
-              val bd = new Array[Double](k); val bc = new Array[Long](k)
-              val bv = new Array[Double](k)
-              var cnt = 0
-              var i = 0
-              while (i < n) {
-                val dx = cxA(i) - qx; val dy = cyA(i) - qy; val dz = czA(i) - qz
+            val m = qBuf.length
+            val bd = new Array[Double](m * k); val bc = new Array[Long](m * k)
+            val bv = new Array[Double](m * k)
+            val cnt = new Array[Int](m)
+            while (cs.hasNext) {
+              val c = cs.next()
+              val cx = c._2; val cy = c._3; val cz = c._4
+              val cid = c._5; val cv = c._6
+              var qi = 0
+              while (qi < m) {
+                val q0 = qBuf(qi)
+                val dx = cx - q0._2; val dy = cy - q0._3; val dz = cz - q0._4
                 val d2 = dx * dx + dy * dy + dz * dz
-                val cid = cidA(i)
-                if (cnt < k || d2 < bd(cnt - 1) ||
-                    (d2 == bd(cnt - 1) && cid < bc(cnt - 1))) {
-                  var p = if (cnt < k) cnt else k - 1
-                  while (p > 0 && (bd(p - 1) > d2 ||
-                      (bd(p - 1) == d2 && bc(p - 1) > cid))) {
-                    bd(p) = bd(p - 1); bc(p) = bc(p - 1); bv(p) = bv(p - 1)
+                val base = qi * k
+                val c0 = cnt(qi)
+                if (c0 < k || d2 < bd(base + c0 - 1) ||
+                    (d2 == bd(base + c0 - 1) && cid < bc(base + c0 - 1))) {
+                  var p = if (c0 < k) c0 else k - 1
+                  while (p > 0 && (bd(base + p - 1) > d2 ||
+                      (bd(base + p - 1) == d2 && bc(base + p - 1) > cid))) {
+                    bd(base + p) = bd(base + p - 1); bc(base + p) = bc(base + p - 1)
+                    bv(base + p) = bv(base + p - 1)
                     p -= 1
                   }
-                  bd(p) = d2; bc(p) = cid; bv(p) = cvA(i)
-                  if (cnt < k) cnt += 1
+                  bd(base + p) = d2; bc(base + p) = cid; bv(base + p) = cv
+                  if (c0 < k) cnt(qi) = c0 + 1
                 }
-                i += 1
+                qi += 1
               }
-              val out = new Array[Hit](cnt)
+            }
+            qBuf.indices.iterator.map { qi =>
+              val base = qi * k
+              val out = new Array[Hit](cnt(qi))
               var q2 = 0
-              while (q2 < cnt) { out(q2) = Hit(bd(q2), bc(q2), bv(q2)); q2 += 1 }
-              (qid, out)
+              while (q2 < cnt(qi)) {
+                out(q2) = Hit(bd(base + q2), bc(base + q2), bv(base + q2)); q2 += 1
+              }
+              (qBuf(qi)._1, out)
             }
           }
       }.toDF("qid", "hits")
@@ -736,8 +767,11 @@ object NNDistance {
     val dists = knn.select(col("order_key"),
       slice(col("knn"), lit(2), greatest(size(col("knn")) - 1, lit(0))).as("nbrs"))
     val v = mode match {
-      case "kth" => sqrt(try_element_at(col("nbrs"), size(col("nbrs")))
-        .getField("d2"))
+      // greatest(..., 1): ordinal 0 makes (try_)element_at THROW
+      // INVALID_INDEX_OF_ZERO, so a point with no neighbors (single-row
+      // input) must probe index 1 and take try_element_at's null instead
+      case "kth" => sqrt(try_element_at(col("nbrs"),
+        greatest(size(col("nbrs")), lit(1))).getField("d2"))
       case "avg" => aggregate(col("nbrs"), lit(0.0),
         (acc, x) => acc + sqrt(x.getField("d2"))) / greatest(size(col("nbrs")), lit(1))
     }

@@ -114,6 +114,20 @@ object ChipperCore {
     }
   }
 
+  /** Executor-side memo of boundaryFn: the Chipper local phase runs once
+    * per BLOCK inside flatMapGroups, and rebuilding the exact
+    * O(numPartitions) cumulate array per block is pure wasted allocation
+    * (a transient 8-128 MB Long array per task near the maxExact
+    * boundary). The accessor closes over an immutable array, so sharing
+    * across tasks is safe; the map is cleared if an unlikely parameter
+    * churn grows it past a handful of entries. */
+  private val fnCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), Int => Long]()
+  def boundaryFnCached(n: Long, capacity: Long): Int => Long = {
+    if (fnCache.size > 8) fnCache.clear()
+    fnCache.computeIfAbsent((n, capacity), _ => boundaryFn(n, capacity))
+  }
+
   /** Assign chip ids (= global partition start index of the chip) to the
     * points of one block. xs/ys/ord indexed by local point index; parts is
     * the GLOBAL partition array; [pleft, pright) the block's partition
@@ -194,13 +208,22 @@ object Chipper {
   def apply(df: DataFrame, capacity: Long = 5000L, chipCol: String = "chip_id",
       localThreshold: Long = 1 << 20): DataFrame = {
     val spark = df.sparkSession
-    val n = df.count()
-    if (n == 0) return df.withColumn(chipCol, lit(0L)).limit(0)
+    // ONE upstream execution for everything chip-assignment needs: the
+    // slim (x, y, order_key) projection is cached, the count fills the
+    // cache, and both the distributed phase and the local phase read it —
+    // without this, count(), the phase scans and the final join each
+    // re-ran the caller's full upstream plan
+    val base = df.select(col("x"), col("y"), col("order_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    if (n == 0) {
+      base.unpersist(false)
+      return df.withColumn(chipCol, lit(0L)).limit(0)
+    }
     val parts = ChipperCore.boundaryFn(n, capacity)
     val numPart = ChipperCore.numPartitions(n, capacity).toInt
 
-    var work = df.select(col("x"), col("y"), col("order_key"))
-      .withColumn("__block", lit(0))
+    var work = base.withColumn("__block", lit(0))
     var blocks = Map(0 -> Block(0, numPart, prevAxisX = true))
 
     def blockCount(b: Block): Long = parts(b.pright) - parts(b.pleft)
@@ -256,7 +279,7 @@ object Chipper {
     val nCap = (n, capacity)
     val assignEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     import spark.implicits._
-    val assign = work.select("x", "y", "order_key", "__block")
+    val assign = graft.core.Mat(work.select("x", "y", "order_key", "__block")
       .as[(Double, Double, Long, Int)]
       .groupByKey(_._4)
       .flatMapGroups { (blk: Int, it: Iterator[(Double, Double, Long, Int)]) =>
@@ -264,10 +287,14 @@ object Chipper {
         val b = blockMeta(blk)
         val chips = ChipperCore.chipBlock(
           rows.map(_._1), rows.map(_._2), rows.map(_._3),
-          ChipperCore.boundaryFn(nCap._1, nCap._2), b.pleft, b.pright, b.prevAxisX)
+          ChipperCore.boundaryFnCached(nCap._1, nCap._2), b.pleft, b.pright,
+          b.prevAxisX)
         chips.iterator.zipWithIndex.map { case (c, i) => (rows(i)._3, c.toLong) }
       }(assignEnc)
-      .toDF("order_key", chipCol)
+      .toDF("order_key", chipCol))
+    // assign is materialized (16 bytes/row), so the cached projection can
+    // be dropped; the final join reads the caller's df exactly once more
+    base.unpersist(false)
     df.join(assign, Seq("order_key"), "inner")
   }
 }
