@@ -1363,6 +1363,30 @@ object SparkEntry {
       graft.sources.GraftTable.readIncremental(s, root, fromVersion = v1)
         .select("order_key", "x", "y")
     }),
+    "q109_table_meta_agg" -> ((s, d) => {
+      // GraftTable metadata-only aggregates (Iceberg manifest-stats
+      // pushdown): four x-banded commits; countRows and extent answer
+      // from manifests with ZERO data files opened, and countBox counts
+      // the two interior bands from manifest rows alone, scanning only
+      // the straddling shell (require below). At 10^12 rows this is
+      // count(*) from kilobytes of metadata. The y-range of the box
+      // exceeds the data extent so x alone decides containment.
+      val root = freshTmp("graft-table-agg", d)
+      val p = pts(s, d).select("order_key", "x", "y")
+      for (b <- 0 until 4)
+        graft.sources.GraftTable.commit(
+          p.filter(col("x") >= b * 2500.0 && col("x") < (b + 1) * 2500.0), root)
+      val totalRows = graft.sources.GraftTable.countRows(s, root)
+      val (boxRows, scanned, total) = graft.sources.GraftTable.countBox(
+        s, root, 1250, -1, 8750, 10001)
+      require(scanned < total,
+        s"metadata fast path expected: scanned $scanned of $total files")
+      val (mnx, mxx, mny, mxy) = graft.sources.GraftTable.extent(s, root)
+      s.range(1).select(lit(totalRows).as("total_rows"),
+        lit(boxRows).as("box_rows"), lit(mnx).as("ext_minx"),
+        lit(mxx).as("ext_maxx"), lit(mny).as("ext_miny"),
+        lit(mxy).as("ext_maxy"))
+    }),
     "q101_text_roundtrip" -> ((s, d) => {
       // readers.text + writers.text via the PIPELINE dialect itself
       // (PipelineBuilder runs both JSON specs): CSV doubles round-trip
@@ -2742,6 +2766,17 @@ object SparkEntry {
       """SELECT event_id AS order_key,
             CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
             CAST((event_id * 104729) % 10000 AS DOUBLE) AS y
-         FROM events WHERE event_id >= 3000"""
+         FROM events WHERE event_id >= 3000""",
+    // manifest-stats aggregates: exact count/extent with no data I/O,
+    // box count = metadata for contained files + scan of the shell
+    "q109_table_meta_agg" ->
+      """WITH p AS (SELECT CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y FROM events)
+         SELECT (SELECT COUNT(*) FROM p) AS total_rows,
+                (SELECT COUNT(*) FROM p
+                   WHERE x >= 1250 AND x <= 8750) AS box_rows,
+                MIN(x) AS ext_minx, MAX(x) AS ext_maxx,
+                MIN(y) AS ext_miny, MAX(y) AS ext_maxy
+         FROM p"""
   )
 }

@@ -70,7 +70,9 @@ object Multimodal {
     media.select("media_ref", "content").mapPartitions { it =>
       it.map { r =>
         val ref = r.getString(0)
-        val content = r.getAs[Array[Byte]](1)
+        // null blobs (schema allows them) decode to (0,0) and hash to the
+        // empty-payload feature vector instead of NPE-ing the task
+        val content = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val (w, h) = decodeImageStub(content)
         val feats = Array.tabulate(dim) { i =>
           var acc = 1469598103934665603L

@@ -138,7 +138,7 @@ object GraftTable {
         .parallelize(adopted, 1 max (adopted.size min 64))
         .map(FooterStats(confProps)))
       .toDF("path", "rows", "min_x", "max_x", "min_y", "max_y",
-        "min_key", "max_key")
+        "min_key", "max_key", "nulls_xy")
     val manifest = s"$root/manifests/m-$commitId.parquet"
     statsDf.repartition(1).write.mode("overwrite").parquet(manifest)
     // the committed schema rides in its own file (schema json contains
@@ -219,13 +219,13 @@ object GraftTable {
   private case class FooterStats(confProps: Array[(String, String)])
       extends (String =>
       (String, Long, Option[Double], Option[Double], Option[Double],
-       Option[Double], Option[Long], Option[Long])) with Serializable {
+       Option[Double], Option[Long], Option[Long], Option[Long])) with Serializable {
     def apply(path: String) = footerStats(path, confProps)
   }
 
   private def footerStats(path: String, confProps: Array[(String, String)])
       : (String, Long, Option[Double], Option[Double], Option[Double],
-         Option[Double], Option[Long], Option[Long]) = {
+         Option[Double], Option[Long], Option[Long], Option[Long]) = {
     val conf = new org.apache.hadoop.conf.Configuration()
     confProps.foreach { case (k, v) => conf.set(k, v) }
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -261,11 +261,30 @@ object GraftTable {
           }
         }
       }
+      // combined x/y null count, used by the countBox metadata fast path:
+      // a file counts from its manifest `rows` alone only when PROVABLY
+      // free of null coordinates (a null-x row fails the bbox residual a
+      // scan would apply, so counting it via metadata would overcount).
+      // Column absent -> 0 nulls of it can exist among zero values, but
+      // such files have None ranges and never take the fast path anyway;
+      // any chunk without a null count -> unknown (None) -> scan path.
+      def nullsOf(name: String): Option[Long] = {
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == name)
+        if (chunks.isEmpty) Some(0L)
+        else {
+          val ss = chunks.map(_.getStatistics)
+          if (ss.forall(s => s != null && s.isNumNullsSet))
+            Some(ss.map(_.getNumNulls).sum)
+          else None
+        }
+      }
       val (x, y, k) = (range("x"), range("y"), range("order_key"))
+      val nxy = for (a <- nullsOf("x"); b <- nullsOf("y")) yield a + b
       (path, rows,
         x.map(_._1.doubleValue), x.map(_._2.doubleValue),
         y.map(_._1.doubleValue), y.map(_._2.doubleValue),
-        k.map(_._1.longValue), k.map(_._2.longValue))
+        k.map(_._1.longValue), k.map(_._2.longValue), nxy)
     } finally r.close()
   }
 
@@ -571,5 +590,75 @@ object GraftTable {
         .filter(col("x") >= minx && col("x") <= maxx &&
           col("y") >= miny && col("y") <= maxy)
     (df, hits.length.toLong, total)
+  }
+
+  /** Metadata-only exact row count: the sum of manifest `rows` — O(manifest
+    * files) of I/O, zero data files opened. Manifest rows come from parquet
+    * footers at commit time and data files are immutable, so this is exact,
+    * not an estimate; at 10^12 rows it answers count(*) from kilobytes of
+    * metadata (Iceberg answers the same query from its manifest stats). */
+  def countRows(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): Long =
+    manifests(spark, root, asOf)
+      .agg(coalesce(sum("rows"), lit(0L))).head.getLong(0)
+
+  /** Exact count of rows inside the closed box, scanning only the files
+    * the manifest cannot decide: files fully CONTAINED in the box (and
+    * provably free of null coordinates — nulls_xy == 0) count from their
+    * manifest `rows` with no I/O; files DISJOINT from the box contribute
+    * zero; only boundary-straddling files are read, with the exact
+    * predicate as residual. On a z-order-clustered table the boundary set
+    * is O(perimeter/cellSize) of the files, so a 100-TB table answers a
+    * box count from metadata plus a thin shell of data. Files whose
+    * commit lacked x/y (null stats) hold no matching row and prune
+    * exactly, like readBox; the NaN-suppressed infinite sentinel is
+    * never "contained", so such files fall to the scan path — degraded,
+    * never wrong. Returns (count, filesScanned, filesTotal). */
+  def countBox(spark: SparkSession, root: String, minx: Double, miny: Double,
+      maxx: Double, maxy: Double, asOf: Option[Int] = None)
+      : (Long, Long, Long) = {
+    val m = manifests(spark, root, asOf)
+    val total = m.count()
+    val intersects = col("min_x") <= maxx && col("max_x") >= minx &&
+      col("min_y") <= maxy && col("max_y") >= miny
+    val contained = col("min_x") >= minx && col("max_x") <= maxx &&
+      col("min_y") >= miny && col("max_y") <= maxy && col("nulls_xy") === 0L
+    // null-safe: unknown null counts or null stats make `contained` null,
+    // never true — coalesce routes those files to the (exact) scan path
+    val metaRows = m.filter(coalesce(contained, lit(false)))
+      .agg(coalesce(sum("rows"), lit(0L))).head.getLong(0)
+    val boundary = m.filter(coalesce(intersects, lit(false)) &&
+        not(coalesce(contained, lit(false))))
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else readerFor(spark, root, asOf).parquet(boundary: _*)
+        .filter(col("x") >= minx && col("x") <= maxx &&
+          col("y") >= miny && col("y") <= maxy).count()
+    (metaRows + scanned, boundary.length.toLong, total)
+  }
+
+  /** Metadata-only exact spatial extent (min/max over non-null x/y — SQL
+    * aggregate semantics). Footer min/max are exact for NaN-free doubles,
+    * so the union of manifest bboxes IS the extent; a table carrying the
+    * NaN-suppressed infinite sentinel cannot answer from metadata and
+    * FAILS LOUDLY (compute the extent with a scan there) rather than
+    * reporting an infinite bound as data. */
+  def extent(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): (Double, Double, Double, Double) = {
+    val r = manifests(spark, root, asOf)
+      .agg(min("min_x"), max("max_x"), min("min_y"), max("max_y")).head
+    require(!r.anyNull,
+      s"graft table $root has no x/y stats in any file — no spatial extent")
+    // parquet-mr normalizes a zero double min to -0.0 (IEEE-safe ordering
+    // sentinel); +0.0 is what SQL min/max over the data reports, and
+    // -0.0 == 0.0 for every comparison, so fold the sign out
+    def z(v: Double): Double = v + 0.0
+    val (a, b, c, d) =
+      (z(r.getDouble(0)), z(r.getDouble(1)), z(r.getDouble(2)), z(r.getDouble(3)))
+    require(!a.isInfinite && !b.isInfinite && !c.isInfinite && !d.isInfinite,
+      s"graft table $root carries NaN-suppressed footer stats — the exact " +
+      "extent requires a data scan, refusing to report an infinite bound")
+    (a, b, c, d)
   }
 }

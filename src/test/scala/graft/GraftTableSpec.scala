@@ -342,4 +342,43 @@ class GraftTableSpec extends AnyFunSuite {
     for (v <- 1 to 6)
       assert(GraftTable.read(spark, root, asOf = Some(v)).count() == 50L * v)
   }
+
+  test("metadata aggregates: countRows/extent with zero data I/O; countBox " +
+      "scans only boundary files; null coordinates route to the scan path") {
+    val root = freshRoot()
+    // z-order-clustered layout so interior files are fully contained in
+    // a big box and countBox's metadata fast path actually engages
+    GraftTable.commitClustered(
+      spark.range(4000).select(col("id").as("order_key"),
+        (col("id") % 64).cast("double").as("x"),
+        ((col("id") / 64) % 64).cast("double").as("y")),
+      root, cellSize = 4.0, numFiles = 16)
+    assert(GraftTable.countRows(spark, root) == 4000)
+    val (mnx, mxx, mny, mxy) = GraftTable.extent(spark, root)
+    val ref = GraftTable.read(spark, root)
+      .agg(min("x"), max("x"), min("y"), max("y")).head
+    assert((mnx, mxx, mny, mxy) ==
+      (ref.getDouble(0), ref.getDouble(1), ref.getDouble(2), ref.getDouble(3)))
+    // box covering most of the extent: interior files count from
+    // metadata, only the shell is scanned
+    val (n, scanned, total) = GraftTable.countBox(spark, root, 1, 1, 62, 62)
+    val brute = GraftTable.read(spark, root)
+      .filter(col("x").between(1, 62) && col("y").between(1, 62)).count()
+    assert(n == brute, s"countBox $n != scan $brute")
+    assert(scanned < total, s"expected metadata fast path: scanned $scanned of $total")
+    // a commit with null coordinates inside the box: nulls_xy != 0 bars
+    // the metadata fast path for that file, and the scan's residual
+    // drops the null rows — count stays exact
+    GraftTable.commit(
+      spark.range(100).select((col("id") + 10000).as("order_key"),
+        when(col("id") % 2 === 0, (col("id") % 50).cast("double")).as("x"),
+        lit(30.0).as("y")),
+      root)
+    val (n2, _, _) = GraftTable.countBox(spark, root, 1, 1, 62, 62)
+    val brute2 = GraftTable.read(spark, root)
+      .filter(col("x").between(1, 62) && col("y").between(1, 62)).count()
+    assert(n2 == brute2, s"null-coord countBox $n2 != scan $brute2")
+    // time travel: the pre-append snapshot still counts only its own rows
+    assert(GraftTable.countRows(spark, root, asOf = Some(1)) == 4000)
+  }
 }
