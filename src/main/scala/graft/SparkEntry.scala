@@ -1387,6 +1387,32 @@ object SparkEntry {
         lit(mxx).as("ext_maxx"), lit(mny).as("ext_miny"),
         lit(mxy).as("ext_maxy"))
     }),
+    "q110_table_upsert" -> ((s, d) => {
+      // GraftTable copy-on-write upsert (the CDC write path): four
+      // key-banded commits give disjoint manifest key intervals; the
+      // delta updates 25 keys inside band 0 and inserts 10 new keys, so
+      // only band-0 files may be rewritten (require below). The head
+      // read must show updated values, inserted rows, and every other
+      // row untouched — DuckDB reconstructs the same merge declaratively.
+      val root = freshTmp("graft-table-ups", d)
+      val p = pts(s, d).select("order_key", "x", "y", "value")
+      for (b <- 0 until 4)
+        graft.sources.GraftTable.commit(
+          p.filter(col("order_key") >= b * 2500 &&
+            col("order_key") < (b + 1) * 2500), root)
+      val delta = p.filter(col("order_key") % 100 === 7 &&
+          col("order_key") < 2500)
+        .withColumn("value", col("value") * 2 + lit(1.0))
+        .unionByName(p.filter(col("order_key") < 10)
+          .select((col("order_key") + 20000).as("order_key"),
+            col("x"), col("y"), lit(-1.0).as("value")))
+      val (_, rewritten, total) =
+        graft.sources.GraftTable.upsert(s, root, delta)
+      require(rewritten < total,
+        s"key-interval pruning expected: rewrote $rewritten of $total files")
+      graft.sources.GraftTable.read(s, root)
+        .select("order_key", "x", "y", "value")
+    }),
     "q101_text_roundtrip" -> ((s, d) => {
       // readers.text + writers.text via the PIPELINE dialect itself
       // (PipelineBuilder runs both JSON specs): CSV doubles round-trip
@@ -2777,6 +2803,22 @@ object SparkEntry {
                    WHERE x >= 1250 AND x <= 8750) AS box_rows,
                 MIN(x) AS ext_minx, MAX(x) AS ext_maxx,
                 MIN(y) AS ext_miny, MAX(y) AS ext_maxy
-         FROM p"""
+         FROM p""",
+    // copy-on-write upsert: survivors of the keyed merge + updated rows
+    // + inserted rows == the declarative merge
+    "q110_table_upsert" ->
+      """WITH p AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
+            value FROM events)
+         SELECT order_key, x, y, value FROM p
+           WHERE NOT (order_key % 100 = 7 AND order_key < 2500)
+         UNION ALL
+         SELECT order_key, x, y, value * 2 + 1.0 AS value FROM p
+           WHERE order_key % 100 = 7 AND order_key < 2500
+         UNION ALL
+         SELECT order_key + 20000 AS order_key, x, y,
+                CAST(-1.0 AS DOUBLE) AS value FROM p
+           WHERE order_key < 10"""
   )
 }

@@ -504,6 +504,64 @@ object GraftTable {
     (v, touched.size.toLong, total)
   }
 
+  /** Copy-on-write upsert by key — the CDC write path that completes the
+    * DML triple (append / deleteBox / upsert): rows of `updates` REPLACE
+    * existing rows with the same `keyCol` value; keys not present insert.
+    * Only data files that provably may hold an updated key are rewritten:
+    * the manifest's (min_key, max_key) interval is range-joined against
+    * the DISTINCT update keys (manifests broadcast — the small side of a
+    * theta join), so on a key-banded layout the rewrite set is the files
+    * the delta actually touches, not the table. Pruning is conservative
+    * and exact: a file is untouched only when NO update key falls in its
+    * key interval, and null-key rows inside touched files survive the
+    * equality anti-join (SQL null semantics), so they are never lost.
+    * Files whose commit lacked the key column cannot match and are kept;
+    * the all-null-stats sentinel widens to [Long.Min, Long.Max] and
+    * forces a rewrite — degraded, never wrong. Duplicate keys inside
+    * `updates` are rejected loudly (last-wins would be write-order
+    * nondeterminism). Same serializable isolation as deleteBox: a
+    * concurrent commit aborts the upsert rather than losing its files.
+    * Returns (version, filesRewritten, filesTotal). */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+      keyCol: String = "order_key"): (Int, Long, Long) = {
+    val base = currentVersion(root)
+    require(base > 0, s"graft table $root is empty (no committed snapshot)")
+    val keys = updates.select(col(keyCol)).filter(col(keyCol).isNotNull)
+    val (nKeys, nDistinct) = {
+      val r = keys.agg(count(lit(1)), count_distinct(col(keyCol))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nKeys == nDistinct,
+      s"upsert updates carry duplicate $keyCol values ($nKeys rows, " +
+      s"$nDistinct distinct) — resolve to one row per key first")
+    val m = spark.read.parquet(snapshot(root, base).manifests: _*)
+    val total = m.count()
+    // distributed file-level prune: one broadcast theta join of the tiny
+    // manifest table against the delta's keys, never a key collect
+    val touched = keys.join(
+        broadcast(m.select(col("path"), col("min_key"), col("max_key"))),
+        col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
+      .select("path").distinct().collect().map(_.getString(0)).toIndexedSeq
+    val commitId = UUID.randomUUID().toString.take(8)
+    val touchedSet = touched.toSet
+    val keepManifest = s"$root/manifests/m-$commitId-keep.parquet"
+    m.filter(not(col("path").isInCollection(touchedSet)))
+      .repartition(1).write.mode("overwrite").parquet(keepManifest)
+    val survivors =
+      if (touched.isEmpty) updates
+      else readerFor(spark, root, Some(base)).parquet(touched: _*)
+        .join(keys, Seq(keyCol), "left_anti")
+        .unionByName(updates, allowMissingColumns = true)
+    val (newManifest, schemaPath) = stageCommit(survivors, root, commitId)
+    val v = allocate(root, commitId, schemaPath, None, parent => {
+      if (parent != base) throw new java.util.ConcurrentModificationException(
+        s"graft table $root advanced v$base -> v$parent during upsert; " +
+        "retry on the new head")
+      Seq(keepManifest, newManifest)
+    })
+    (v, touched.size.toLong, total)
+  }
+
   /** Expire all snapshots older than the newest `keepLast`, then delete
     * every data/manifest file no surviving snapshot references (Iceberg's
     * expire_snapshots + remove_orphan_files). Returns the number of

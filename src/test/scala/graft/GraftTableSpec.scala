@@ -343,6 +343,41 @@ class GraftTableSpec extends AnyFunSuite {
       assert(GraftTable.read(spark, root, asOf = Some(v)).count() == 50L * v)
   }
 
+  test("upsert: copy-on-write by key rewrites only files whose key interval " +
+      "holds an update key; inserts append; duplicates rejected") {
+    val root = freshRoot()
+    // key-banded commits -> disjoint manifest key intervals per file
+    def band(lo: Int, hi: Int) = spark.range(lo, hi).select(
+      col("id").as("order_key"), (col("id") % 100).cast("double").as("x"),
+      lit(0.0).as("y"), lit(1.0).as("value"))
+    for (b <- 0 until 4) GraftTable.commit(band(b * 1000, (b + 1) * 1000), root)
+    val preUpsert = GraftTable.currentVersion(root)
+    // delta: update 50 keys inside band 2, insert 10 brand-new keys
+    val delta = spark.range(2100, 2150).select(col("id").as("order_key"),
+        lit(-1.0).as("x"), lit(-1.0).as("y"), lit(9.0).as("value"))
+      .unionByName(spark.range(9000, 9010).select(col("id").as("order_key"),
+        lit(5.0).as("x"), lit(5.0).as("y"), lit(7.0).as("value")))
+    val (v, rewritten, total) = GraftTable.upsert(spark, root, delta)
+    assert(rewritten < total, s"expected key-interval pruning: $rewritten of $total")
+    val head = GraftTable.read(spark, root)
+    assert(head.count() == 4010)
+    assert(head.filter(col("value") === 9.0).count() == 50)
+    assert(head.filter(col("order_key") >= 9000).count() == 10)
+    // untouched bands carry their original values
+    assert(head.filter(col("order_key") < 2000 && col("value") =!= 1.0).count() == 0)
+    // time travel across the upsert
+    assert(GraftTable.read(spark, root, asOf = Some(preUpsert)).count() == 4000)
+    assert(GraftTable.read(spark, root, asOf = Some(preUpsert))
+      .filter(col("value") === 9.0).count() == 0)
+    assert(v == preUpsert + 1)
+    // duplicate keys in the delta fail loudly
+    val dup = delta.unionByName(delta.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.upsert(spark, root, dup)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("metadata aggregates: countRows/extent with zero data I/O; countBox " +
       "scans only boundary files; null coordinates route to the scan path") {
     val root = freshRoot()
