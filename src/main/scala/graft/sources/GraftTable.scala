@@ -526,7 +526,12 @@ object GraftTable {
       keyCol: String = "order_key"): (Int, Long, Long) = {
     val base = currentVersion(root)
     require(base > 0, s"graft table $root is empty (no committed snapshot)")
+    // three downstream actions read the key set (distinctness gate, file
+    // prune join, survivor anti-join) — persist so an expensive update
+    // source computes once; unpersisted before returning on every path
     val keys = updates.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val (nKeys, nDistinct) = {
       val r = keys.agg(count(lit(1)), count_distinct(col(keyCol))).head
       (r.getLong(0), r.getLong(1))
@@ -543,9 +548,11 @@ object GraftTable {
         col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
       .select("path").distinct().collect().map(_.getString(0)).toIndexedSeq
     val commitId = UUID.randomUUID().toString.take(8)
-    val touchedSet = touched.toSet
     val keepManifest = s"$root/manifests/m-$commitId-keep.parquet"
-    m.filter(not(col("path").isInCollection(touchedSet)))
+    // anti-join, not an In-list literal: a wide delta can touch tens of
+    // thousands of files and O(literals) plan construction doesn't scale
+    import spark.implicits._
+    m.join(broadcast(touched.toDF("path")), Seq("path"), "left_anti")
       .repartition(1).write.mode("overwrite").parquet(keepManifest)
     val survivors =
       if (touched.isEmpty) updates
@@ -560,6 +567,7 @@ object GraftTable {
       Seq(keepManifest, newManifest)
     })
     (v, touched.size.toLong, total)
+    } finally keys.unpersist(false)
   }
 
   /** Expire all snapshots older than the newest `keepLast`, then delete

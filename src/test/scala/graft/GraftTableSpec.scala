@@ -376,6 +376,11 @@ class GraftTableSpec extends AnyFunSuite {
       GraftTable.upsert(spark, root, dup)
     }
     assert(e.getMessage.contains("duplicate"))
+    // an upsert rewrites manifests, so incremental reads crossing it are
+    // undefined and must fail loudly (same contract as delete/compaction)
+    intercept[IllegalStateException] {
+      GraftTable.readIncremental(spark, root, fromVersion = preUpsert)
+    }
   }
 
   test("metadata aggregates: countRows/extent with zero data I/O; countBox " +
