@@ -554,10 +554,16 @@ object GraftTable {
     import spark.implicits._
     m.join(broadcast(touched.toDF("path")), Seq("path"), "left_anti")
       .repartition(1).write.mode("overwrite").parquet(keepManifest)
+    // survivors always union against the BASE schema (via the touched
+    // files, or an empty base read when nothing is touched): the new
+    // snapshot's pinned schema must be base ∪ delta — a pure-insert
+    // delta missing a base column must not narrow the table's schema
+    // (columns evolve by addition, never silent drop)
     val survivors =
-      if (touched.isEmpty) updates
-      else readerFor(spark, root, Some(base)).parquet(touched: _*)
-        .join(keys, Seq(keyCol), "left_anti")
+      (if (touched.isEmpty)
+         read(spark, root, Some(base)).filter(lit(false))
+       else readerFor(spark, root, Some(base)).parquet(touched: _*)
+         .join(keys, Seq(keyCol), "left_anti"))
         .unionByName(updates, allowMissingColumns = true)
     val (newManifest, schemaPath) = stageCommit(survivors, root, commitId)
     val v = allocate(root, commitId, schemaPath, None, parent => {

@@ -381,6 +381,18 @@ class GraftTableSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       GraftTable.readIncremental(spark, root, fromVersion = preUpsert)
     }
+    // a pure-insert delta that touches no files and lacks a base column
+    // must not narrow the pinned schema: `value` survives as a column
+    // (null on the inserted rows), and extra delta columns evolve in
+    val ins = spark.range(30000, 30005).select(col("id").as("order_key"),
+      lit(2.0).as("x"), lit(2.0).as("y"), lit("new").as("tagcol"))
+    val (_, rw2, _) = GraftTable.upsert(spark, root, ins)
+    assert(rw2 == 0L)
+    val head2 = GraftTable.read(spark, root)
+    assert(head2.columns.contains("value") && head2.columns.contains("tagcol"))
+    assert(head2.filter(col("order_key") >= 30000 && col("value").isNull)
+      .count() == 5)
+    assert(head2.filter(col("tagcol") === "new").count() == 5)
   }
 
   test("metadata aggregates: countRows/extent with zero data I/O; countBox " +
