@@ -78,16 +78,56 @@ object GraftTable {
   }
 
   /** Append `df` as a new snapshot (overwrite = drop parent manifests).
-    * Returns the committed version. */
+    * Returns the committed version.
+    *
+    * Appends EVOLVE the pinned schema, never narrow it: the snapshot pins
+    * parent-schema ∪ df-schema (a df missing a base column must not make
+    * that column vanish from head reads; its own files just read it as
+    * nulls), re-merged inside the CAS loop against the parent actually
+    * committed on, so racing committers adding different columns each
+    * merge against the true head. A shared column name with a different
+    * type fails loudly before the CAS — staged files stay invisible
+    * orphans. Overwrite pins df's schema exactly (a replace defines the
+    * table anew). */
   def commit(df: DataFrame, root: String, overwrite: Boolean = false,
       tag: Option[String] = None): Int = {
     val commitId = UUID.randomUUID().toString.take(8)
     val (manifest, schemaPath) = stageCommit(df, root, commitId)
     allocate(root, commitId, schemaPath, tag, parent => {
-      val base = if (overwrite || parent == 0) Nil
-                 else snapshot(root, parent).manifests
-      base :+ manifest
+      if (overwrite || parent == 0) Seq(manifest)
+      else {
+        val snap = snapshot(root, parent)
+        snap.schema.filter(p => Files.exists(Paths.get(p))).foreach { pp =>
+          val merged = mergeSchema(
+            new String(Files.readAllBytes(Paths.get(pp)), "UTF-8"), df.schema)
+          Files.write(Paths.get(schemaPath), merged.json.getBytes("UTF-8"))
+        }
+        snap.manifests :+ manifest
+      }
     })
+  }
+
+  /** Parent ∪ append schema: parent fields keep their positions, new
+    * fields append in df order; a shared name whose type differs (up to
+    * nullability) is a real conflict and fails loudly. */
+  private def mergeSchema(parentJson: String,
+      df: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val parent = org.apache.spark.sql.types.DataType.fromJson(parentJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    df.fields.foreach { f =>
+      parent.fields.find(_.name == f.name).foreach { pf =>
+        // simpleString renders the type without nullability flags, which
+        // is exactly the "same type up to nullability" comparison wanted
+        // (DataType.sameType is private[sql])
+        require(pf.dataType.simpleString == f.dataType.simpleString,
+          s"append column '${f.name}' has type ${f.dataType.simpleString} " +
+          s"but the table pins ${pf.dataType.simpleString} — schema " +
+          "evolution is by column addition, not type change")
+      }
+    }
+    val newFields = df.fields.filterNot(f => parent.fieldNames.contains(f.name))
+    org.apache.spark.sql.types.StructType(parent.fields ++ newFields)
   }
 
   /** Steps 1+2 of the commit protocol: stage `df`'s rows as immutable

@@ -189,9 +189,23 @@ class GraftTableSpec extends AnyFunSuite {
     // bbox read also applies the pinned schema
     val (boxed, _, _) = GraftTable.readBox(spark, root, 0, 0, 5000, 5000)
     assert(boxed.columns.contains("w"))
+    // an append MISSING the evolved column must not narrow the head
+    // schema: `w` survives (null over the new file's rows)
+    GraftTable.commit(cloud(25, offX = 2000.0), root)
+    val head3 = GraftTable.read(spark, root)
+    assert(head3.columns.contains("w") && head3.count() == 175)
+    assert(head3.filter(col("w").isNull).count() == 125)
+    // a type conflict on a shared column fails loudly BEFORE the CAS:
+    // no snapshot lands, the head is unchanged
+    val vBefore = GraftTable.currentVersion(root)
+    intercept[IllegalArgumentException] {
+      GraftTable.commit(cloud(5).withColumn("w", lit("not-a-long")), root)
+    }
+    assert(GraftTable.currentVersion(root) == vBefore)
+    assert(GraftTable.read(spark, root).count() == 175)
     // vacuum keeps the schema files of surviving snapshots readable
     GraftTable.expireSnapshots(spark, root, keepLast = 1, orphanGraceMs = 0)
-    assert(GraftTable.read(spark, root).filter(col("w").isNull).count() == 100)
+    assert(GraftTable.read(spark, root).filter(col("w").isNull).count() == 125)
   }
 
   test("compact rewrites the head into fewer files; rows identical; history preserved") {
