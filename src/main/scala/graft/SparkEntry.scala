@@ -1413,6 +1413,26 @@ object SparkEntry {
       graft.sources.GraftTable.read(s, root)
         .select("order_key", "x", "y", "value")
     }),
+    "q111_table_evolution" -> ((s, d) => {
+      // Schema evolution through the driver gate: commit 1 lacks `value`
+      // (pre-evolution files read it as null), commit 2 adds it, commit 3
+      // appends NARROW rows after the evolution — the head schema must be
+      // the union (the narrowing-append hole this round fixed: a narrow
+      // append must not drop `value` from head reads). DuckDB rebuilds
+      // the same union with typed nulls.
+      val root = freshTmp("graft-table-evo", d)
+      val p = pts(s, d).select("order_key", "x", "y", "value")
+      graft.sources.GraftTable.commit(
+        p.filter(col("order_key") < 5000).select("order_key", "x", "y"), root)
+      graft.sources.GraftTable.commit(
+        p.filter(col("order_key") >= 5000), root)
+      graft.sources.GraftTable.commit(
+        p.filter(col("order_key") < 1000)
+          .select((col("order_key") + 10000).as("order_key"),
+            col("x"), col("y")), root)
+      graft.sources.GraftTable.read(s, root)
+        .select("order_key", "x", "y", "value")
+    }),
     "q101_text_roundtrip" -> ((s, d) => {
       // readers.text + writers.text via the PIPELINE dialect itself
       // (PipelineBuilder runs both JSON specs): CSV doubles round-trip
@@ -2819,6 +2839,21 @@ object SparkEntry {
          UNION ALL
          SELECT order_key + 20000 AS order_key, x, y,
                 CAST(-1.0 AS DOUBLE) AS value FROM p
-           WHERE order_key < 10"""
+           WHERE order_key < 10""",
+    // schema evolution: pre-evolution and post-evolution-narrow files
+    // surface the evolved column as typed nulls; the union is the head
+    "q111_table_evolution" ->
+      """WITH p AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y,
+            value FROM events)
+         SELECT order_key, x, y, CAST(NULL AS DOUBLE) AS value FROM p
+           WHERE order_key < 5000
+         UNION ALL
+         SELECT order_key, x, y, value FROM p WHERE order_key >= 5000
+         UNION ALL
+         SELECT order_key + 10000 AS order_key, x, y,
+                CAST(NULL AS DOUBLE) AS value FROM p
+           WHERE order_key < 1000"""
   )
 }
