@@ -561,9 +561,17 @@ object GraftTable {
     * `updates` are rejected loudly (last-wins would be write-order
     * nondeterminism). Same serializable isolation as deleteBox: a
     * concurrent commit aborts the upsert rather than losing its files.
+    * A `tag` makes the merge idempotent for replay (the CDC consumer
+    * crash path, like commitIfAbsent): a tag already in history returns
+    * its version immediately — (version, 0, 0), nothing re-merged.
     * Returns (version, filesRewritten, filesTotal). */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-      keyCol: String = "order_key"): (Int, Long, Long) = {
+      keyCol: String = "order_key", tag: Option[String] = None)
+      : (Int, Long, Long) = {
+    tag.flatMap(taggedVersion(root, _)) match {
+      case Some(v) => return (v, 0L, 0L) // replayed: already committed
+      case None =>
+    }
     val base = currentVersion(root)
     require(base > 0, s"graft table $root is empty (no committed snapshot)")
     // three downstream actions read the key set (distinctness gate, file
@@ -606,7 +614,7 @@ object GraftTable {
          .join(keys, Seq(keyCol), "left_anti"))
         .unionByName(updates, allowMissingColumns = true)
     val (newManifest, schemaPath) = stageCommit(survivors, root, commitId)
-    val v = allocate(root, commitId, schemaPath, None, parent => {
+    val v = allocate(root, commitId, schemaPath, tag, parent => {
       if (parent != base) throw new java.util.ConcurrentModificationException(
         s"graft table $root advanced v$base -> v$parent during upsert; " +
         "retry on the new head")

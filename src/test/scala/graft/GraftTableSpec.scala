@@ -400,8 +400,14 @@ class GraftTableSpec extends AnyFunSuite {
     // (null on the inserted rows), and extra delta columns evolve in
     val ins = spark.range(30000, 30005).select(col("id").as("order_key"),
       lit(2.0).as("x"), lit(2.0).as("y"), lit("new").as("tagcol"))
-    val (_, rw2, _) = GraftTable.upsert(spark, root, ins)
+    val (vIns, rw2, _) = GraftTable.upsert(spark, root, ins,
+      tag = Some("cdc-batch-1"))
     assert(rw2 == 0L)
+    // tagged replay (crashed CDC consumer): same version back, no new
+    // snapshot, head unchanged
+    val (vReplay, _, _) = GraftTable.upsert(spark, root, ins,
+      tag = Some("cdc-batch-1"))
+    assert(vReplay == vIns && GraftTable.currentVersion(root) == vIns)
     val head2 = GraftTable.read(spark, root)
     assert(head2.columns.contains("value") && head2.columns.contains("tagcol"))
     assert(head2.filter(col("order_key") >= 30000 && col("value").isNull)
