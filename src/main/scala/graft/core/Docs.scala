@@ -73,13 +73,14 @@ object GraftSession {
     try {
       java.nio.file.Files.createDirectories(base)
       val live = java.nio.file.Paths.get("/proc")
-      java.nio.file.Files.list(base).forEach { p =>
+      val ls = java.nio.file.Files.list(base)
+      try ls.forEach { p =>
         val name = p.getFileName.toString
         if (name.forall(_.isDigit) &&
             !java.nio.file.Files.exists(live.resolve(name))) {
           org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
         }
-      }
+      } finally ls.close()
     } catch { case _: Exception => }
     base.resolve(ProcessHandle.current().pid().toString).toString
   }

@@ -540,17 +540,28 @@ object PipelineBuilder {
           .csv(optStr(o, "filename").get); in
       case "writers.graft" =>
         // snapshot-table commit: append (default) stacks a new version,
-        // mode=overwrite starts history over; `commit_tag` makes the
-        // commit idempotent (a rerun with the same tag commits nothing).
-        // Named commit_tag because bare `tag` is PDAL's stage-tag option
-        // and is consumed by the pipeline parser before stages see it.
+        // mode=overwrite starts history over, mode=upsert merges by
+        // `key` (default order_key) rewriting only key-interval-touched
+        // files; `commit_tag` makes append and upsert idempotent (a
+        // rerun with the same tag commits nothing). Named commit_tag
+        // because bare `tag` is PDAL's stage-tag option and is consumed
+        // by the pipeline parser before stages see it.
         val root = optStr(o, "root").orElse(optStr(o, "filename")).get
-        val over = optStr(o, "mode").contains("overwrite")
-        optStr(o, "commit_tag") match {
-          case Some(tg) =>
-            require(!over, "writers.graft: commit_tag implies append mode")
-            graft.sources.GraftTable.commitIfAbsent(in, root, tg)
-          case None => graft.sources.GraftTable.commit(in, root, over)
+        val mode = optStr(o, "mode").getOrElse("append")
+        val tg = optStr(o, "commit_tag")
+        mode match {
+          case "upsert" =>
+            graft.sources.GraftTable.upsert(in.sparkSession, root, in,
+              keyCol = optStr(o, "key").getOrElse("order_key"), tag = tg)
+          case "overwrite" =>
+            require(tg.isEmpty, "writers.graft: commit_tag implies append mode")
+            graft.sources.GraftTable.commit(in, root, overwrite = true)
+          case "append" => tg match {
+            case Some(t) => graft.sources.GraftTable.commitIfAbsent(in, root, t)
+            case None => graft.sources.GraftTable.commit(in, root)
+          }
+          case other => throw new IllegalArgumentException(
+            s"writers.graft: unknown mode '$other' (append|overwrite|upsert)")
         }
         in
       case other => throw new IllegalArgumentException(s"unknown stage type: $other")

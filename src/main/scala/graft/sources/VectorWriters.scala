@@ -100,13 +100,18 @@ object AscWriter {
          |NODATA_value $nodata
          |""".stripMargin
     import java.nio.file.{Files, Paths, StandardOpenOption}
-    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString
-      .startsWith("part-")).findFirst().get()
+    // NIO directory streams must be closed (same discipline as
+    // GraftTable.withStream — an unclosed stream leaks an fd per call)
+    val ls = Files.list(Paths.get(tmp))
+    val part = try ls.filter(_.getFileName.toString
+      .startsWith("part-")).findFirst().get() finally ls.close()
     Files.write(Paths.get(path), header.getBytes("UTF-8"))
     val outS = Files.newOutputStream(Paths.get(path), StandardOpenOption.APPEND)
     try Files.copy(part, outS) finally outS.close()
     // clean the spark staging dir
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+    val wk = Files.walk(Paths.get(tmp))
+    try wk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
+    finally wk.close()
   }
 }

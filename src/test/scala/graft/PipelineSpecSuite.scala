@@ -515,4 +515,34 @@ class PipelineSpecSuite extends AnyFunSuite {
         "bounds":"([0,100],[0,100])"}]}""")
     assert(incBoxed.count() == 0)
   }
+
+  test("writers.graft mode=upsert: keyed merge through the pipeline " +
+      "dialect, tag-idempotent replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pipe-ups")
+      .toString + "/tbl"
+    Seq((1L, 10.0, 10.0), (2L, 20.0, 20.0), (3L, 30.0, 30.0))
+      .toDF("order_key", "x", "y").createOrReplaceTempView("gu_base")
+    // delta: update key 2, insert key 9
+    Seq((2L, -2.0, -2.0), (9L, 90.0, 90.0))
+      .toDF("order_key", "x", "y").createOrReplaceTempView("gu_delta")
+    PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.view","view":"gu_base"},
+       {"type":"writers.graft","root":"$root"}]}""")
+    PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.view","view":"gu_delta"},
+       {"type":"writers.graft","root":"$root","mode":"upsert",
+        "commit_tag":"cdc-1"}]}""")
+    // tagged replay commits nothing
+    PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.view","view":"gu_delta"},
+       {"type":"writers.graft","root":"$root","mode":"upsert",
+        "commit_tag":"cdc-1"}]}""")
+    assert(graft.sources.GraftTable.currentVersion(root) == 2)
+    val head = PipelineBuilder.run(spark, s"""{"pipeline":[
+       {"type":"readers.graft","root":"$root"}]}""")
+    assert(head.count() == 4)
+    assert(head.filter($"order_key" === 2L).select("x").as[Double].head() == -2.0)
+    assert(head.filter($"order_key" === 9L).count() == 1)
+  }
 }
