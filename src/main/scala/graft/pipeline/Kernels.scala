@@ -139,13 +139,27 @@ object TIndexKernel {
 object InfoKernel {
   /** `pdal info` (kernels/InfoKernel.cpp:53): metadata-only fast path via
     * parquet footer statistics when no point data is needed (QuickInfo,
-    * pdal/Stage.cpp:149-157), else the stats aggregate. */
+    * pdal/Stage.cpp:149-157), else the stats aggregate. A GraftTable root
+    * (has a VERSION pointer) answers the QuickInfo path purely from
+    * MANIFEST stats — rows + exact bbox with zero data files opened, the
+    * table-scale analog of PDAL reading only the LAS header. */
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local()
-    val df = spark.read.parquet(args(0))
-    if (args.contains("--stats"))
-      Stats(df, Seq("x", "y", "z", "intensity", "classification")).show(false)
-    else Info(df).show(false)
+    val isTable = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(args(0), "VERSION"))
+    if (isTable && !args.contains("--stats")) {
+      val rows = graft.sources.GraftTable.countRows(spark, args(0))
+      val (mnx, mxx, mny, mxy) = graft.sources.GraftTable.extent(spark, args(0))
+      println(s"[info] table=${args(0)} v=${
+        graft.sources.GraftTable.currentVersion(args(0))} rows=$rows " +
+        s"bbox=([$mnx,$mxx],[$mny,$mxy]) (manifest metadata only)")
+    } else {
+      val df = if (isTable) graft.sources.GraftTable.read(spark, args(0))
+               else spark.read.parquet(args(0))
+      if (args.contains("--stats"))
+        Stats(df, Seq("x", "y", "z", "intensity", "classification")).show(false)
+      else Info(df).show(false)
+    }
     spark.stop()
   }
 }
