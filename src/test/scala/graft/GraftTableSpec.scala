@@ -281,6 +281,11 @@ class GraftTableSpec extends AnyFunSuite {
     val head = GraftTable.currentVersion(root)
     val (v3, rw3, _) = GraftTable.deleteBox(spark, root, 5e6, 5e6, 6e6, 6e6)
     assert(v3 == head && rw3 == 0)
+    // metadata aggregates stay exact across deletes: rewritten files got
+    // fresh footer stats, carried-forward files kept exact ones
+    assert(GraftTable.countRows(spark, root) == after2.count())
+    val (nBox, _, _) = GraftTable.countBox(spark, root, 0, 0, 5000, 5000)
+    assert(nBox == after2.count())
     // vacuum after expiry physically drops the replaced band-1 files
     GraftTable.expireSnapshots(spark, root, keepLast = 1, orphanGraceMs = 0)
     assert(GraftTable.read(spark, root).count() == after2.count())
@@ -384,6 +389,10 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root, asOf = Some(preUpsert))
       .filter(col("value") === 9.0).count() == 0)
     assert(v == preUpsert + 1)
+    // metadata aggregates stay exact across the upsert: the updated rows
+    // moved x to -1, which must surface in the manifest-derived extent
+    assert(GraftTable.countRows(spark, root) == 4010)
+    assert(GraftTable.extent(spark, root)._1 == -1.0)
     // duplicate keys in the delta fail loudly
     val dup = delta.unionByName(delta.limit(1))
     val e = intercept[IllegalArgumentException] {
