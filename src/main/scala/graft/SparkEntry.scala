@@ -1433,6 +1433,34 @@ object SparkEntry {
       graft.sources.GraftTable.read(s, root)
         .select("order_key", "x", "y", "value")
     }),
+    "q112_salted_count" -> ((s, d) => {
+      // Skew.saltedCount (two-level skew-proof aggregation) through the
+      // gate: 70% of rows share tile 0 (a hot key), the rest spread over
+      // ~30 tiles; the per-(key, salt) partial + per-key final must be
+      // EXACTLY a plain grouped count — salting is a physical rewrite,
+      // never a semantic one.
+      val keyed = pts(s, d).withColumn("tile_id",
+        when(col("order_key") % 10 < 7, lit(0L))
+          .otherwise(col("order_key") % 100))
+      graft.operators.Skew.saltedCount(keyed, "tile_id")
+        .select(col("tile_id"), col("n"))
+    }),
+    "q113_cellstore_box" -> ((s, d) => {
+      // CellStore (EPT/COPC-style cell-partitioned layout): write the
+      // point table partitioned by grid cell, read a box back through
+      // the partition-pruned path — the scan must open fewer partitions
+      // than the table holds (require below, from the executed plan),
+      // and the rows must be exactly the residual box predicate.
+      val store = freshTmp("graft-cellstore", d)
+      val p = pts(s, d).select("order_key", "x", "y")
+      graft.sources.CellStore.write(p, store, 0.0, 0.0, 500.0)
+      val out = graft.sources.CellStore.readBox(
+        s, store, 2000.5, 2000.5, 4000.5, 4000.5, 0.0, 0.0, 500.0)
+      val (read, total) = graft.sources.CellStore.scanPartitionCounts(out)
+      require(read < total,
+        s"cell pruning expected: read $read of $total partitions")
+      out.select("order_key", "x", "y")
+    }),
     "q101_text_roundtrip" -> ((s, d) => {
       // readers.text + writers.text via the PIPELINE dialect itself
       // (PipelineBuilder runs both JSON specs): CSV doubles round-trip
@@ -2854,6 +2882,20 @@ object SparkEntry {
          UNION ALL
          SELECT order_key + 10000 AS order_key, x, y,
                 CAST(NULL AS DOUBLE) AS value FROM p
-           WHERE order_key < 1000"""
+           WHERE order_key < 1000""",
+    // salted two-level aggregation == plain grouped count
+    "q112_salted_count" ->
+      """SELECT tile_id, COUNT(*) AS n FROM
+           (SELECT CASE WHEN event_id % 10 < 7 THEN 0
+                        ELSE event_id % 100 END AS tile_id FROM events)
+         GROUP BY tile_id""",
+    // cell-partitioned box read == the residual predicate (pruning is a
+    // physical property, asserted engine-side from the executed plan)
+    "q113_cellstore_box" ->
+      """WITH p AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y FROM events)
+         SELECT order_key, x, y FROM p
+         WHERE x >= 2000.5 AND x <= 4000.5 AND y >= 2000.5 AND y <= 4000.5"""
   )
 }
