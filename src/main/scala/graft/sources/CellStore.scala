@@ -18,10 +18,17 @@ import graft.functions.{CellMath, F, PnpGrid, Wkt}
   * exact geometry residual) is what Iceberg's planner consumes unchanged.
   */
 object CellStore {
-  /** Write `df` partitioned by the grid cell of (x, y). */
+  /** Write `df` partitioned by the grid cell of (x, y). The repartition
+    * on the cell key co-locates each cell before the partitionBy write:
+    * without it every incoming partition emits a file into every cell
+    * directory it touches (P x C tiny files — a small-files explosion
+    * that murders both this write and every later scan); with it each
+    * cell directory holds one file per shuffle partition that owns the
+    * cell, i.e. one. */
   def write(df: DataFrame, path: String, ox: Double, oy: Double,
       cellLen: Double, mode: String = "overwrite"): Unit =
     df.withColumn("cell", F.cellId(col("x"), col("y"), ox, oy, cellLen))
+      .repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(path)
 
   /** Covering-cell IN-list of a polygon set at this store's grid. */
