@@ -1451,11 +1451,14 @@ object SparkEntry {
       // the partition-pruned path — the scan must open fewer partitions
       // than the table holds (require below, from the executed plan),
       // and the rows must be exactly the residual box predicate.
+      // cellLen sized so cells hold file-sized row groups at this SF —
+      // 100 cells, one file each (a 400-cell store spends its 5s on 400
+      // directory commits, overhead the layout should not pay)
       val store = freshTmp("graft-cellstore", d)
       val p = pts(s, d).select("order_key", "x", "y")
-      graft.sources.CellStore.write(p, store, 0.0, 0.0, 500.0)
+      graft.sources.CellStore.write(p, store, 0.0, 0.0, 1000.0)
       val out = graft.sources.CellStore.readBox(
-        s, store, 2000.5, 2000.5, 4000.5, 4000.5, 0.0, 0.0, 500.0)
+        s, store, 2000.5, 2000.5, 4000.5, 4000.5, 0.0, 0.0, 1000.0)
       val (read, total) = graft.sources.CellStore.scanPartitionCounts(out)
       require(read < total,
         s"cell pruning expected: read $read of $total partitions")
