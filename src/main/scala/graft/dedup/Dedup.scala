@@ -190,21 +190,35 @@ object Dedup {
     * larger radii need multi-probe or multi-table indexes, not narrower
     * chunks. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 100000): DataFrame = {
     // codegen'd fingerprint (one tight loop per row); bit-identical to
     // simhashSql, which stays as the executable spec it is tested against
     val fp = graft.core.Mat(
       df.select(col(idCol).as("id"),
         graft.functions.F.simhash64(col(textCol)).as("fp")))
-    simhashPairsFromFp(fp, maxHamming)
+    simhashPairsFromFp(fp, maxHamming, maxBucket)
   }
 
   /** Pair generation over precomputed (id, fp) fingerprints — split out
-    * so bucket recall is testable on crafted fingerprints. */
-  def simhashPairsFromFp(fp: DataFrame, maxHamming: Int): DataFrame = {
+    * so bucket recall is testable on crafted fingerprints.
+    *
+    * Candidates come from ONE capped (chunk-key) aggregation — the same
+    * shape minhashLsh uses — never a chunk-key self-join: a degenerate
+    * corpus slice (empty/boilerplate docs all fingerprinting to 0L) puts
+    * millions of ids in one bucket, and a self-join would materialize
+    * all O(n^2) pairs. cappedCollectList bounds the aggregation buffer at
+    * maxBucket + 1 ids per bucket at ANY skew; buckets over the cap
+    * generate no pairs (documented recall cap — their members are
+    * near-identical boilerplate that exact dedup already collapses; a
+    * pair inside a dropped bucket is only missed if all its other
+    * chunk buckets are also over the cap). */
+  def simhashPairsFromFp(fp: DataFrame, maxHamming: Int,
+      maxBucket: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"chunk-bucket recall guarantee needs maxHamming+1 <= 8 chunks of >= 8 bits " +
         s"(got $maxHamming); use multi-probe for larger radii")
+    require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
     val c = maxHamming + 1
     val base = 64 / c
     val rem = 64 % c
@@ -217,12 +231,22 @@ object Dedup {
     val chunked = fp.withColumn("__c", explode(chunkDefs))
       .withColumn("key", struct(col("__c.i"),
         expr("shiftrightunsigned(fp, CAST(__c.sh AS INT))").bitwiseAND(col("__c.mask"))))
-      .select("id", "fp", "key")
-    val cand = chunked.as("a").join(chunked.as("b"),
-        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b")).distinct()
-    cand.withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .select("id", "key")
+    // sorted member list per bucket expands to its i<j pairs in place;
+    // the 16-byte candidate pairs are deduped BEFORE fingerprints are
+    // re-attached, so the distinct never shuffles payload columns
+    val cand = chunked.groupBy("key")
+      .agg(sort_array(graft.functions.F.cappedCollectList(
+        col("id"), maxBucket)).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(fp.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

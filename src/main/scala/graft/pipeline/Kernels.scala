@@ -149,10 +149,21 @@ object InfoKernel {
       java.nio.file.Paths.get(args(0), "VERSION"))
     if (isTable && !args.contains("--stats")) {
       val rows = graft.sources.GraftTable.countRows(spark, args(0))
-      val (mnx, mxx, mny, mxy) = graft.sources.GraftTable.extent(spark, args(0))
-      println(s"[info] table=${args(0)} v=${
-        graft.sources.GraftTable.currentVersion(args(0))} rows=$rows " +
-        s"bbox=([$mnx,$mxx],[$mny,$mxy]) (manifest metadata only)")
+      // a valid non-spatial table has no x/y stats and extent refuses to
+      // answer (same for the NaN-suppressed infinite sentinel): QuickInfo
+      // still reports the metadata row count, then falls back to the
+      // Info scan path instead of crashing
+      scala.util.Try(graft.sources.GraftTable.extent(spark, args(0))) match {
+        case scala.util.Success((mnx, mxx, mny, mxy)) =>
+          println(s"[info] table=${args(0)} v=${
+            graft.sources.GraftTable.currentVersion(args(0))} rows=$rows " +
+            s"bbox=([$mnx,$mxx],[$mny,$mxy]) (manifest metadata only)")
+        case scala.util.Failure(_) =>
+          println(s"[info] table=${args(0)} v=${
+            graft.sources.GraftTable.currentVersion(args(0))} rows=$rows " +
+            "bbox=unavailable (no usable x/y stats — scanning)")
+          Info(graft.sources.GraftTable.read(spark, args(0))).show(false)
+      }
     } else {
       val df = if (isTable) graft.sources.GraftTable.read(spark, args(0))
                else spark.read.parquet(args(0))

@@ -328,12 +328,32 @@ object GraftTable {
     } finally r.close()
   }
 
+  /** The manifest file schema, pinned EXPLICITLY on every manifest read:
+    * the format grew a 9th column (nulls_xy), and tables written by the
+    * previous revision carry 8-column manifests forward in later
+    * snapshots. Schema inference over the mixed set resolves from an
+    * arbitrary file — 'nulls_xy' would nondeterministically fail
+    * analysis. With the pinned schema a missing column surfaces as null,
+    * which every consumer already routes to the exact scan path. */
+  private val manifestSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType), StructField("rows", LongType),
+      StructField("min_x", DoubleType), StructField("max_x", DoubleType),
+      StructField("min_y", DoubleType), StructField("max_y", DoubleType),
+      StructField("min_key", LongType), StructField("max_key", LongType),
+      StructField("nulls_xy", LongType)))
+  }
+
+  private def readManifests(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(manifestSchema).parquet(paths: _*)
+
   /** The manifest table of a snapshot (default: head). */
   def manifests(spark: SparkSession, root: String,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(root))
     require(v > 0, s"graft table $root is empty (no committed snapshot)")
-    spark.read.parquet(snapshot(root, v).manifests: _*)
+    readManifests(spark, snapshot(root, v).manifests)
   }
 
   /** Reader with the snapshot's pinned schema applied (files predating
@@ -412,7 +432,7 @@ object GraftTable {
     // list; pre-evolution tables fall back to a lazy filter(false) read
     if (delta.isEmpty) return pinnedEmpty(spark, root, to)
       .getOrElse(read(spark, root, Some(to)).filter(lit(false)))
-    val files = spark.read.parquet(delta: _*).select("path")
+    val files = readManifests(spark, delta).select("path")
       .collect().map(_.getString(0)).toIndexedSeq
     if (files.isEmpty) // appended manifests may list zero files (empty commit)
       return pinnedEmpty(spark, root, to)
@@ -517,7 +537,7 @@ object GraftTable {
       miny: Double, maxx: Double, maxy: Double): (Int, Long, Long) = {
     val base = currentVersion(root)
     require(base > 0, s"graft table $root is empty (no committed snapshot)")
-    val m = spark.read.parquet(snapshot(root, base).manifests: _*)
+    val m = readManifests(spark, snapshot(root, base).manifests)
     val total = m.count()
     val touch = col("min_x") <= maxx && col("max_x") >= minx &&
       col("min_y") <= maxy && col("max_y") >= miny
@@ -551,15 +571,20 @@ object GraftTable {
     * the manifest's (min_key, max_key) interval is range-joined against
     * the DISTINCT update keys (manifests broadcast — the small side of a
     * theta join), so on a key-banded layout the rewrite set is the files
-    * the delta actually touches, not the table. Pruning is conservative
-    * and exact: a file is untouched only when NO update key falls in its
-    * key interval, and null-key rows inside touched files survive the
-    * equality anti-join (SQL null semantics), so they are never lost.
-    * Files whose commit lacked the key column cannot match and are kept;
-    * the all-null-stats sentinel widens to [Long.Min, Long.Max] and
-    * forces a rewrite — degraded, never wrong. Duplicate keys inside
-    * `updates` are rejected loudly (last-wins would be write-order
-    * nondeterminism). Same serializable isolation as deleteBox: a
+    * the delta actually touches, not the table. Manifest key stats exist
+    * for order_key only, so the prune applies ONLY when keyCol is
+    * order_key; any other key rewrites all files (degraded, never
+    * wrong). Pruning is conservative and exact: a file is untouched only
+    * when NO update key falls in its key interval, and null-key rows
+    * inside touched files survive the equality anti-join (SQL null
+    * semantics), so they are never lost. Files whose commit lacked the
+    * key column cannot match and are kept; the all-null-stats sentinel
+    * widens to [Long.Min, Long.Max] and forces a rewrite. Duplicate or
+    * null keys inside `updates` are rejected loudly (last-wins would be
+    * write-order nondeterminism; null keys cannot merge by key). A delta
+    * column whose type conflicts with the pinned base schema fails
+    * loudly (same guard as append). Same serializable isolation as
+    * deleteBox: a
     * concurrent commit aborts the upsert rather than losing its files.
     * A `tag` makes the merge idempotent for replay (the CDC consumer
     * crash path, like commitIfAbsent): a tag already in history returns
@@ -574,27 +599,54 @@ object GraftTable {
     }
     val base = currentVersion(root)
     require(base > 0, s"graft table $root is empty (no committed snapshot)")
-    // three downstream actions read the key set (distinctness gate, file
-    // prune join, survivor anti-join) — persist so an expensive update
-    // source computes once; unpersisted before returning on every path
-    val keys = updates.select(col(keyCol)).filter(col(keyCol).isNotNull)
+    // type-conflict guard, same check the append path runs in
+    // mergeSchema: the union below applies Spark's set-operation type
+    // coercion, so a delta whose shared column differs in type (int vs
+    // double, numeric vs string) would otherwise silently widen and
+    // re-pin the table's column type
+    val baseSchemaJson = snapshot(root, base).schema
+      .filter(p => Files.exists(Paths.get(p)))
+      .map(p => new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+      .getOrElse(read(spark, root, Some(base)).schema.json)
+    mergeSchema(baseSchemaJson, updates.schema)
+    // three downstream actions read the key set (null/distinctness gate,
+    // file prune join, survivor anti-join) — persist so an expensive
+    // update source computes once; unpersisted before returning
+    val keys = updates.select(col(keyCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val (nKeys, nDistinct) = {
-      val r = keys.agg(count(lit(1)), count_distinct(col(keyCol))).head
-      (r.getLong(0), r.getLong(1))
+    val (nTotal, nKeys, nDistinct) = {
+      val r = keys.agg(count(lit(1)), count(col(keyCol)),
+        count_distinct(col(keyCol))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    // null keys would bypass the one-row-per-key contract entirely: a
+    // null never equality-matches in the anti-join, so repeated upserts
+    // of the same delta would accumulate duplicate null-key rows
+    require(nTotal == nKeys,
+      s"upsert updates carry ${nTotal - nKeys} null $keyCol value(s) — " +
+      "null-key rows cannot merge by key; assign keys or append them " +
+      "with commit()")
     require(nKeys == nDistinct,
       s"upsert updates carry duplicate $keyCol values ($nKeys rows, " +
       s"$nDistinct distinct) — resolve to one row per key first")
-    val m = spark.read.parquet(snapshot(root, base).manifests: _*)
+    val m = readManifests(spark, snapshot(root, base).manifests)
     val total = m.count()
     // distributed file-level prune: one broadcast theta join of the tiny
-    // manifest table against the delta's keys, never a key collect
-    val touched = keys.join(
-        broadcast(m.select(col("path"), col("min_key"), col("max_key"))),
-        col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
-      .select("path").distinct().collect().map(_.getString(0)).toIndexedSeq
+    // manifest table against the delta's keys, never a key collect.
+    // Manifest min_key/max_key are ORDER_KEY footer stats (footerStats
+    // stats x/y/order_key only), so interval pruning is sound ONLY for
+    // keyCol == order_key — any other key column falls back to rewriting
+    // every file, because pruning on the wrong column's interval could
+    // skip files holding stale versions of updated keys and silently
+    // leave duplicate rows. Degraded, never wrong.
+    val touched =
+      if (keyCol == "order_key")
+        keys.join(
+            broadcast(m.select(col("path"), col("min_key"), col("max_key"))),
+            col(keyCol) >= col("min_key") && col(keyCol) <= col("max_key"))
+          .select("path").distinct().collect().map(_.getString(0)).toIndexedSeq
+      else m.select("path").collect().map(_.getString(0)).toIndexedSeq
     val commitId = UUID.randomUUID().toString.take(8)
     val keepManifest = s"$root/manifests/m-$commitId-keep.parquet"
     // anti-join, not an In-list literal: a wide delta can touch tens of
@@ -661,7 +713,7 @@ object GraftTable {
       (liveManifestSeq ++ keptSnaps.flatMap(_.schema)).map(canon).toSet
     val liveData: Set[String] =
       if (liveManifestSeq.isEmpty) Set.empty
-      else spark.read.parquet(liveManifestSeq: _*)
+      else readManifests(spark, liveManifestSeq)
         .select("path").collect().map(r => canon(r.getString(0))).toSet
     var deleted = 0
     // orphanGraceMs: a file younger than the grace window is NEVER swept

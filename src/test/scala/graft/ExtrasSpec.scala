@@ -517,6 +517,30 @@ class ExtrasSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.simhashPairsFromFp(fp, maxHamming = 16))
   }
 
+  test("simhash degenerate mega-bucket is capped, not quadratic") {
+    import spark.implicits._
+    // 10^5 docs all fingerprinting to 0L (the empty/boilerplate slice):
+    // an uncapped chunk-bucket self-join would materialize ~5e9 pairs x 4
+    // chunks. The capped aggregation delivers each bucket as at most
+    // maxBucket+1 ids and the size filter drops it — the job completes in
+    // bounded memory and the degenerate slice yields ZERO pairs.
+    val degenerate = spark.range(100000).select(col("id"), lit(0L).as("fp"))
+    // plus a planted near pair away from the mega bucket that must survive
+    val base = 0x7EDCBA9876543210L
+    val planted = Seq((200001L, base), (200002L, base ^ (1L << 5)))
+      .toDF("id", "fp")
+    val pairs = Dedup.simhashPairsFromFp(
+      degenerate.union(planted), maxHamming = 3, maxBucket = 1000)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((200001L, 200002L)),
+      s"expected only the planted pair outside the capped bucket, got ${got.size}")
+    // and with the cap ABOVE the bucket size the mega bucket's pairs all
+    // come back (small regime proves cap semantics == uncapped + filter)
+    val tiny = spark.range(5).select(col("id"), lit(0L).as("fp"))
+    val all = Dedup.simhashPairsFromFp(tiny, maxHamming = 1, maxBucket = 100)
+    assert(all.count() == 10) // C(5,2)
+  }
+
   test("elm flags stacked low outliers, breaks at first sub-threshold gap") {
     import spark.implicits._
     // ADVICE scenario: z = 0, 2, 4, 100 with threshold 1 -> flag three

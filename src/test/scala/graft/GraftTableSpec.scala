@@ -424,6 +424,63 @@ class GraftTableSpec extends AnyFunSuite {
     assert(head2.filter(col("tagcol") === "new").count() == 5)
   }
 
+  test("upsert hardening: non-order_key keys skip the order_key interval " +
+      "prune; null keys and type conflicts fail loudly; legacy 8-column " +
+      "manifests still read") {
+    val root = freshRoot()
+    // doc_key runs OPPOSITE to order_key, so order_key interval pruning
+    // applied to a doc_key upsert would match the WRONG files and leave
+    // the stale row in place (the ADVICE scenario)
+    def f(lo: Int, hi: Int) = spark.range(lo, hi).select(
+      col("id").as("order_key"), (lit(10000) - col("id")).as("doc_key"),
+      lit(1.0).as("x"), lit(1.0).as("y"), lit(1.0).as("value"))
+    GraftTable.commit(f(0, 1000), root)
+    GraftTable.commit(f(1000, 2000), root)
+    // the delta row's order_key (99999) intersects NO file's order_key
+    // interval — pruning on it would rewrite nothing and duplicate the key
+    val delta = spark.range(1).select(lit(99999L).as("order_key"),
+      lit(9500L).as("doc_key"), lit(2.0).as("x"), lit(2.0).as("y"),
+      lit(42.0).as("value"))
+    val (_, rewritten, total) =
+      GraftTable.upsert(spark, root, delta, keyCol = "doc_key")
+    assert(rewritten == total,
+      "no manifest stats exist for doc_key: the only sound plan is a full rewrite")
+    val head = GraftTable.read(spark, root)
+    assert(head.count() == 2000, "replaced, not duplicated")
+    val r9500 = head.filter(col("doc_key") === 9500).collect()
+    assert(r9500.length == 1 && r9500.head.getAs[Double]("value") == 42.0)
+    // null keys bypass the merge contract -> rejected loudly
+    val nullKey = spark.range(1).select(lit(null).cast("long").as("order_key"),
+      lit(0L).as("doc_key"), lit(0.0).as("x"), lit(0.0).as("y"),
+      lit(0.0).as("value"))
+    val eN = intercept[IllegalArgumentException](
+      GraftTable.upsert(spark, root, nullKey))
+    assert(eN.getMessage.contains("null"))
+    // a shared column with a conflicting type fails BEFORE the union can
+    // silently coerce and re-pin the table's column type
+    val badType = spark.range(1).select(lit(7L).as("order_key"),
+      lit(7L).as("doc_key"), lit(0.0).as("x"), lit(0.0).as("y"),
+      lit("oops").as("value"))
+    val eT = intercept[IllegalArgumentException](
+      GraftTable.upsert(spark, root, badType))
+    assert(eT.getMessage.contains("type"))
+    // legacy manifest (pre-nulls_xy revision): drop the column from one
+    // manifest in place — reads must surface nulls_xy as null (explicit
+    // manifest schema), not nondeterministically fail analysis
+    val mans = GraftTable.snapshot(root, GraftTable.currentVersion(root)).manifests
+    mans.foreach { mp =>
+      val legacy = spark.read.parquet(mp).drop("nulls_xy")
+      val rows = legacy.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), legacy.schema)
+        .repartition(1).write.mode("overwrite").parquet(mp)
+    }
+    assert(GraftTable.countRows(spark, root) == 2000)
+    // unknown null counts route the legacy files to the exact scan path
+    val (cnt, scanned, _) = GraftTable.countBox(spark, root, 0, 0, 10, 10)
+    assert(cnt == 2000)
+    assert(scanned >= 1, "legacy files (unknown nulls_xy) must be scanned, not trusted")
+  }
+
   test("metadata aggregates: countRows/extent with zero data I/O; countBox " +
       "scans only boundary files; null coordinates route to the scan path") {
     val root = freshRoot()
