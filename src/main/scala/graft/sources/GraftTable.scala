@@ -89,8 +89,19 @@ object GraftTable {
     * type fails loudly before the CAS — staged files stay invisible
     * orphans. Overwrite pins df's schema exactly (a replace defines the
     * table anew). */
+  /** A snapshot accumulating more manifests than this triggers an inline
+    * metadata-only manifest merge at commit time: every append adds a
+    * manifest, so after 10^4 small appends a head read would union 10^4
+    * tiny manifest parquets and read planning degrades to manifest-file
+    * I/O. Iceberg bounds this with rewrite_manifests; the same merge
+    * here runs automatically past the threshold (and on demand via
+    * rewriteManifests). Data files are never touched. */
+  val autoMergeManifestsAbove = 64
+
   def commit(df: DataFrame, root: String, overwrite: Boolean = false,
-      tag: Option[String] = None): Int = {
+      tag: Option[String] = None,
+      mergeAbove: Int = autoMergeManifestsAbove): Int = {
+    require(mergeAbove >= 1, s"mergeAbove must be >= 1 (got $mergeAbove)")
     val commitId = UUID.randomUUID().toString.take(8)
     val (manifest, schemaPath) = stageCommit(df, root, commitId)
     allocate(root, commitId, schemaPath, tag, parent => {
@@ -102,9 +113,46 @@ object GraftTable {
             new String(Files.readAllBytes(Paths.get(pp)), "UTF-8"), df.schema)
           Files.write(Paths.get(schemaPath), merged.json.getBytes("UTF-8"))
         }
-        snap.manifests :+ manifest
+        val all = snap.manifests :+ manifest
+        // parent-suffixed path: a CAS retry merges against a DIFFERENT
+        // head's manifest list and must not overwrite the losing attempt
+        // (which stays an invisible orphan until vacuum)
+        if (all.size > mergeAbove)
+          Seq(mergeManifestFiles(df.sparkSession, root, all,
+            s"$commitId-p$parent"))
+        else all
       }
     })
+  }
+
+  /** Metadata-only manifest maintenance (Iceberg's rewrite_manifests):
+    * coalesce the head snapshot's manifest list into ONE manifest parquet
+    * WITHOUT touching any data file, committed as a new snapshot that
+    * carries the head's pinned schema forward. History stays intact —
+    * prior snapshots keep referencing the old manifests until
+    * expireSnapshots drops them. Returns the committed version (the
+    * unchanged head when there is nothing to merge). */
+  def rewriteManifests(spark: SparkSession, root: String): Int = {
+    val base = currentVersion(root)
+    require(base > 0, s"graft table $root is empty (no committed snapshot)")
+    val snap = snapshot(root, base)
+    if (snap.manifests.size <= 1) return base
+    val commitId = UUID.randomUUID().toString.take(8)
+    val merged = mergeManifestFiles(spark, root, snap.manifests, commitId)
+    allocate(root, commitId, snap.schema.getOrElse(""), None, parent => {
+      if (parent != base) throw new java.util.ConcurrentModificationException(
+        s"graft table $root advanced v$base -> v$parent during " +
+        "rewriteManifests; retry on the new head")
+      Seq(merged)
+    })
+  }
+
+  private def mergeManifestFiles(spark: SparkSession, root: String,
+      manifests: Seq[String], commitId: String): String = {
+    val merged = s"$root/manifests/m-$commitId-merged.parquet"
+    readManifests(spark, manifests).repartition(1)
+      .write.mode("overwrite").parquet(merged)
+    merged
   }
 
   /** Parent ∪ append schema: parent fields keep their positions, new
@@ -404,10 +452,12 @@ object GraftTable {
     * scan. At 10^12 rows this is what downstream consumers actually run:
     * process the delta since the last checkpointed version, never a full
     * re-read. Append commits carry the parent's manifests forward, so the
-    * delta is precisely the manifest-set difference; that identity breaks
-    * the moment a snapshot in (from, to] dropped or rewrote a parent
-    * manifest (overwrite / compaction / deleteBox), and this FAILS LOUDLY
-    * there instead of returning rows that were merely reshuffled between
+    * delta is precisely the manifest-set difference; when a metadata-only
+    * manifest merge broke that identity, the DATA-file-set difference is
+    * still exact (merges never touch data files) and the delta falls back
+    * to it. Only a history that dropped or rewrote data files in
+    * (from, to] (overwrite / compaction / deleteBox / upsert) FAILS
+    * LOUDLY instead of returning rows that were merely reshuffled between
     * files — resolve such boundaries with a full read of the target
     * snapshot. fromVersion = 0 reads everything up to `toVersion`. */
   def readIncremental(spark: SparkSession, root: String, fromVersion: Int,
@@ -421,11 +471,29 @@ object GraftTable {
       else snapshot(root, fromVersion).manifests.toSet
     val toS = snapshot(root, to)
     val missing = fromM -- toS.manifests.toSet
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"graft table $root: history v$fromVersion -> v$to is not append-only " +
-      s"(${missing.size} manifest(s) of v$fromVersion were dropped/rewritten " +
-      "by an overwrite, compaction or delete) — incremental read is " +
-      "undefined across that boundary; full-read the target snapshot")
+    if (missing.nonEmpty) {
+      // the manifest-set identity broke — but a metadata-only manifest
+      // merge (rewriteManifests / commit auto-merge) carries every DATA
+      // file forward, so the append delta is still exactly the file-set
+      // difference. Only a history that DROPPED data files (overwrite,
+      // compaction, deleteBox, upsert — all rewrite rows between files)
+      // makes the incremental read undefined, and that stays loud.
+      val fromFiles = readManifests(spark, snapshot(root, fromVersion).manifests)
+        .select("path").collect().map(_.getString(0)).toSet
+      val toFiles = readManifests(spark, toS.manifests)
+        .select("path").collect().map(_.getString(0)).toSet
+      val dropped = fromFiles -- toFiles
+      if (dropped.nonEmpty) throw new IllegalStateException(
+        s"graft table $root: history v$fromVersion -> v$to is not append-only " +
+        s"(${dropped.size} data file(s) of v$fromVersion were dropped/rewritten " +
+        "by an overwrite, compaction, delete or upsert) — incremental read " +
+        "is undefined across that boundary; full-read the target snapshot")
+      val deltaFiles = (toFiles -- fromFiles).toIndexedSeq.sorted
+      return if (deltaFiles.isEmpty)
+        pinnedEmpty(spark, root, to)
+          .getOrElse(read(spark, root, Some(to)).filter(lit(false)))
+      else readerFor(spark, root, Some(to)).parquet(deltaFiles: _*)
+    }
     val delta = toS.manifests.filterNot(fromM)
     // same-version range (the steady-state "no new data" poll): build the
     // empty frame from the pinned schema without collecting the live file

@@ -481,6 +481,55 @@ class GraftTableSpec extends AnyFunSuite {
     assert(scanned >= 1, "legacy files (unknown nulls_xy) must be scanned, not trusted")
   }
 
+  test("manifest auto-merge: many small appends keep the head's manifest " +
+      "count bounded, touch no data files, and incremental reads survive " +
+      "the merge boundary") {
+    val root = freshRoot()
+    import scala.jdk.CollectionConverters._
+    def one(i: Int) = spark.range(i * 10, (i + 1) * 10).coalesce(1).select(
+      col("id").as("order_key"), (col("id") % 7).cast("double").as("x"),
+      (col("id") % 5).cast("double").as("y"))
+    def dataFiles(): Set[String] = {
+      val d = java.nio.file.Paths.get(root, "data")
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.toString).toSet finally s.close()
+    }
+    // 30 single-file appends with a threshold of 8: without merging, the
+    // head would union 30 manifests; the auto-merge caps it at <= 9
+    for (i <- 0 until 30)
+      GraftTable.commit(one(i), root, mergeAbove = 8)
+    val head = GraftTable.currentVersion(root)
+    assert(GraftTable.snapshot(root, head).manifests.size <= 9,
+      s"auto-merge must bound the manifest count (got ${
+        GraftTable.snapshot(root, head).manifests.size})")
+    assert(GraftTable.countRows(spark, root) == 300)
+    assert(GraftTable.read(spark, root).count() == 300)
+    // history intact: a pre-merge version still time-travels exactly
+    assert(GraftTable.read(spark, root, asOf = Some(5)).count() == 50)
+    // explicit rewrite_manifests: one manifest after, SAME data files
+    val before = dataFiles()
+    val v2 = GraftTable.rewriteManifests(spark, root)
+    assert(v2 == head + 1)
+    assert(GraftTable.snapshot(root, v2).manifests.size == 1)
+    assert(dataFiles() == before, "manifest merge must be metadata-only")
+    assert(GraftTable.read(spark, root).count() == 300)
+    // idempotent on an already-merged head
+    assert(GraftTable.rewriteManifests(spark, root) == v2)
+    // incremental read ACROSS merge boundaries: a consumer checkpointed
+    // before merges still gets exactly the appended rows (file-set diff)
+    val cpV = 10 // head was at v10 after 10 appends
+    GraftTable.commit(one(100), root, mergeAbove = 8) // rows 1000..1009
+    val inc = GraftTable.readIncremental(spark, root, fromVersion = cpV)
+    assert(inc.count() == 210, // appends 11..30 (200 rows) + the new 10
+      s"file-set incremental across merges must be exact (got ${inc.count()})")
+    assert(inc.agg(min("order_key")).head.getLong(0) == 100)
+    // a history that truly drops files still fails loudly
+    GraftTable.compact(spark, root, numFiles = 2)
+    intercept[IllegalStateException] {
+      GraftTable.readIncremental(spark, root, fromVersion = cpV)
+    }
+  }
+
   test("metadata aggregates: countRows/extent with zero data I/O; countBox " +
       "scans only boundary files; null coordinates route to the scan path") {
     val root = freshRoot()
