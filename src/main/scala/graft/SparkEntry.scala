@@ -1481,6 +1481,46 @@ object SparkEntry {
         .select(col("order_key").cast("long").as("order_key"),
           col("x").cast("double").as("x"), col("y").cast("double").as("y"),
           col("value").cast("double").as("value"))
+    }),
+    "q114_media_codecs" -> ((s, d) => {
+      // REAL pure-JVM codec round trip, end-to-end: ids -> encoded blobs
+      // (PPM for even image ids, BMP for odd; WAV PCM16; GFV1 video of
+      // PPM frames) -> decode-side sums. Every output number is computed
+      // by PARSING the bytes (position-weighted wsum catches row-order /
+      // padding / endianness defects; rsum is a resize + re-encode +
+      // re-decode round trip; video sums its LAST frame so the demuxer
+      // walks all prior frames). The oracle recomputes the same sums
+      // from the payload arithmetic alone — a codec defect anywhere in
+      // encode OR decode breaks the hash.
+      val ids = t(s, d, "events")
+        .select((col("event_id") % 701).as("n")).distinct()
+        .withColumn("kind", when(col("n") % 3 === 0, "image")
+          .when(col("n") % 3 === 1, "audio").otherwise("video"))
+      val media = graft.media.Multimodal.synthRealMedia(s, ids)
+      graft.media.Multimodal.decodeFeatures(media)
+        .select("media_ref", "kind", "w", "h", "pcnt", "psum", "wsum", "rsum")
+    }),
+    "q115_glb_roundtrip" -> ((s, d) => {
+      // writers.gltf -> readers.gltf round trip, mirroring q84's PLY
+      // gate: integral coords stay exact through the float32 position
+      // block (< 2^24), and positions come back OFFSET-RELATIVE (the GLB
+      // drops the absolute mesh minimum, as the reference writer does),
+      // so the oracle subtracts the same per-axis minima. Read-back face
+      // indices are the 0-based vertex ranks (k-1, k, k+1).
+      val p = pts(s, d).filter(col("order_key").between(1, 1500))
+        .select("order_key", "x", "y", "z")
+      val faces = p.filter(col("order_key") % 3 === 1 &&
+          col("order_key") <= 1498)
+        .select(col("order_key").as("a"), (col("order_key") + 1).as("b"),
+          (col("order_key") + 2).as("c"))
+      val f = s"/tmp/graft-glb-${Integer.toHexString(d.hashCode)}.glb"
+      graft.sources.MeshWriters.writeGlb(p, faces, f)
+      val (v, fi) = graft.sources.GlbReader.read(s, f)
+      val va = v.select(col("order_key").as("ia"),
+        col("x").as("xa"), col("y").as("ya"))
+      fi.join(va, fi("a") === va("ia"))
+        .select(col("a").as("ia"), col("b").as("ib"), col("c").as("ic"),
+          col("xa"), col("ya"))
     })
   )
 
@@ -2900,5 +2940,57 @@ object SparkEntry {
             CAST((event_id * 104729) % 10000 AS DOUBLE) AS y FROM events)
          SELECT order_key, x, y FROM p
          WHERE x >= 2000.5 AND x <= 4000.5 AND y >= 2000.5 AND y <= 4000.5"""
+  ,
+    // recomputes the decode-side sums from the payload arithmetic alone:
+    // pixel i of frame k = (n*7 + k*101 + i) mod 256; audio sample i =
+    // (n*13 + i*17) mod 4096 - 2048; resize source index is the same
+    // floor mapping resizeNearest uses (integer division)
+    "q114_media_codecs" ->
+      """WITH ids AS (SELECT DISTINCT event_id % 701 AS n FROM events),
+         k AS (SELECT n,
+             CASE n % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             16 + n % 17 AS w, 16 + (n // 8) % 13 AS h,
+             2 + n % 4 AS nf, 256 + n % 200 AS ns
+           FROM ids),
+         img AS (SELECT n, COUNT(*) AS pcnt,
+             SUM((n*7 + i) % 256) AS psum,
+             SUM(i * ((n*7 + i) % 256)) AS wsum
+           FROM k, range(0, 3000) t(i)
+           WHERE kind = 'image' AND i < w*h*3 GROUP BY n),
+         rs AS (SELECT n,
+             SUM((n*7 + ((y*h//6)*w + (x*w//8))*3 + c) % 256) AS rsum
+           FROM k, range(0, 6) ty(y), range(0, 8) tx(x), range(0, 3) tc(c)
+           WHERE kind = 'image' GROUP BY n),
+         aud AS (SELECT n, COUNT(*) AS pcnt,
+             SUM((n*13 + i*17) % 4096 - 2048) AS psum,
+             SUM(i * ((n*13 + i*17) % 4096 - 2048)) AS wsum
+           FROM k, range(0, 456) t(i)
+           WHERE kind = 'audio' AND i < ns GROUP BY n),
+         vid AS (SELECT n, COUNT(*) AS pcnt,
+             SUM((n*7 + (nf-1)*101 + i) % 256) AS psum,
+             SUM(i * ((n*7 + (nf-1)*101 + i) % 256)) AS wsum
+           FROM k, range(0, 3000) t(i)
+           WHERE kind = 'video' AND i < w*h*3 GROUP BY n)
+         SELECT 'm/' || CAST(k.n AS VARCHAR) AS media_ref, k.kind,
+           CAST(CASE WHEN k.kind = 'audio' THEN 0 ELSE k.w END AS INT) AS w,
+           CAST(CASE WHEN k.kind = 'audio' THEN 0 ELSE k.h END AS INT) AS h,
+           CAST(COALESCE(img.pcnt, aud.pcnt, vid.pcnt) AS BIGINT) AS pcnt,
+           CAST(COALESCE(img.psum, aud.psum, vid.psum) AS BIGINT) AS psum,
+           CAST(COALESCE(img.wsum, aud.wsum, vid.wsum) AS BIGINT) AS wsum,
+           CAST(rs.rsum AS BIGINT) AS rsum
+         FROM k LEFT JOIN img ON k.n = img.n LEFT JOIN rs ON k.n = rs.n
+           LEFT JOIN aud ON k.n = aud.n LEFT JOIN vid ON k.n = vid.n"""
+  ,
+    // GLB positions are offset-relative (float32-exact for these
+    // integral coords), indices are 0-based vertex ranks
+    "q115_glb_roundtrip" ->
+      """WITH v AS (SELECT event_id,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y
+          FROM events WHERE event_id BETWEEN 1 AND 1500),
+         mm AS (SELECT MIN(x) AS mnx, MIN(y) AS mny FROM v)
+         SELECT event_id - 1 AS ia, event_id AS ib, event_id + 1 AS ic,
+           x - mnx AS xa, y - mny AS ya
+         FROM v, mm WHERE event_id <= 1498 AND event_id % 3 = 1"""
   )
 }

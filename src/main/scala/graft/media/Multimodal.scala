@@ -7,11 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed in partition-local batches.
   *
-  * The Spark-side machinery — schema, deterministic synthesis, batch
-  * iteration shape, partition sizing — is real and tested; the codec
-  * calls themselves are STUBS (this container ships no image/audio libs):
-  * `decodeImageStub` parses our deterministic fake header instead of
-  * libjpeg. Swap the stub body for a real codec and nothing else changes.
+  * Two codec tiers coexist:
+  *   - REAL pure-JVM codecs (Codecs.scala): PPM P6, 24-bit BMP, RIFF
+  *     PCM16 WAV, and the GFV1 frame container — synthRealMedia /
+  *     decodeFeatures run full encode→decode round trips over them
+  *     (oracle-gated end-to-end).
+  *   - STUBS for formats whose codecs need native libraries absent from
+  *     this container (JPEG/H.264/FLAC): `decodeImageStub` parses a
+  *     deterministic fake header instead of libjpeg. Swap the stub body
+  *     for a real codec and nothing else changes — the batching, schema
+  *     and null handling around it are the production shape.
   */
 object Multimodal {
 
@@ -101,4 +106,104 @@ object Multimodal {
   def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta", struct(lit(w).as("width"), lit(h).as("height"),
       col("meta.sample_rate").as("sample_rate"), col("meta.n_frames").as("n_frames")))
+
+  // ------------------------------------------------- real codec bodies
+
+  /** REAL media synthesis over the pure-JVM codec family (Codecs): ids
+    * (n: long, kind: image|audio|video) become actually-encoded blobs —
+    * images alternate PPM (even n) and BMP (odd n) so both decoders are
+    * exercised, audio is RIFF PCM16 WAV, video is a GFV1 container of
+    * PPM frames. Payload formulas are integer arithmetic an external
+    * oracle recomputes from n alone:
+    *   pixel i of frame k:  (n*7 + k*101 + i) mod 256
+    *   audio sample i:      ((n*13 + i*17) mod 4096) - 2048
+    *   dims: w = 16 + n%17, h = 16 + (n/8)%13; frames = 2 + n%4;
+    *   samples = 256 + n%200 at 16 kHz.
+    * Per-partition tight loops, no UDFs, no driver collection. */
+  def synthRealMedia(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("n").cast("long"), col("kind")).as[(Long, String)]
+      .map { case (n, kind) =>
+        val w = (16 + n % 17).toInt
+        val h = (16 + (n / 8) % 13).toInt
+        def frame(k: Int): Array[Byte] =
+          Array.tabulate(w * h * 3)(i => ((n * 7 + k * 101L + i) % 256).toByte)
+        val (content, meta) = kind match {
+          case "image" =>
+            val px = frame(0)
+            (if (n % 2 == 0) Codecs.encodePpm(w, h, px)
+             else Codecs.encodeBmp(w, h, px), (w, h, 0, 1))
+          case "audio" =>
+            val ns = (256 + n % 200).toInt
+            val s = Array.tabulate(ns)(i =>
+              (((n * 13 + i * 17L) % 4096) - 2048).toShort)
+            (Codecs.encodeWav(16000, s), (0, 0, 16000, ns))
+          case "video" =>
+            val nf = (2 + n % 4).toInt
+            (Codecs.encodeVideo((0 until nf).map(k =>
+              Codecs.encodePpm(w, h, frame(k)))), (w, h, 0, nf))
+          case other => throw new IllegalArgumentException(
+            s"synthRealMedia: unknown kind '$other'")
+        }
+        (s"m/$n", kind, content, meta)
+      }.toDF("media_ref", "kind", "content", "m")
+      .select(col("media_ref"), col("kind"), col("content"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("sample_rate"), col("m._4").as("n_frames")).as("meta"))
+  }
+
+  /** Decode-side features over REAL blobs — every number here comes from
+    * PARSING the encoded bytes, so a codec defect (row padding, BMP
+    * bottom-up order, endianness, chunk walk, frame offsets) breaks the
+    * output:
+    *   pcnt   decoded element count (pixels*3 / samples)
+    *   psum   plain sum of decoded values (unsigned bytes / signed samples)
+    *   wsum   position-weighted sum Σ i·v_i — catches reorderings that a
+    *          plain sum cannot (e.g. forgetting BMP's bottom-up rows)
+    *   rsum   images only: resize to 8x6 nearest-neighbor, RE-ENCODE to
+    *          PPM, re-decode, plain sum (a full codec round trip)
+    * Video decodes its LAST frame, so the demuxer must walk every
+    * preceding frame header. One tight mapPartitions pass, no UDFs. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_ref", StringType), StructField("kind", StringType),
+      StructField("w", IntegerType), StructField("h", IntegerType),
+      StructField("pcnt", LongType), StructField("psum", LongType),
+      StructField("wsum", LongType), StructField("rsum", LongType)))
+    val enc = Encoders.row(outSchema)
+    media.select("media_ref", "kind", "content").mapPartitions { it =>
+      it.map { r =>
+        val ref = r.getString(0)
+        val kind = r.getString(1)
+        val content = r.getAs[Array[Byte]](2)
+        def sums(vals: Array[Int]): (Long, Long, Long) = {
+          var ps = 0L; var ws = 0L; var i = 0
+          while (i < vals.length) { ps += vals(i); ws += i.toLong * vals(i); i += 1 }
+          (vals.length.toLong, ps, ws)
+        }
+        kind match {
+          case "image" =>
+            val (w, h, rgb) = Codecs.decodeImage(content)
+            val (cnt, ps, ws) = sums(rgb.map(_ & 0xFF))
+            val rppm = Codecs.encodePpm(8, 6,
+              Codecs.resizeNearest(w, h, rgb, 8, 6))
+            val (_, _, rrgb) = Codecs.decodePpm(rppm)
+            Row(ref, kind, w, h, cnt, ps, ws,
+              rrgb.map(_ & 0xFF).foldLeft(0L)(_ + _))
+          case "audio" =>
+            val (_, samples) = Codecs.decodeWav(content)
+            val (cnt, ps, ws) = sums(samples.map(_.toInt))
+            Row(ref, kind, 0, 0, cnt, ps, ws, null)
+          case "video" =>
+            val nf = Codecs.videoFrameCount(content)
+            val (w, h, rgb) = Codecs.decodePpm(
+              Codecs.decodeVideoFrame(content, nf - 1))
+            val (cnt, ps, ws) = sums(rgb.map(_ & 0xFF))
+            Row(ref, kind, w, h, cnt, ps, ws, null)
+          case other => throw new IllegalArgumentException(
+            s"decodeFeatures: unknown kind '$other'")
+        }
+      }
+    }(enc)
+  }
 }
