@@ -1521,6 +1521,47 @@ object SparkEntry {
       fi.join(va, fi("a") === va("ia"))
         .select(col("a").as("ia"), col("b").as("ib"), col("c").as("ic"),
           col("xa"), col("ya"))
+    }),
+    "q116_stream_neardup" -> ((s, d) => {
+      // Streaming stateful MinHash-LSH (flatMapGroupsWithState band
+      // buckets) through the gate, in the q45 deterministic regime:
+      // planted exact duplicates have identical signatures, collide in
+      // every band, and emit at jaccard_est = 1.0. Base docs and the
+      // planted dups land in SEPARATE files processed one per microbatch
+      // (maxFilesPerTrigger), so the emitted pairs cross the
+      // microbatch/state boundary — a state-eviction or watermark defect
+      // drops them. The streamed candidate set is then verified with
+      // TRUE n-gram jaccard (the q45 shape), making the final set
+      // exactly {identical-shingle-set pairs} — SQL-expressible. Event
+      // times sit far above the initial epoch-0 watermark and the delay
+      // horizon covers the whole regime, so nothing is late or evicted.
+      val h = Integer.toHexString(d.hashCode)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val withTs = (df: DataFrame) => df.withColumn("ts",
+        col("doc_id") % 1000 + 1000L)
+      val dir = freshTmp("graft-sdedup", d)
+      withTs(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+      withTs(dups).coalesce(1).write.mode("append").parquet(dir)
+      val stream = s.readStream.schema(withTs(docs).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val out = graft.streaming.StreamDedup.minhashPairs(s, stream,
+        threshold = 1.0, numHashes = 64, bands = 8, maxBucket = 100000,
+        delay = "2000 seconds")
+      val qn = s"q116_sink_$h"
+      s.catalog.dropTempView(qn)
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // per-shared-bucket at-least-once -> downstream distinct; verify
+      // candidates with exact set jaccard like the batch gate does
+      val cand = s.table(qn).select("id_a", "id_b").distinct()
+      val all = docs.unionByName(dups)
+      graft.dedup.Dedup.ngramJaccard(all, cand, n = 3)
+        .filter(col("jaccard") >= 1.0)
+        .select("id_a", "id_b")
     })
   )
 
@@ -2992,5 +3033,22 @@ object SparkEntry {
          SELECT event_id - 1 AS ia, event_id AS ib, event_id + 1 AS ic,
            x - mnx AS xa, y - mny AS ya
          FROM v, mm WHERE event_id <= 1498 AND event_id % 3 = 1"""
+  ,
+    // identical-shingle-set pairs (the deterministic-regime emit set of
+    // the streaming LSH after true-jaccard verification) — numeric-id
+    // variant of the q45 oracle
+    "q116_stream_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+          dups AS (SELECT doc_id + 10000000 AS doc_id, text
+                   FROM documents WHERE doc_id % 50 = 0),
+          allv AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+          w AS (SELECT doc_id,
+            string_split_regex(trim(lower(text)), '\s+') AS wa FROM allv),
+          sh AS (SELECT doc_id, list_sort(list_distinct(
+            list_transform(generate_series(1, greatest(len(wa)-3,0)+1),
+              i -> array_to_string(wa[i:least(i+2, len(wa))], ' ')))) AS key
+            FROM w)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.key = b.key AND a.doc_id < b.doc_id"""
   )
 }
