@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   *   hier_cell_id(x, y, ox, oy, len0, level) -> H3/S2-style hierarchical id
   *   hex_cell_id(x, y, edge)                 -> axial hex id
   *   mix64(v)                                -> splitmix64
+  *   simhash64(text)                         -> 64-bit SimHash fingerprint
+  *   minhash_sig(text, numHashes, shingle)   -> minhash signature array
   *   st_contains_wkt('POLYGON(...)', x, y)   -> GridPnp containment
   *   st_distance_wkt('POLYGON(...)', x, y)   -> distance (0 inside)
   */
@@ -53,6 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "hex_cell_id" -> (es => HexIdExpr(es(0), es(1), d(es(2)))),
     "mix64" -> (es => Mix64Expr(es.head)),
     "simhash64" -> (es => SimHash64Expr(es.head)),
+    "minhash_sig" -> (es =>
+      MinHashSigExpr(es(0), d(es(1)).toInt, d(es(2)).toInt)),
     "st_contains_wkt" -> (es =>
       GridPnpContains(es(1), es(2), new PnpGrid(Wkt.parse(str(es(0)))))),
     "st_distance_wkt" -> (es =>

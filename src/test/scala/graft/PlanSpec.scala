@@ -105,6 +105,45 @@ class PlanSpec extends AnyFunSuite {
     assert(read < total, s"no partition pruning: read $read of $total")
   }
 
+  test("SQL-registered custom expressions (cell ids, hex, PnP, distance, " +
+      "simhash, minhash) stay inside whole-stage codegen through a pure " +
+      "spark.sql entry") {
+    graft.functions.GraftExtensions.registerTemp(spark)
+    spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"),
+        (col("event_id") % 100).cast("double").as("x"),
+        (col("event_id") % 37).cast("double").as("y"),
+        concat(lit("w"), col("event_id") % 13).as("text"))
+      .createOrReplaceTempView("plansql_pts")
+    val q = spark.sql("""
+      SELECT grid_cell_id(x, y, 0.0, 0.0, 10.0) AS cid,
+             morton_cell_id(x, y, 0.0, 0.0, 10.0) AS mid,
+             hier_cell_id(x, y, 0.0, 0.0, 80.0, 2) AS hid,
+             hex_cell_id(x, y, 5.0) AS hexid,
+             mix64(event_id) AS m,
+             simhash64(text) AS sh,
+             minhash_sig(text, 16, 2) AS ms,
+             st_contains_wkt('POLYGON((0 0, 50 0, 50 50, 0 50, 0 0))', x, y) AS inp,
+             st_distance_wkt('POLYGON((0 0, 50 0, 50 50, 0 50, 0 0))', x, y) AS dist
+      FROM plansql_pts""")
+    val plan = finalPlan(q)
+    val finalOnly = plan.split("== Initial Plan ==").head
+    // a CodegenFallback expression would demote the project to an
+    // un-starred InterpretedProject stage — the star is the proof that
+    // every registered expression's doGenCode compiled
+    assert("""\*\(\d+\) Project""".r.findFirstIn(finalOnly).nonEmpty,
+      s"custom-expression project fell out of whole-stage codegen:\n$finalOnly")
+    // and the SQL surface computes the same values as the column API
+    val viaSql = q.selectExpr("cid", "sh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val viaCol = spark.table("plansql_pts").select(
+        graft.functions.F.cellId(col("x"), col("y"), 0.0, 0.0, 10.0,
+          morton = false),
+        graft.functions.F.simhash64(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.sameElements(viaCol))
+  }
+
   test("GraftTable.readBox: manifest prunes files above the scan, and the " +
       "residual bbox predicate still pushes into the surviving parquet " +
       "footers (two-level pruning)") {
