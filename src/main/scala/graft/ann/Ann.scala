@@ -284,7 +284,24 @@ object Ann {
       .map(_.getSeq[Float](0).toArray)
   }
 
-  /** Lloyd rounds over an already-materialized (id, u) base. */
+  /** Lloyd rounds over an already-materialized (id, u) base, with
+    * OVERSIZED-CELL repair each round. Why: a point-mass slice of the
+    * corpus (boilerplate embeddings — e.g. 50% of mass in one tight
+    * blob) collapses its seed centroids into near-DUPLICATES as the
+    * round-over-round means contract toward the blob center; assignment
+    * then routes the whole mass to one tie-winning cell and the
+    * cell-cogroup scan gets a straggler task 100x the mean (measured:
+    * graft.AnnSkew, max/mean 128 on a 50% blob without repair). A
+    * FAISS-style ±eps duplicate perturbation does NOT fix it — the
+    * offset is coherent across the near-identical members, so one
+    * perturbed copy wins every tie and merely relabels the straggler.
+    * The working repair re-seeds deficit cells (empty or starved) with
+    * ACTUAL MEMBER VECTORS of oversized cells: members are separated by
+    * their own noise, so the next assignment genuinely partitions the
+    * mass (the same reason raw-sample seeding at iters = 0 is balanced).
+    * Scale shape: the member sample is hash-prefiltered before the
+    * per-cell rank window, so the repair job shuffles O(seats * margin)
+    * rows, never an oversized cell's full membership. */
   private def trainFromBase(base: DataFrame, nlist: Int, iters: Int,
       flatLimit: Int, wsuper: Int): Array[Array[Double]] = {
     val spark = base.sparkSession
@@ -293,15 +310,70 @@ object Ann {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
-      val means = assignCells(base, bc, wsuper)
+      val assigned = assignCells(base, bc, wsuper)
+      // per-(cell, pos) count == cell size (each vector contributes one
+      // row per dimension), so sizes ride the same aggregation free
+      val agg = assigned
         .select(col("cell"), posexplode(col("u")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
-        .groupBy("cell").agg(map_from_arrays(collect_list("pos"), collect_list("m")).as("mm"))
+        .groupBy("cell", "pos").agg(avg("v").as("m"), count(lit(1)).as("c"))
+        .groupBy("cell").agg(
+          map_from_arrays(collect_list("pos"), collect_list("m")).as("mm"),
+          max("c").as("sz"))
         .collect().map { r =>
           val mm = r.getMap[Int, Double](1)
-          r.getInt(0) -> Array.tabulate(mm.size)(i => mm(i))
+          r.getInt(0) -> (Array.tabulate(mm.size)(i => mm(i)), r.getLong(2))
         }.toMap
-      cents = cents.zipWithIndex.map { case (old, c) => means.getOrElse(c, old) }
+      val sizes = Array.tabulate(nlist)(c => agg.get(c).map(_._2).getOrElse(0L))
+      // SPHERICAL k-means: centroids re-normalize after every mean
+      // update. Assignment is argmax DOT — with raw means the norm
+      // varies with cluster tightness (a tight cell's mean has norm ~1,
+      // a wide cell's ~0.4), which biases every tie toward tight cells
+      // and is the engine of the point-mass collapse graft.AnnSkew
+      // measures; unit centroids make argmax dot == argmax cosine,
+      // consistent with the cosine search the cells serve.
+      def unit(v: Array[Double]): Array[Double] = {
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        if (nrm > 1e-12) v.map(_ / nrm) else v
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        agg.get(c).map(m => unit(m._1)).getOrElse(old)
+      }
+      val n = sizes.sum
+      val mean = math.max(n.toDouble / nlist, 1.0)
+      // donors: cells past 8x the mean (the collapse signature — natural
+      // k-means imbalance stays well under it); each asks for enough
+      // fresh seeds to bring it near 2x. Deficits: ONLY empty or starved
+      // (< mean/16) cells — re-seeding a healthy small cell would orphan
+      // its real members onto neighbors and ADD skew (measured: a 4x
+      // trigger stealing smallest-cells pushed round-1 ratio 7 -> 27).
+      val donors = (0 until nlist).filter(sizes(_) > 8 * mean)
+        .map(d => d -> (math.ceil(sizes(d) / (2 * mean)).toInt - 1))
+        .filter(_._2 > 0)
+      if (donors.nonEmpty) {
+        val want = donors.map(_._2).sum
+        val deficits = (0 until nlist).filterNot(donors.map(_._1).toSet)
+          .filter(sizes(_) < mean / 16).sortBy(sizes(_)).take(want)
+        if (deficits.nonEmpty) {
+          val donorIds = donors.map(_._1)
+          val seatDf = spark.createDataFrame(donors).toDF("cell", "__seats")
+          // hash-prefilter (64x margin) bounds the rank window's input
+          // per donor cell; the window then picks the lowest-hash seats
+          val maxFrac = donors.map { case (d, s) =>
+            math.min(1.0, 64.0 * s / math.max(sizes(d), 1L)) }.max
+          val cut = (Long.MinValue.toDouble +
+            maxFrac * 2.0 * Long.MaxValue.toDouble).toLong
+          val seeds = assigned.filter(col("cell").isin(donorIds: _*))
+            .withColumn("__h", xxhash64(col("id")))
+            .filter(col("__h") <= lit(cut))
+            .join(broadcast(seatDf), Seq("cell"))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy("cell").orderBy("__h")))
+            .filter(col("__rn") <= col("__seats"))
+            .select("cell", "u").collect()
+            .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+          deficits.zip(seeds).foreach { case (slot, v) => cents(slot) = v }
+        }
+      }
       bc.destroy()
       it += 1
     }
