@@ -231,23 +231,24 @@ object Dedup {
     val chunked = fp.withColumn("__c", explode(chunkDefs))
       .withColumn("key", struct(col("__c.i"),
         expr("shiftrightunsigned(fp, CAST(__c.sh AS INT))").bitwiseAND(col("__c.mask"))))
-      .select("id", "key")
+      .select(struct(col("id"), col("fp")).as("m"), col("key"))
     // sorted member list per bucket expands to its i<j pairs in place;
-    // the 16-byte candidate pairs are deduped BEFORE fingerprints are
-    // re-attached, so the distinct never shuffles payload columns
+    // members carry (id, fp) structs through the aggregation, so the
+    // hamming verification needs NO re-attach join (the 16-byte payload
+    // rides the one shuffle this path has) — sort_array orders structs
+    // by their first field, which keeps the i<j expansion on id order
     val cand = chunked.groupBy("key")
       .agg(sort_array(graft.functions.F.cappedCollectList(
-        col("id"), maxBucket)).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
-      .select(col("id_a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
-      .distinct()
+        col("m"), maxBucket)).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
     cand
-      .join(fp.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
-      .join(fp.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("id_a", "id_b", "hamming")
   }
 
