@@ -168,6 +168,23 @@ class GoldenSpec extends AnyFunSuite {
     // mis-split slack stays moderate even under the point mass
     assert(sizes.count(_ < cap / 2) <= sizes.length / 4,
       s"too many underfilled chips: ${sizes.count(_ < cap / 2)} of ${sizes.length}")
+    // UNIFORM data through the distributed (sampled-cut) regime: cuts
+    // land near true medians, so chip sizes match the exact chipper's
+    // near-equal profile — every chip within [3/4*cap, cap] and the
+    // count within one block's rounding of exact
+    val uni = spark.range(16384).select(col("id").as("order_key"),
+      (col("id") % 128).cast("double").as("x"),
+      (col("id") / 128).cast("double").as("y"))
+    val u = Chipper.sampled(uni, capacity = cap, localThreshold = 2048,
+      sampleMod = 2)
+    val us = u.groupBy("chip_id").count().select("count").as[Long].collect()
+    assert(us.sum == 16384)
+    assert(us.forall(s => s <= cap && s >= cap * 3 / 4),
+      s"uniform-data chip sizes outside [${cap * 3 / 4}, $cap]: " +
+        s"min=${us.min} max=${us.max}")
+    val exactUni = ChipperCore.numPartitions(16384, cap)
+    assert(us.length <= exactUni + 16,
+      s"uniform chip count ${us.length} vs exact $exactUni")
   }
 
   test("range grammar + filter (RangeFilterTest semantics)") {
