@@ -1513,7 +1513,9 @@ object SparkEntry {
           col("order_key") <= 1498)
         .select(col("order_key").as("a"), (col("order_key") + 1).as("b"),
           (col("order_key") + 2).as("c"))
-      val f = s"/tmp/graft-glb-${Integer.toHexString(d.hashCode)}.glb"
+      val root = freshTmp("graft-glb", d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      val f = s"$root/mesh.glb"
       graft.sources.MeshWriters.writeGlb(p, faces, f)
       val (v, fi) = graft.sources.GlbReader.read(s, f)
       val va = v.select(col("order_key").as("ia"),
@@ -1521,6 +1523,57 @@ object SparkEntry {
       fi.join(va, fi("a") === va("ia"))
         .select(col("a").as("ia"), col("b").as("ib"), col("c").as("ic"),
           col("xa"), col("ya"))
+    }),
+    "q117_imageio_codecs" -> ((s, d) => {
+      // The JDK's own javax.imageio codecs (pure-JVM, no native libs)
+      // through the same decode-side gate as q114: ids -> really-encoded
+      // PNG / JPEG / TIFF / GIF blobs -> magic-byte dispatch ->
+      // decoded sums. PNG and TIFF round-trip RGB losslessly, so their
+      // psum/wsum/rsum are oracle-exact; JPEG (lossy DCT) and GIF
+      // (palettized) keep dims + element count exact and NULL out the
+      // value sums (their decode fidelity is bounded in MediaCodecsSpec
+      // instead — an exact-hash oracle cannot admit codec-version-
+      // dependent pixel values).
+      val ids = t(s, d, "events")
+        .select((col("event_id") % 311).as("n")).distinct()
+        .withColumn("fmt", when(col("n") % 4 === 0, "png")
+          .when(col("n") % 4 === 1, "jpg")
+          .when(col("n") % 4 === 2, "tiff").otherwise("gif"))
+      val media = graft.media.Multimodal.synthImageIOMedia(s, ids)
+      val lossless = col("fmt").isin("png", "tiff")
+      graft.media.Multimodal.decodeFeatures(media)
+        .withColumn("fmt", element_at(split(col("media_ref"), "/"), 2))
+        .select(col("media_ref"), col("fmt"), col("w"), col("h"), col("pcnt"),
+          when(lossless, col("psum")).as("psum"),
+          when(lossless, col("wsum")).as("wsum"),
+          when(lossless, col("rsum")).as("rsum"))
+    }),
+    "q118_v2_table" -> ((s, d) => {
+      // DataSource V2 read path: q103's snapshot semantics driven through
+      // spark.read.format("graft") — time travel via the asof option,
+      // bbox selection via ordinary Catalyst predicates that arrive
+      // through SupportsPushDownFilters and prune DATA FILES from the
+      // manifest footer stats (the require asserts files were actually
+      // skipped; the filters are ALSO re-applied above the scan, so the
+      // hash gate checks values, not just plumbing).
+      val root = freshTmp("graft-v2-table", d)
+      val p = pts(s, d).select("order_key", "x", "y")
+      // four x-banded commits -> disjoint file stats -> provable pruning
+      for (b <- 0 until 4)
+        graft.sources.GraftTable.commit(
+          p.filter(col("x") >= b * 2500.0 && col("x") < (b + 1) * 2500.0),
+          root)
+      val head = s.read.format("graft").load(root)
+        .filter(col("x") >= 0 && col("x") <= 3000)
+      head.count() // force one scan so the prune counters are set
+      val (read, total) = graft.sources.v2.GraftDataSource.lastPrune
+      require(read < total,
+        s"V2 manifest pruning expected: read $read of $total files")
+      val past = s.read.format("graft").option("asof", 1).load(root)
+        .filter(col("x") >= 0 && col("x") <= 3000)
+      head.withColumn("snap", lit(2))
+        .unionByName(past.withColumn("snap", lit(1)))
+        .select("snap", "order_key", "x", "y")
     }),
     "q116_stream_neardup" -> ((s, d) => {
       // Streaming stateful MinHash-LSH (flatMapGroupsWithState band
@@ -3033,6 +3086,46 @@ object SparkEntry {
          SELECT event_id - 1 AS ia, event_id AS ib, event_id + 1 AS ic,
            x - mnx AS xa, y - mny AS ya
          FROM v, mm WHERE event_id <= 1498 AND event_id % 3 = 1"""
+  ,
+    // ImageIO tier: lossless members (png/tiff) recomputed exactly from
+    // the payload arithmetic; lossy members (jpg/gif) keep dims + count
+    // exact with NULL value sums (fidelity bounded in MediaCodecsSpec)
+    "q117_imageio_codecs" ->
+      """WITH ids AS (SELECT DISTINCT event_id % 311 AS n FROM events),
+         k AS (SELECT n,
+             CASE n % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+                        WHEN 2 THEN 'tiff' ELSE 'gif' END AS fmt,
+             16 + n % 17 AS w, 16 + (n // 8) % 13 AS h
+           FROM ids),
+         img AS (SELECT k.n, COUNT(*) AS pcnt,
+             SUM((k.n*7 + i) % 256) AS psum,
+             SUM(i * ((k.n*7 + i) % 256)) AS wsum
+           FROM k, range(0, 3000) t(i)
+           WHERE i < w*h*3 GROUP BY k.n),
+         rs AS (SELECT k.n,
+             SUM((k.n*7 + ((y*h//6)*w + (x*w//8))*3 + c) % 256) AS rsum
+           FROM k, range(0, 6) ty(y), range(0, 8) tx(x), range(0, 3) tc(c)
+           GROUP BY k.n)
+         SELECT 'i/' || k.fmt || '/' || CAST(k.n AS VARCHAR) AS media_ref,
+           k.fmt,
+           CAST(k.w AS INT) AS w, CAST(k.h AS INT) AS h,
+           CAST(img.pcnt AS BIGINT) AS pcnt,
+           CAST(CASE WHEN k.fmt IN ('png','tiff') THEN img.psum END AS BIGINT) AS psum,
+           CAST(CASE WHEN k.fmt IN ('png','tiff') THEN img.wsum END AS BIGINT) AS wsum,
+           CAST(CASE WHEN k.fmt IN ('png','tiff') THEN rs.rsum END AS BIGINT) AS rsum
+         FROM k JOIN img ON k.n = img.n JOIN rs ON k.n = rs.n"""
+  ,
+    // V2 read path: snap 1 = the asof-1 snapshot (first x band), snap 2 =
+    // head under the pushed bbox; both recomputed from the coordinate
+    // arithmetic
+    "q118_v2_table" ->
+      """WITH p AS (SELECT event_id AS order_key,
+            CAST((event_id * 7919) % 10000 AS DOUBLE) AS x,
+            CAST((event_id * 104729) % 10000 AS DOUBLE) AS y FROM events)
+          SELECT 1 AS snap, order_key, x, y FROM p WHERE x < 2500
+          UNION ALL
+          SELECT 2 AS snap, order_key, x, y FROM p
+            WHERE x >= 0 AND x <= 3000"""
   ,
     // identical-shingle-set pairs (the deterministic-regime emit set of
     // the streaming LSH after true-jaccard verification) — numeric-id

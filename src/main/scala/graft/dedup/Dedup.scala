@@ -54,7 +54,16 @@ object Dedup {
     * `maxBucket` are EXCLUDED from candidate generation — their members
     * are near-identical boilerplate that exact dedup already collapses.
     * This is a documented recall cap, not a silent one: pairs inside a
-    * dropped bucket are only missed if they share no other bucket. */
+    * dropped bucket are only missed if they share no other bucket.
+    *
+    * maxBucket bounds the aggregation BUFFER, not the pair OUTPUT: a
+    * bucket just under the cap still expands ~maxBucket^2/2 candidate
+    * pairs inside one task. The default (1e5 -> ~5e9 pairs worst case)
+    * favors recall; pipelines that need a bounded per-task pair count
+    * should pass a smaller cap (1000 -> <=0.5M pairs per bucket).
+    * Ids must be unique — duplicate ids in the input would pair with
+    * themselves inside a shared bucket (guarded by an id_a != id_b
+    * filter, which also hides one real pair per duplicated id). */
   def minhashLsh(df: DataFrame, threshold: Double = 0.7, numHashes: Int = 64,
       bands: Int = 0, idCol: String = "doc_id", textCol: String = "text",
       maxBucket: Int = 100000): DataFrame = {
@@ -99,6 +108,9 @@ object Dedup {
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      // duplicate input ids sort adjacent and would self-pair here (the
+      // old self-join's a.id < b.id excluded them); keep that contract
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
     val withSigs = cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -247,6 +259,9 @@ object Dedup {
     cand
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      // duplicate input ids sort adjacent and would self-pair at
+      // hamming 0 (the pre-r4 self-join's a.id < b.id excluded them)
+      .filter(col("id_a") =!= col("id_b"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .select("id_a", "id_b", "hamming")
@@ -274,10 +289,25 @@ object Dedup {
     * Recall for a pair at angle theta: 1 - (1 - (1-theta/pi)^planesPerBand)
     * ^ bands. Defaults (8 planes x 6 bands) give ~0.96 recall at cosine
     * 0.95 — the single-band version's ~0.28 recall hole. Candidate
-    * volume stays linear: per band, same-bucket pairs only. */
+    * volume stays linear: per band, same-bucket pairs only.
+    *
+    * Candidate ids come from the SAME capped (band, bucket) aggregation
+    * minhashLsh and simhashPairsFromFp use — never a bucket self-join: a
+    * degenerate corpus slice whose embeddings coincide (zero vectors from
+    * empty docs, boilerplate embeddings) puts millions of ids in one
+    * bucket across every band, and a self-join would materialize all
+    * O(n^2) pairs 6 times over. cappedCollectList bounds the buffer at
+    * maxBucket + 1 ids at ANY skew; over-cap buckets generate no pairs
+    * (documented recall cap — coincident embeddings are exact dups that
+    * exact/minhash dedup already collapses; a real near pair is only
+    * missed if ALL its shared buckets are over the cap). As with
+    * minhashLsh, the cap bounds the buffer, not the pair output — pass a
+    * smaller cap when the per-task pair count must be bounded too. */
   def embeddingNearDup(df: DataFrame, threshold: Double = 0.95,
       planesPerBand: Int = 8, bands: Int = 6,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 100000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
     val spark = df.sparkSession
     import spark.implicits._
     val v = transform(col(vecCol), x => x.cast("double"))
@@ -321,10 +351,19 @@ object Dedup {
       .select(col("id"), struct(col("band"), col("h")).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dedup candidate IDS before re-attaching vectors: the distinct
-    // shuffles 16-byte pairs, not embedding payloads
-    val candIds = sig.as("a").join(sig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // shuffles 16-byte pairs, not embedding payloads. One capped
+    // aggregation per bucket -> sorted members -> i<j expansion (the
+    // shared dedup-family candidate shape; bounded at any skew).
+    val candIds = sig.groupBy("bucket")
+      .agg(sort_array(graft.functions.F.cappedCollectList(
+        col("id"), maxBucket)).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      // duplicate input ids sort adjacent and would self-pair here
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
     val cand = candIds
       .join(prep.select(col("id").as("id_a"), col("u").as("u_a")), Seq("id_a"))
       .join(prep.select(col("id").as("id_b"), col("u").as("u_b")), Seq("id_b"))

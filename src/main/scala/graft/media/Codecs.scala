@@ -137,13 +137,67 @@ object Codecs {
     (w, h, out)
   }
 
-  /** Dispatch on magic bytes: P6 PPM or BM BMP. */
+  /** Dispatch on magic bytes: P6 PPM and BM BMP go to the hand-rolled
+    * spec decoders; PNG / JPEG / GIF / TIFF go to the JDK's own
+    * `javax.imageio` (pure-JVM, no native codec libraries — the readers
+    * ship in the JDK's imageio module). GIF's "GIF8" magic is checked to
+    * three bytes so it cannot collide with the GFV1 video container. */
   def decodeImage(b: Array[Byte]): (Int, Int, Array[Byte]) = {
-    require(b != null && b.length >= 2, "decodeImage: empty blob")
+    require(b != null && b.length >= 4, "decodeImage: empty blob")
     if (b(0) == 'P' && b(1) == '6') decodePpm(b)
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P') decodeImageIO(b, "PNG")
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) decodeImageIO(b, "JPEG")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeImageIO(b, "GIF")
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42) ||
+             (b(0) == 'M' && b(1) == 'M' && b(3) == 42)) decodeImageIO(b, "TIFF")
     else throw new IllegalArgumentException(
       s"decodeImage: unknown magic 0x${(b(0) & 0xFF).toHexString}${(b(1) & 0xFF).toHexString}")
+  }
+
+  // ------------------------------------------------- ImageIO (pure JDK)
+
+  /** Encode top-down row-major RGB via `javax.imageio` — fmt is any
+    * writer the JDK registers (png, jpg, gif, tiff, bmp). PNG and TIFF
+    * round-trip RGB losslessly; JPEG is lossy and GIF palettizes, so
+    * exact-sum oracles only apply to the lossless members (the q114-style
+    * gate encodes that split explicitly). Pure JVM: the ImageIO plugins
+    * used here live in the JDK's java.desktop/imageio module, no native
+    * codec jar involved. */
+  def encodeImageIO(fmt: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"encodeImageIO: need w*h*3 = ${w * h * 3} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((rgb(i * 3) & 0xFF) << 16) | ((rgb(i * 3 + 1) & 0xFF) << 8) |
+        (rgb(i * 3 + 2) & 0xFF)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, fmt, bos)
+    require(ok, s"encodeImageIO: no ImageIO writer for '$fmt'")
+    bos.toByteArray
+  }
+
+  /** Decode via `javax.imageio` to (w, h, top-down row-major RGB). */
+  def decodeImageIO(b: Array[Byte], what: String): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, s"decodeImageIO: ImageIO could not parse $what blob")
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) {
+      out(i * 3) = ((px(i) >> 16) & 0xFF).toByte
+      out(i * 3 + 1) = ((px(i) >> 8) & 0xFF).toByte
+      out(i * 3 + 2) = (px(i) & 0xFF).toByte
+      i += 1
+    }
+    (w, h, out)
   }
 
   // ---------------------------------------------------------------- WAV
@@ -229,13 +283,22 @@ object Codecs {
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     var i = 8
     var f = 0
-    while (f < k) {
-      i += 4 + bb.getInt(i)
+    // every hop is validated so a corrupt container (negative or
+    // oversized length prefix) fails with the codec family's loud
+    // IllegalArgumentException, not an IndexOutOfBounds or a
+    // mispositioned read inside a later frame
+    while (f <= k) {
+      require(i + 4 <= b.length,
+        s"decodeVideoFrame: frame $f header overruns file")
+      val len = bb.getInt(i)
+      require(len >= 0 && i + 4 + len <= b.length,
+        s"decodeVideoFrame: frame $f length $len overruns file")
+      if (f == k)
+        return java.util.Arrays.copyOfRange(b, i + 4, i + 4 + len)
+      i += 4 + len
       f += 1
     }
-    val len = bb.getInt(i)
-    require(i + 4 + len <= b.length, "decodeVideoFrame: frame overruns file")
-    java.util.Arrays.copyOfRange(b, i + 4, i + 4 + len)
+    throw new IllegalStateException("unreachable")
   }
 
   // ------------------------------------------------------------ resize

@@ -8,15 +8,18 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed in partition-local batches.
   *
   * Two codec tiers coexist:
-  *   - REAL pure-JVM codecs (Codecs.scala): PPM P6, 24-bit BMP, RIFF
-  *     PCM16 WAV, and the GFV1 frame container — synthRealMedia /
-  *     decodeFeatures run full encode→decode round trips over them
-  *     (oracle-gated end-to-end).
-  *   - STUBS for formats whose codecs need native libraries absent from
-  *     this container (JPEG/H.264/FLAC): `decodeImageStub` parses a
-  *     deterministic fake header instead of libjpeg. Swap the stub body
-  *     for a real codec and nothing else changes — the batching, schema
-  *     and null handling around it are the production shape.
+  *   - REAL codecs (Codecs.scala), all pure-JVM: hand-rolled PPM P6,
+  *     24-bit BMP, RIFF PCM16 WAV and the GFV1 frame container, plus
+  *     PNG / JPEG / GIF / TIFF through the JDK's own `javax.imageio`
+  *     (the readers ship in java.desktop — no native codec jar).
+  *     synthRealMedia / synthImageIOMedia / decodeFeatures run full
+  *     encode→decode round trips over them (oracle-gated end-to-end).
+  *   - STUBS only where a codec genuinely does not exist on a bare JVM:
+  *     H.264-class video decode (GFV1+PPM stands in for the demuxer
+  *     access pattern) and `decodeImageStub`'s fake header used by the
+  *     feature-plumbing path. Swap the stub body for a real codec and
+  *     nothing else changes — the batching, schema and null handling
+  *     around it are the production shape.
   */
 object Multimodal {
 
@@ -146,6 +149,32 @@ object Multimodal {
             s"synthRealMedia: unknown kind '$other'")
         }
         (s"m/$n", kind, content, meta)
+      }.toDF("media_ref", "kind", "content", "m")
+      .select(col("media_ref"), col("kind"), col("content"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("sample_rate"), col("m._4").as("n_frames")).as("meta"))
+  }
+
+  /** ImageIO-backed synthesis: ids (n: long, fmt: png|jpg|gif|tiff)
+    * become really-encoded blobs through the JDK's `javax.imageio`
+    * writers, same pixel formula as synthRealMedia so an external oracle
+    * recomputes expected sums from n alone:
+    *   pixel byte i: (n*7 + i) mod 256;  w = 16 + n%17, h = 16 + (n/8)%13
+    * PNG and TIFF round-trip RGB losslessly (exact-sum oracle applies);
+    * JPEG is lossy and GIF palettizes — for those only the decoded dims
+    * and element count are oracle-exact, and decode fidelity is asserted
+    * separately (MediaCodecsSpec bounds JPEG mean abs error). Emitted
+    * kind is "image" so decodeFeatures dispatches through the same
+    * magic-byte decode path as PPM/BMP. */
+  def synthImageIOMedia(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("n").cast("long"), col("fmt")).as[(Long, String)]
+      .map { case (n, fmt) =>
+        val w = (16 + n % 17).toInt
+        val h = (16 + (n / 8) % 13).toInt
+        val px = Array.tabulate[Byte](w * h * 3)(i => ((n * 7 + i) % 256).toByte)
+        (s"i/$fmt/$n", "image", Codecs.encodeImageIO(fmt, w, h, px),
+          (w, h, 0, 1))
       }.toDF("media_ref", "kind", "content", "m")
       .select(col("media_ref"), col("kind"), col("content"),
         struct(col("m._1").as("width"), col("m._2").as("height"),

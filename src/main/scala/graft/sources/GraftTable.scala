@@ -433,6 +433,35 @@ object GraftTable {
           .asInstanceOf[org.apache.spark.sql.types.StructType])
     }
 
+  /** Snapshot schema as a StructType without building a DataFrame: the
+    * pinned schema json when the snapshot carries one, otherwise parquet
+    * inference over the snapshot's files (pre-evolution tables). Used by
+    * the DataSource V2 surface's inferSchema. */
+  def tableSchema(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): org.apache.spark.sql.types.StructType = {
+    val v = asOf.getOrElse(currentVersion(root))
+    require(v > 0, s"graft table $root is empty (no committed snapshot)")
+    snapshot(root, v).schema match {
+      case Some(p) if Files.exists(Paths.get(p)) =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(new String(Files.readAllBytes(Paths.get(p)), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case _ => read(spark, root, asOf).schema
+    }
+  }
+
+  /** Read an explicit file subset of a snapshot with the snapshot's
+    * pinned schema (the V2 scan path's entry: manifest pruning picks the
+    * files, this opens them). */
+  private[sources] def readFiles(spark: SparkSession, root: String,
+      asOf: Option[Int], files: Seq[String]): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(root))
+    if (files.isEmpty)
+      pinnedEmpty(spark, root, v).getOrElse(
+        read(spark, root, asOf).filter(lit(false)))
+    else readerFor(spark, root, asOf).parquet(files: _*)
+  }
+
   /** Full-table read of a snapshot. A snapshot referencing zero data
     * files (e.g. an empty first streaming microbatch was committed) is a
     * valid empty table, not a schema-inference error. */

@@ -645,4 +645,57 @@ class ExtrasSpec extends AnyFunSuite {
       .withColumn("classification", lit(0))
     assert(Outlier.statistical(one, meanK = 4).count() == 1)
   }
+
+  test("embedding degenerate mega-bucket is capped, not quadratic") {
+    import spark.implicits._
+    // 10^5 coincident embeddings (zero-doc boilerplate vectors all on one
+    // direction) collide in EVERY band bucket: the pre-r5 bucket
+    // self-join would materialize ~5e9 pairs x 6 bands. The capped
+    // aggregation delivers each bucket as at most maxBucket+1 ids and
+    // the size filter drops it — bounded memory, zero pairs from the
+    // degenerate slice.
+    val degenerate = spark.range(100000)
+      .select(col("id"), typedLit(Seq(1.0f, 0.0f, 0.0f, 0.0f)).as("embedding"))
+    // a planted near pair on a DIFFERENT direction must still surface
+    // through at least one band bucket away from the mega mass
+    val planted = Seq(
+      (200001L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (200002L, Seq(0.0f, 0.999f, 0.01f, 0.0f))).toDF("id", "embedding")
+    val pairs = Dedup.embeddingNearDup(degenerate.unionByName(planted),
+      threshold = 0.999, idCol = "id", maxBucket = 1000)
+    val got = pairs.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((200001L, 200002L)),
+      s"expected only the planted pair outside the capped buckets, got ${got.size}")
+    // cap ABOVE the bucket size: the coincident slice's pairs all come
+    // back (cap semantics == uncapped + filter in the small regime)
+    val tiny = spark.range(5)
+      .select(col("id"), typedLit(Seq(1.0f, 2.0f, 3.0f)).as("embedding"))
+    val all = Dedup.embeddingNearDup(tiny, threshold = 0.999,
+      idCol = "id", maxBucket = 100)
+    assert(all.count() == 10) // C(5,2)
+  }
+
+  test("duplicate input ids never self-pair in the dedup family") {
+    import spark.implicits._
+    // the sorted-list i<j expansion pairs adjacent EQUAL ids when the
+    // unique-id precondition is violated; the id_a != id_b guard keeps
+    // the old self-join's contract (a.id < b.id excluded them)
+    val fpDup = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("id", "fp")
+    val sp = Dedup.simhashPairsFromFp(fpDup, maxHamming = 1)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(sp == Set(("a", "b")), s"got $sp")
+    val docsDup = Seq((1L, "alpha beta gamma delta epsilon"),
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val mp = Dedup.minhashLsh(docsDup, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mp == Set((1L, 2L)), s"got $mp")
+    val vecDup = Seq((5L, Seq(1.0f, 2.0f)), (5L, Seq(1.0f, 2.0f)),
+        (6L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ep = Dedup.embeddingNearDup(vecDup, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ep == Set((5L, 6L)), s"got $ep")
+  }
 }

@@ -568,4 +568,66 @@ class GraftTableSpec extends AnyFunSuite {
     // time travel: the pre-append snapshot still counts only its own rows
     assert(GraftTable.countRows(spark, root, asOf = Some(1)) == 4000)
   }
+
+  test("DataSource V2: format(\"graft\") reads head and time-travel " +
+      "snapshots and equals the object API") {
+    val root = freshRoot()
+    GraftTable.commit(cloud(1000), root)
+    GraftTable.commit(cloud(500, offX = 1000.0), root)
+    val v2 = spark.read.format("graft").load(root)
+    assert(v2.count() == 1500)
+    assert(v2.schema == GraftTable.read(spark, root).schema)
+    val tt = spark.read.format("graft").option("asof", 1).load(root)
+    assert(tt.count() == 1000)
+    // value-level equality with the object API on a projected sort
+    val a = v2.select("order_key", "x").orderBy("order_key", "x")
+      .collect().toSeq
+    val b = GraftTable.read(spark, root).select("order_key", "x")
+      .orderBy("order_key", "x").collect().toSeq
+    assert(a == b)
+    // empty table loads fail loudly like the object API
+    intercept[Exception](
+      spark.read.format("graft").load(freshRoot()).collect())
+  }
+
+  test("DataSource V2: bbox + key predicates prune files through the " +
+      "pushdown path; inner scan sees pushed filters and pruned schema") {
+    val root = freshRoot()
+    for (i <- 0 until 4)
+      GraftTable.commit(cloud(200).withColumn("x", col("x") + i * 1000), root)
+    val df = spark.read.format("graft").load(root)
+      .filter(col("x") >= 0 && col("x") <= 99)
+      .select("order_key", "x")
+    assert(df.count() == 200)
+    val (read, total) = graft.sources.v2.GraftDataSource.lastPrune
+    assert(total >= 4 && read < total,
+      s"expected V2 file pruning: read $read of $total")
+    // the V2 scan advertises the pushdown in the optimized plan
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("RelationV2") || plan.contains("graft"),
+      s"expected a V2 relation in:\n$plan")
+    // a miss-everything box prunes ALL files and still returns the schema
+    val miss = spark.read.format("graft").load(root)
+      .filter(col("x") >= 5e6 && col("x") <= 6e6)
+    assert(miss.count() == 0)
+    assert(graft.sources.v2.GraftDataSource.lastPrune._1 == 0L)
+    assert(miss.columns.contains("order_key"))
+    // order_key interval pruning via min_key/max_key (disjoint per commit
+    // band? keys repeat per commit -> no pruning guarantee; use a
+    // key-banded table instead)
+    val kroot = freshRoot()
+    for (i <- 0 until 4)
+      GraftTable.commit(cloud(100).withColumn("order_key",
+        col("order_key") + i * 1000), kroot)
+    val kdf = spark.read.format("graft").load(kroot)
+      .filter(col("order_key") >= 3000L)
+    assert(kdf.count() == 100)
+    val (kread, ktotal) = graft.sources.v2.GraftDataSource.lastPrune
+    assert(ktotal >= 4 && kread < ktotal,
+      s"expected key-interval pruning: read $kread of $ktotal")
+    // equality between the pruned V2 read and an unpruned full filter
+    val exp = GraftTable.read(spark, kroot)
+      .filter(col("order_key") >= 3000L).orderBy("order_key").collect().toSeq
+    assert(kdf.orderBy("order_key").collect().toSeq == exp)
+  }
 }

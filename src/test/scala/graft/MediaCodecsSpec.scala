@@ -127,4 +127,84 @@ class MediaCodecsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("corrupt GFV1 containers fail loudly, never misposition a read") {
+    val f0 = Codecs.encodePpm(4, 3, rgbOf(4, 3, 1))
+    val good = Codecs.encodeVideo(Seq(f0, f0))
+    // negative length prefix on frame 0
+    val neg = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(neg)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(8, -5)
+    intercept[IllegalArgumentException](Codecs.decodeVideoFrame(neg, 1))
+    // oversized length prefix walks past the file end
+    val big = good.clone()
+    java.nio.ByteBuffer.wrap(big).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(8, good.length * 2)
+    intercept[IllegalArgumentException](Codecs.decodeVideoFrame(big, 1))
+    // truncated mid-header
+    intercept[IllegalArgumentException](
+      Codecs.decodeVideoFrame(good.take(10), 1))
+  }
+
+  test("ImageIO tier: PNG/TIFF round-trip RGB exactly; JPEG decodes to " +
+      "bounded error; GIF/dispatch; unknown magic still rejected") {
+    val w = 33; val h = 29
+    val rgb = rgbOf(w, h, 5)
+    for (fmt <- Seq("png", "tiff")) {
+      val enc = Codecs.encodeImageIO(fmt, w, h, rgb)
+      val (dw, dh, dec) = Codecs.decodeImage(enc) // magic-byte dispatch
+      assert(dw == w && dh == h && dec.sameElements(rgb), s"$fmt lossless")
+    }
+    // JPEG: dims exact, pixels within a useful fidelity bound. The test
+    // pattern is deliberately high-frequency (+7 per byte), so default-
+    // quality 4:2:0 chroma subsampling costs ~15 mean abs error; an
+    // uncorrelated decode would read ~85 — the bound separates "real
+    // lossy decode" from "garbage" with a 4x margin.
+    val jenc = Codecs.encodeImageIO("jpg", w, h, rgb)
+    val (jw, jh, jdec) = Codecs.decodeImage(jenc)
+    assert(jw == w && jh == h && jdec.length == rgb.length)
+    val meanErr = rgb.zip(jdec)
+      .map { case (a, b) => math.abs((a & 0xFF) - (b & 0xFF)) }.sum.toDouble /
+      rgb.length
+    assert(meanErr < 21.0, s"JPEG mean abs error $meanErr")
+    // GIF palettizes: dims + count exact
+    val genc = Codecs.encodeImageIO("gif", w, h, rgb)
+    val (gw, gh, gdec) = Codecs.decodeImage(genc)
+    assert(gw == w && gh == h && gdec.length == rgb.length)
+    // GIF magic ("GIF8") must not collide with GFV1 video ("GFV1")
+    val vid = Codecs.encodeVideo(Seq(Codecs.encodePpm(4, 3, rgbOf(4, 3, 2))))
+    intercept[IllegalArgumentException](Codecs.decodeImage(vid))
+    intercept[IllegalArgumentException](
+      Codecs.decodeImage(Array[Byte](0x42, 0x13, 0x37, 0x00)))
+  }
+
+  test("synthImageIOMedia -> decodeFeatures: lossless formats equal the " +
+      "closed-form arithmetic; lossy formats keep dims and count exact") {
+    import spark.implicits._
+    val ids = spark.range(0, 40).select(col("id").as("n"),
+      when(col("id") % 4 === 0, "png").when(col("id") % 4 === 1, "jpg")
+        .when(col("id") % 4 === 2, "tiff").otherwise("gif").as("fmt"))
+    val media = Multimodal.synthImageIOMedia(spark, ids)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 40)
+    feats.foreach { r =>
+      val parts = r.getString(0).split("/") // i/<fmt>/<n>
+      val fmt = parts(1); val n = parts(2).toLong
+      val w = (16 + n % 17).toInt; val h = (16 + (n / 8) % 13).toInt
+      val cnt = w * h * 3
+      assert(r.getInt(2) == w && r.getInt(3) == h && r.getLong(4) == cnt,
+        s"$fmt n=$n dims/count")
+      if (fmt == "png" || fmt == "tiff") {
+        val exp = (0 until cnt).map(i => (n * 7 + i) % 256)
+        assert(r.getLong(5) == exp.sum, s"$fmt n=$n psum")
+        assert(r.getLong(6) ==
+          exp.zipWithIndex.map { case (v, i) => i.toLong * v }.sum,
+          s"$fmt n=$n wsum")
+        val rexp = for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
+          yield (n * 7 + ((y * h / 6) * w + (x * w / 8)) * 3 + c) % 256
+        assert(r.getLong(7) == rexp.sum, s"$fmt n=$n rsum")
+      }
+    }
+  }
 }
