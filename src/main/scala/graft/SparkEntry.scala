@@ -1600,7 +1600,12 @@ object SparkEntry {
       withTs(dups).coalesce(1).write.mode("append").parquet(dir)
       val stream = s.readStream.schema(withTs(docs).schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
-      val out = graft.streaming.StreamDedup.minhashPairs(s, stream,
+      // exactly-once pair emission: the second stateful stage (pair-keyed
+      // dropDuplicatesWithinWatermark) absorbs the per-shared-bucket
+      // at-least-once copies INSIDE the streaming query — the gate runs
+      // with NO batch-side distinct, so a duplicate leaking through the
+      // distinct stage duplicates oracle rows and breaks the hash
+      val out = graft.streaming.StreamDedup.minhashPairsDistinct(s, stream,
         threshold = 1.0, numHashes = 64, bands = 8, maxBucket = 100000,
         delay = "2000 seconds")
       val qn = s"q116_sink_$h"
@@ -1608,9 +1613,8 @@ object SparkEntry {
       val q = out.writeStream.format("memory").queryName(qn)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      // per-shared-bucket at-least-once -> downstream distinct; verify
-      // candidates with exact set jaccard like the batch gate does
-      val cand = s.table(qn).select("id_a", "id_b").distinct()
+      // verify candidates with exact set jaccard like the batch gate does
+      val cand = s.table(qn).select("id_a", "id_b")
       val all = docs.unionByName(dups)
       graft.dedup.Dedup.ngramJaccard(all, cand, n = 3)
         .filter(col("jaccard") >= 1.0)

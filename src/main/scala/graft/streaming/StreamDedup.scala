@@ -54,13 +54,61 @@ object StreamDedup {
     *
     * A pair sharing several band buckets emits once per shared bucket
     * (at-least-once pair semantics — buckets are independent state
-    * partitions, so a global distinct would need a second stateful
-    * stage keyed by pair); downstream consumers dedup or upsert.
+    * partitions); `minhashPairsDistinct` is the exactly-once composition
+    * with the second stateful stage keyed by the pair itself.
     *
     * @param stream (idCol: long-castable, textCol, tsCol: epoch seconds)
     * @return append stream (id_a, id_b, jaccard_est), id_a < id_b
     */
   def minhashPairs(spark: SparkSession, stream: DataFrame,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 8,
+      maxBucket: Int = 1000, delay: String = "30 minutes",
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts"): DataFrame =
+    minhashPairsWithTs(spark, stream, threshold, numHashes, bands,
+      maxBucket, delay, idCol, textCol, tsCol).drop("ts")
+
+  /** Exactly-once pair emission: minhashPairs' per-shared-bucket
+    * at-least-once output routed through a SECOND stateful stage keyed by
+    * the pair itself — `dropDuplicatesWithinWatermark(id_a, id_b)` over
+    * the pair's own event time (the arrival time of the LATER member,
+    * which is exactly the microbatch where every copy of the pair
+    * emits). Pair state TTLs with the same watermark horizon as the
+    * bucket state, so the end-to-end query holds two bounded stores:
+    * bucket membership and the active pair window. Downstream consumers
+    * get each pair once — no batch-side distinct needed.
+    *
+    * Spark's static global-watermark check rejects ANY stateful stage
+    * downstream of flatMapGroupsWithState, because fMGWS in general may
+    * emit rows older than the watermark (late to the next stage). This
+    * topology cannot: a pair only emits when its LATER member arrives,
+    * that member passed the `ts >= watermark` gate in the bucket stage,
+    * and the pair's event time IS that member's ts — so every emitted
+    * row sits at or above the global watermark by construction. The
+    * check is a heuristic with exactly this escape hatch, so this
+    * builder disables `statefulOperator.checkCorrectness` on the
+    * session (Spark's documented setting for proven-safe chains) and
+    * the exactly-once behavior is regression-tested across microbatch
+    * boundaries in StreamingSpec. */
+  def minhashPairsDistinct(spark: SparkSession, stream: DataFrame,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 8,
+      maxBucket: Int = 1000, delay: String = "30 minutes",
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts"): DataFrame = {
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+    minhashPairsWithTs(spark, stream, threshold, numHashes, bands,
+      maxBucket, delay, idCol, textCol, tsCol)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+      .drop("ts")
+  }
+
+  /** minhashPairs with the pair's event time attached: ts = the later
+    * member's arrival time, i.e. the event time of the microbatch that
+    * emitted every copy of the pair (the distinct stage keys on it). */
+  def minhashPairsWithTs(spark: SparkSession, stream: DataFrame,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 8,
       maxBucket: Int = 1000, delay: String = "30 minutes",
       idCol: String = "doc_id", textCol: String = "text",
@@ -92,21 +140,26 @@ object StreamDedup {
             // microbatch iterator order is not deterministic — process in
             // (event time, id) order so emission is reproducible
             val arrivals = it.toList.sortBy(r => (r._4.getTime, r._2))
-            val out = List.newBuilder[(Long, Long, Double)]
+            val out =
+              List.newBuilder[(Long, Long, Double, java.sql.Timestamp)]
             arrivals.foreach { case (_, id, sig, ets) =>
               val ts = ets.getTime / 1000
               // an id already in state is an at-least-once redelivery:
               // its pairs were emitted on first arrival — re-processing
               // would emit duplicates AND burn extra maxBucket slots
               if (ts >= wmSec && !members.exists(_._1 == id)) {
-                members.foreach { case (mid, msig, _) =>
+                members.foreach { case (mid, msig, mts) =>
                   if (mid != id) {
                     var m = 0; var i = 0
                     val n = math.min(sig.length, msig.length)
                     while (i < n) { if (sig(i) == msig(i)) m += 1; i += 1 }
                     val est = m.toDouble / numHashes
                     if (est >= threshold)
-                      out += ((math.min(id, mid), math.max(id, mid), est))
+                      // pair event time = the LATER member's arrival (>=
+                      // the watermark by the gate above, so the distinct
+                      // stage never sees it as late)
+                      out += ((math.min(id, mid), math.max(id, mid), est,
+                        new java.sql.Timestamp(math.max(ts, mts) * 1000)))
                   }
                 }
                 if (members.length < maxBucket) members ::= ((id, sig, ts))
@@ -121,6 +174,6 @@ object StreamDedup {
             }
             out.result().iterator
           }
-      }.toDF("id_a", "id_b", "jaccard_est")
+      }.toDF("id_a", "id_b", "jaccard_est", "ts")
   }
 }

@@ -232,4 +232,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(est == Set(1.0))
     } finally q.stop()
   }
+
+  test("minhashPairsDistinct emits each pair exactly once across " +
+      "microbatches (second stateful stage, no batch-side distinct)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    // RAW path first: identical signatures collide in EVERY band, so the
+    // per-bucket stage emits the same pair once per shared bucket — the
+    // at-least-once behavior the distinct stage exists to absorb
+    val inRaw = MemoryStream[(Long, Long, String)]
+    val raw = graft.streaming.StreamDedup.minhashPairs(spark,
+      inRaw.toDF().toDF("doc_id", "ts", "text"),
+      threshold = 0.9, bands = 8, delay = "5 seconds")
+    val qr = raw.writeStream.outputMode("append")
+      .format("memory").queryName("rawpairs").start()
+    try {
+      inRaw.addData((1L, 10L, tA))
+      qr.processAllAvailable()
+      inRaw.addData((2L, 11L, tA))
+      qr.processAllAvailable()
+      val rawRows = spark.table("rawpairs").select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rawRows.length == 8 && rawRows.toSet == Set((1L, 2L)),
+        s"expected 8 per-bucket copies of (1,2), got ${rawRows.length}")
+    } finally qr.stop()
+    // DISTINCT path: same regime, exactly one row per pair — including
+    // pairs whose copies all land in one microbatch AND pairs that cross
+    // the state boundary
+    val in = MemoryStream[(Long, Long, String)]
+    val pairs = graft.streaming.StreamDedup.minhashPairsDistinct(spark,
+      in.toDF().toDF("doc_id", "ts", "text"),
+      threshold = 0.9, bands = 8, delay = "5 seconds")
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("dpairs").start()
+    try {
+      in.addData((1L, 10L, tA))
+      q.processAllAvailable()
+      in.addData((2L, 11L, tA)) // cross-microbatch pair (1,2)
+      q.processAllAvailable()
+      in.addData((3L, 12L, tA)) // pairs with BOTH 1 and 2 in one batch
+      q.processAllAvailable()
+      val rows = spark.table("dpairs").select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == 3,
+        s"expected exactly-once rows (1,2),(1,3),(2,3); got ${rows.toSeq}")
+      assert(rows.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
 }
