@@ -584,6 +584,75 @@ object Ann {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental index maintenance: assign a DELTA of new vectors to the
+    * EXISTING centroids and APPEND them to the cell-partitioned corpus —
+    * no retrain, no rewrite of existing cells (the Iceberg-append shape
+    * over the index layout; at 100 TB an index rebuild per ingest batch
+    * is the thing this exists to avoid). Returns the post-append skew
+    * ratio (max occupied cell / mean occupied cell — the statistic the
+    * AnnSkew study bounds at 8x for the trainer), which is the drift
+    * signal: appends quantized by stale centroids concentrate when the
+    * data distribution moves. */
+  def appendToIndex(delta: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      flatLimit: Int = 2048, wsuper: Int = 8): Double = {
+    val spark = delta.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast(Coarse.build(cents, flatLimit))
+    val base = graft.core.Mat(
+      delta.select(col(idCol).cast("long").as("id"), unitCol(vecCol).as("u")))
+    assignCells(base, bc, wsuper)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("u", "cv")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+    indexSkew(spark, path)
+  }
+
+  /** max/mean occupied-cell ratio of a persisted index's corpus. */
+  def indexSkew(spark: SparkSession, path: String): Double = {
+    val r = spark.read.parquet(s"$path/corpus").groupBy("cell").count()
+      .agg(max("count").as("mx"), avg("count").as("mean")).head()
+    if (r.isNullAt(0)) 1.0 else r.getLong(0).toDouble / r.getDouble(1)
+  }
+
+  /** Table-driven index maintenance: consume the snapshot table's delta
+    * since the last checkpoint (GraftTable.processDelta — exactly the
+    * appended rows), append it to the index, and REBUILD (full spherical
+    * k-means retrain with member re-seeding) only when drift pushes the
+    * skew ratio past `maxSkew` — the bound the trainer itself certifies
+    * in the AnnSkew study, so post-rebuild skew returns under it by the
+    * measured 50%-point-mass margin. Returns (rows appended, skew after
+    * maintenance, rebuilt?).
+    *
+    * Crash contract: the checkpoint advances only after the append
+    * lands, so a crash between them replays the delta — appends are
+    * at-least-once and a replay duplicates rows in the index corpus
+    * (never loses them). A rebuild rewrites the corpus from the TABLE
+    * (deduplicated by construction), so the periodic drift rebuild is
+    * also the repair path; readers needing exactness meanwhile can
+    * dropDuplicates("vec_id"). */
+  def maintainIndex(spark: SparkSession, tableRoot: String,
+      checkpointFile: String, indexPath: String, nlist: Int,
+      iters: Int = 3, maxSkew: Double = 8.0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      flatLimit: Int = 2048, wsuper: Int = 8): (Long, Double, Boolean) = {
+    var appended = 0L
+    graft.sources.GraftTable.processDelta(spark, tableRoot, checkpointFile) {
+      (delta, _, _) =>
+        val d = graft.core.Mat(delta.select(col(idCol), col(vecCol)))
+        appended = d.count()
+        if (appended > 0)
+          appendToIndex(d, indexPath, idCol, vecCol, flatLimit, wsuper)
+    }
+    val skew = indexSkew(spark, indexPath)
+    if (skew > maxSkew) {
+      writeIndex(
+        graft.sources.GraftTable.read(spark, tableRoot).select(idCol, vecCol),
+        indexPath, nlist, iters, idCol, vecCol, flatLimit, wsuper)
+      (appended, indexSkew(spark, indexPath), true)
+    } else (appended, skew, false)
+  }
+
   /** Query a persisted index: probed cells become a partition IN-filter
     * on the bucketed corpus. */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,

@@ -229,7 +229,7 @@ object Dedup {
       maxBucket: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"chunk-bucket recall guarantee needs maxHamming+1 <= 8 chunks of >= 8 bits " +
-        s"(got $maxHamming); use multi-probe for larger radii")
+        s"(got $maxHamming); use simhashPairsMultiProbe for larger radii")
     require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
     val c = maxHamming + 1
     val base = 64 / c
@@ -261,6 +261,66 @@ object Dedup {
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       // duplicate input ids sort adjacent and would self-pair at
       // hamming 0 (the pre-r4 self-join's a.id < b.id excluded them)
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Multi-probe SimHash pair generation for radii the chunk pigeonhole
+    * cannot reach (maxHamming > 7 would need chunks narrower than 8
+    * bits, whose bucket collision volume goes quadratic). Instead of
+    * narrower chunks, each of `chunks` WIDE chunks is probed with every
+    * 0- and 1-bit flip of itself — symmetric probing, so two
+    * fingerprints share a probe key for a chunk iff their distance
+    * WITHIN that chunk is <= 2 (a's variant set and b's variant set
+    * intersect exactly when d(a_c, b_c) <= 2e with e = 1).
+    *
+    * Recall: hamming(a, b) <= maxHamming means some chunk carries
+    * <= floor(maxHamming/chunks) of the flips (pigeonhole), so
+    * requiring floor(maxHamming/chunks) <= 2 makes candidate recall 1.0
+    * AT the radius — chunks=4 covers radii up to 11, chunks=8 up to 23.
+    * Cost: (width+1) probe keys per chunk per doc (e.g. 68 for
+    * chunks=4), all through the same capped aggregation as the exact
+    * path, so degenerate buckets stay bounded at any skew; the wider
+    * radius also widens bucket population (a 16-bit chunk has 2^16
+    * buckets), which maxBucket caps with the documented recall trade. */
+  def simhashPairsMultiProbe(fp: DataFrame, maxHamming: Int,
+      chunks: Int = 4, maxBucket: Int = 100000): DataFrame = {
+    require(chunks >= 2 && chunks <= 16 && 64 % chunks == 0,
+      s"chunks must divide 64 (got $chunks)")
+    require(maxHamming >= 0 && maxHamming / chunks <= 2,
+      s"1-bit symmetric probing covers per-chunk distance <= 2, so " +
+        s"maxHamming/chunks must be <= 2 (got $maxHamming/$chunks = " +
+        s"${maxHamming / chunks}); raise chunks")
+    require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
+    val width = 64 / chunks
+    val shifts = Array.tabulate(chunks)(_ * width)
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunkDefs = array(shifts.indices.map { i =>
+      struct(lit(i).as("i"), lit(shifts(i)).as("sh"))
+    }: _*)
+    // flip position -1 = the exact chunk value; 0..width-1 = 1-bit flips
+    val flips = array((-1 until width).map(b => lit(b)): _*)
+    val probed = fp.withColumn("__c", explode(chunkDefs))
+      .withColumn("__v",
+        expr("shiftrightunsigned(fp, CAST(__c.sh AS INT))")
+          .bitwiseAND(lit(mask)))
+      .withColumn("__b", explode(flips))
+      .withColumn("key", struct(col("__c.i"),
+        when(col("__b") < 0, col("__v")).otherwise(
+          col("__v").bitwiseXOR(expr("shiftleft(1L, CAST(__b AS INT))")))))
+      .select(struct(col("id"), col("fp")).as("m"), col("key"))
+    val cand = probed.groupBy("key")
+      .agg(sort_array(graft.functions.F.cappedCollectList(
+        col("m"), maxBucket)).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
+    cand
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

@@ -646,6 +646,60 @@ class ExtrasSpec extends AnyFunSuite {
     assert(Outlier.statistical(one, meanK = 4).count() == 1)
   }
 
+  test("ANN index maintenance over table deltas: benign appends stay " +
+      "within the skew bound; point-mass drift triggers a rebuild that " +
+      "returns under it; full-probe search stays exact throughout") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val root = java.nio.file.Files.createTempDirectory("ann-table").toString
+    val idx = java.nio.file.Files.createTempDirectory("ann-idx").toString
+    val cp = s"$idx/ckpt"
+    graft.sources.GraftTable.commit(
+      (0 until 2000).map(i => (i.toLong, vec())).toDF("vec_id", "embedding"),
+      root)
+    Ann.writeIndex(graft.sources.GraftTable.read(spark, root), idx,
+      nlist = 16, iters = 2)
+    // advance the checkpoint to the head the index was built from
+    graft.sources.GraftTable.processDelta(spark, root, cp)((_, _, _) => ())
+    // benign delta: same distribution -> append, no rebuild
+    graft.sources.GraftTable.commit(
+      (2000 until 3000).map(i => (i.toLong, vec())).toDF("vec_id", "embedding"),
+      root)
+    val (n1, skew1, rebuilt1) = Ann.maintainIndex(spark, root, cp, idx,
+      nlist = 16, iters = 2)
+    assert(n1 == 1000 && !rebuilt1 && skew1 <= 8.0,
+      s"benign append: n=$n1 skew=$skew1 rebuilt=$rebuilt1")
+    // a second maintenance pass with no new commits is a no-op
+    val (n0, _, r0) = Ann.maintainIndex(spark, root, cp, idx,
+      nlist = 16, iters = 2)
+    assert(n0 == 0 && !r0)
+    // full-probe search over the appended index == brute force (probing
+    // every cell removes the approximation, so any index defect —
+    // missed append, wrong cell assignment — surfaces as inequality)
+    val queries = (0 until 5).map(i => (9000L + i, vec()))
+      .toDF("vec_id", "embedding")
+    def topk() = Ann.searchIndex(spark, idx, queries, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    def brute() = Ann.bruteForceTopK(
+      graft.sources.GraftTable.read(spark, root), queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(topk() == brute(), "appended index diverged from brute force")
+    // drift: a point-mass delta (boilerplate embeddings) overloads one
+    // cell past maxSkew -> maintainIndex rebuilds with the re-seeding
+    // trainer and the ratio returns under the certified 8x bound
+    graft.sources.GraftTable.commit(
+      (5000 until 9000).map(i =>
+        (i.toLong, Seq(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+        .toDF("vec_id", "embedding"), root)
+    val (n2, skew2, rebuilt2) = Ann.maintainIndex(spark, root, cp, idx,
+      nlist = 16, iters = 2)
+    assert(n2 == 4000 && rebuilt2, s"expected drift rebuild, skew=$skew2")
+    assert(skew2 <= 8.0, s"post-rebuild skew $skew2 exceeds the 8x bound")
+    assert(topk() == brute(),
+      "rebuilt index diverged from brute force under full probe")
+  }
+
   test("embedding degenerate mega-bucket is capped, not quadratic") {
     import spark.implicits._
     // 10^5 coincident embeddings (zero-doc boilerplate vectors all on one
@@ -674,6 +728,57 @@ class ExtrasSpec extends AnyFunSuite {
     val all = Dedup.embeddingNearDup(tiny, threshold = 0.999,
       idCol = "id", maxBucket = 100)
     assert(all.count() == 10) // C(5,2)
+  }
+
+  test("multi-probe simhash: recall 1.0 at radii 8-10 vs brute force; " +
+      "adversarial flip spreads; capped buckets; radius guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // background noise: random fingerprints (overwhelmingly far apart)
+    val noise = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    // planted pairs at hamming 8, 9, 10 with flips spread ADVERSARIALLY
+    // across all 4 chunks (no chunk stays exact, so the plain
+    // chunk-pigeonhole path could never find them at any chunks=4 split;
+    // every chunk carries <= 3 flips only when h=10 -> wait: spread 10 as
+    // 3/3/2/2 so the best chunk has 2 flips — exactly the 2e boundary)
+    def spread(h: Int): Long = {
+      // place flips round-robin across the 4 16-bit chunks
+      var m = 0L
+      for (f <- 0 until h) {
+        val chunk = f % 4
+        val bit = chunk * 16 + (f / 4) * 3 // distinct bits per chunk
+        m |= (1L << bit)
+      }
+      m
+    }
+    val planted = Seq(8, 9, 10).zipWithIndex.flatMap { case (h, i) =>
+      val base = rnd.nextLong()
+      Seq((1000L + 2 * i, base), (1001L + 2 * i, base ^ spread(h)))
+    }
+    val fp = (noise ++ planted).toDF("id", "fp")
+    val got = Dedup.simhashPairsMultiProbe(fp, maxHamming = 10, chunks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over the same fingerprints
+    val exp = fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("h"))
+      .filter(col("h") <= 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exp.subsetOf(got) && got == exp,
+      s"multi-probe recall: got ${got.size}, brute force ${exp.size}")
+    assert(Set((1000L, 1001L), (1002L, 1003L), (1004L, 1005L))
+      .subsetOf(got))
+    // degenerate mega-bucket stays capped like the exact path
+    val degenerate = spark.range(50000).select(col("id"), lit(0L).as("fp"))
+    val capped = Dedup.simhashPairsMultiProbe(
+      degenerate.unionByName(planted.toDF("id", "fp")),
+      maxHamming = 8, chunks = 4, maxBucket = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1000L, 1001L)),
+      s"expected only the hamming-8 planted pair, got ${capped.size}")
+    // the radius guard: 1-bit probing cannot certify floor(h/c) > 2
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsMultiProbe(fp, maxHamming = 12, chunks = 4))
   }
 
   test("duplicate input ids never self-pair in the dedup family") {
