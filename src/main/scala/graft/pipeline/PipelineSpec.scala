@@ -188,6 +188,37 @@ object PipelineBuilder {
           case (None, None) => graft.sources.GraftTable.read(spark, root, asOf)
         }
         readerOpts(df)
+      case "readers.jdbc" =>
+        // DB connector analog (pdal/DbReader.cpp base; SURVEY §2.11):
+        // delegates to Spark's own JDBC source with the PARALLEL-read
+        // contract surfaced — partition_column + lower/upper bounds +
+        // num_partitions shard the table across executors (without
+        // them a JDBC read is ONE task, wrong at any scale; requiring
+        // them together mirrors spark.read.jdbc's own contract). No
+        // JDBC driver jar ships in this sandbox, so executing the
+        // stage surfaces the driver's own loud error here; the option
+        // mapping itself is the complete production surface.
+        val url = optStr(o, "connection").orElse(optStr(o, "url")).get
+        val table = optStr(o, "table")
+          .orElse(optStr(o, "query").map(q => s"($q) pushed")).get
+        val r0 = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", table)
+        val r1 = optStr(o, "driver")
+          .map(d => r0.option("driver", d)).getOrElse(r0)
+        val r2 = (optStr(o, "partition_column"),
+            optLong(o, "num_partitions")) match {
+          case (Some(pc), Some(np)) =>
+            r1.option("partitionColumn", pc)
+              .option("lowerBound",
+                optLong(o, "lower_bound").getOrElse(0L).toString)
+              .option("upperBound", optLong(o, "upper_bound").get.toString)
+              .option("numPartitions", np.toString)
+          case (None, None) => r1
+          case _ => throw new IllegalArgumentException(
+            "readers.jdbc: partition_column and num_partitions must be " +
+              "set together (plus upper_bound) for a parallel read")
+        }
+        readerOpts(r2.load())
       case "readers.stac" =>
         // io/StacReader.cpp:126-151 option surface; bounds uses the PDAL
         // 2D bounds grammar and prunes items before any data read

@@ -545,4 +545,30 @@ class PipelineSpecSuite extends AnyFunSuite {
     assert(head.filter($"order_key" === 2L).select("x").as[Double].head() == -2.0)
     assert(head.filter($"order_key" === 9L).count() == 1)
   }
+
+  test("readers.jdbc: parallel-read contract enforced; sandbox (no " +
+      "driver) fails with the JDBC layer's own loud error") {
+    // partition options must travel together — a silent single-task
+    // JDBC read is the scale defect this guard exists for
+    val e1 = intercept[Exception](PipelineBuilder.run(spark,
+      """{"pipeline":[
+         {"type":"readers.jdbc","url":"jdbc:postgresql://db/x",
+          "table":"events","partition_column":"event_id"},
+         {"type":"filters.stats"}]}"""))
+    assert(e1.getMessage.contains("partition_column and num_partitions"),
+      s"got: ${e1.getMessage}")
+    // fully-specified parallel read reaches Spark's JDBC source, which
+    // fails loudly here because no driver jar ships in this sandbox
+    val e2 = intercept[Throwable](PipelineBuilder.run(spark,
+      """{"pipeline":[
+         {"type":"readers.jdbc","connection":"jdbc:postgresql://db/x",
+          "query":"SELECT * FROM events","partition_column":"event_id",
+          "lower_bound":0,"upper_bound":1000,"num_partitions":8},
+         {"type":"filters.stats"}]}"""))
+    val msg = String.valueOf(e2.getMessage) + String.valueOf(
+      Option(e2.getCause).map(_.getMessage).getOrElse(""))
+    assert(msg.toLowerCase.contains("driver") ||
+      msg.contains("CANNOT_FIND_JDBC_DRIVER") ||
+      e2.isInstanceOf[ClassNotFoundException], s"got: $e2")
+  }
 }

